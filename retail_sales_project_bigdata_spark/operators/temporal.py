@@ -1,0 +1,126 @@
+"""Weekly demand rollup (SURVEY §2.4 A1) — FullPreprocessingPipeline.java:164-175.
+
+Testdata mapping: store → l_suppkey, product → l_partkey, week_no from
+l_shipdate.  One hash aggregation: partial (map-side) + final after a
+single shuffle on the full grouping key — Spark's default physical plan,
+which is exactly right at 100 TB (the rollup output is tiny relative to
+input; the shuffle moves only partial aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.functions import (
+    DAY_EPOCH,
+    day_index,
+    net_sales,
+    oracle_avg,
+    oracle_sum,
+    safe_div,
+    stable_avg,
+    stable_sum,
+    week_no,
+)
+from retail_sales_project_bigdata_spark.sources import read_table
+
+
+def weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+        .withColumn("net_sales", net_sales())
+        .withColumn(
+            "unit_price", safe_div(F.col("l_extendedprice"), F.col("l_quantity"))
+        )
+        .withColumn(
+            "is_discounted", F.when(F.col("l_discount") > 0, 1).otherwise(0)
+        )
+        .withColumn("campaign_flag", F.when(F.col("l_tax") > 0, 1).otherwise(0))
+    )
+    return li.groupBy(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("product_id"),
+        "week_no",
+    ).agg(
+        stable_sum("net_sales").alias("sum_net_sales"),
+        stable_sum("l_quantity").alias("sum_quantity"),
+        stable_avg("unit_price").alias("avg_unit_price"),
+        stable_avg("l_discount").alias("avg_discount_rate"),
+        F.max("is_discounted").alias("any_discounted"),
+        F.max("campaign_flag").alias("any_campaign"),
+    )
+
+
+WEEKLY_DEMAND_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+         l_extendedprice * (1.0 - l_discount) AS net_sales,
+         l_quantity,
+         CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity ELSE 0.0 END AS unit_price,
+         l_discount,
+         CASE WHEN l_discount > 0 THEN 1 ELSE 0 END AS is_discounted,
+         CASE WHEN l_tax > 0 THEN 1 ELSE 0 END AS campaign_flag
+  FROM lineitem
+)
+SELECT l_suppkey AS store_id, l_partkey AS product_id, week_no,
+       {oracle_sum('net_sales')} AS sum_net_sales,
+       {oracle_sum('l_quantity')} AS sum_quantity,
+       {oracle_avg('unit_price')} AS avg_unit_price,
+       {oracle_avg('l_discount')} AS avg_discount_rate,
+       MAX(is_discounted) AS any_discounted,
+       MAX(campaign_flag) AS any_campaign
+FROM li
+GROUP BY l_suppkey, l_partkey, week_no
+"""
+
+
+def union_weekly_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (SURVEY §2.7 — absent from the reference,
+    required surface for the rebuild): union two disjoint weekly slices,
+    then exceptAll a sub-slice.
+    """
+    wd = weekly_demand(spark, sf_dir)
+    low = wd.filter(F.col("week_no") <= 100)
+    high = wd.filter(F.col("week_no") > 100)
+    both = low.unionByName(high)
+    return both.exceptAll(both.filter(F.col("week_no") > 300)).select(
+        "store_id", "product_id", "week_no", "sum_net_sales"
+    )
+
+
+UNION_WEEKLY_HALVES_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+         l_extendedprice * (1.0 - l_discount) AS net_sales
+  FROM lineitem
+),
+wd AS (
+  SELECT l_suppkey AS store_id, l_partkey AS product_id, week_no,
+         {oracle_sum('net_sales')} AS sum_net_sales
+  FROM li GROUP BY l_suppkey, l_partkey, week_no
+),
+combined AS (
+  SELECT * FROM wd WHERE week_no <= 100
+  UNION ALL
+  SELECT * FROM wd WHERE week_no > 100
+)
+SELECT store_id, product_id, week_no, sum_net_sales FROM combined
+EXCEPT ALL
+SELECT store_id, product_id, week_no, sum_net_sales FROM combined WHERE week_no > 300
+"""
+
+
+ORACLES: dict[str, str] = {
+    "weekly_demand": WEEKLY_DEMAND_SQL,
+    "union_weekly_halves": UNION_WEEKLY_HALVES_SQL,
+}
+
+QUERIES = {
+    "weekly_demand": weekly_demand,
+    "union_weekly_halves": union_weekly_halves,
+}

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference creates bare sessions per job
+(``FullPreprocessingPipeline.java:34-36``, ``ChurnPrediction.java:44-49``).
+The rebuild centralizes session construction with scale-aware defaults:
+AQE (runtime coalescing + skew-join splitting), UTC session timezone (oracle
+parity with DuckDB), Arrow for any pandas exchange, and shuffle parallelism
+sized to the machine instead of Spark's default 200.
+
+On a real cluster the same factory applies — only ``master`` and the memory
+settings come from spark-submit instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "retail_sales_project_bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    AQE handles runtime re-planning (partition coalescing, skew joins,
+    broadcast conversion) so the same logical plans survive a 100× scale-up:
+    at sf0.1 local the shuffles coalesce down; at 100 TB on a cluster the
+    same code runs with ``spark.sql.shuffle.partitions`` sized by the
+    submitter and AQE splitting skewed partitions.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

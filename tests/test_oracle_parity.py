@@ -1,0 +1,36 @@
+"""Every queries() entry with an oracle must match DuckDB at sf0.001.
+
+This is a faster local version of the driver's CORRECTNESS gate (which runs
+at sf0.01 — tools/oracle_check.py covers that interactively).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL, assert_oracle_match
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, duck, name):
+    assert name in _QUERIES, f"oracle_sql has {name} but queries() doesn't"
+    sdf = _QUERIES[name](spark, SF_SMALL)
+    assert_oracle_match(sdf, duck, _ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_runs(spark, name):
+    """Rows-only smoke for every query (driver runs the same weaker check
+    for entries without an oracle)."""
+    df = _QUERIES[name](spark, SF_SMALL)
+    assert df.columns
+    df.limit(5).collect()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
