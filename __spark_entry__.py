@@ -20,9 +20,14 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from retail_sales_project_bigdata_spark.operators import cleaning, rfm, temporal
+from retail_sales_project_bigdata_spark.operators import (
+    churn,
+    cleaning,
+    rfm,
+    temporal,
+)
 
-_MODULES = [cleaning, rfm, temporal]
+_MODULES = [cleaning, rfm, temporal, churn]
 
 
 def entry(spark: SparkSession) -> DataFrame:

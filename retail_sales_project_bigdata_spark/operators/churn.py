@@ -1,0 +1,408 @@
+"""Churn / repurchase labeling (SURVEY §2.5 W1, §2.3 J2-J6, §2.4 A4-A6).
+
+Re-expresses the relational DAG of ``ChurnPrediction.java:58-267`` on the
+testdata mapping (household → o_custkey, product → l_partkey, basket →
+o_orderkey, day → l_shipdate day index):
+
+- W1: ``row_number() OVER (PARTITION BY household, product ORDER BY day)``
+  → first-purchase flag (``ChurnPrediction.java:82-88``).  The rebuild
+  gives the window a TOTAL order ``(day, orderkey, linenumber)`` so ties
+  cannot flip rows between runs/engines (§4.3.6 determinism fix).
+- J2: transactions ⋈left distinct promo-days on (household, day)
+  (``ChurnPrediction.java:91-117``'s coupon-day join).
+- J3: the repurchase-window RANGE join — equi on (household, product) plus
+  ``first_day < later_day <= first_day + 90``
+  (``ChurnPrediction.java:147-154``; window default ``:41``).
+- J4-J6: left joins with coalesce defaults (``:175-251``).
+- A4-A6: repurchase summary, per-pair stats, cohort rates (``:157-343``).
+
+Scale design: every join/window here keys on (custkey, partkey) or
+(custkey, day) — one shuffle partitioning, reused across the window and the
+self-join (Spark reuses the exchange when the key set matches).  The range
+predicate rides on the equi join (no cross product): Catalyst evaluates it
+as a post-join filter on the sort-merge output, which is the right plan
+when each (household, product) group is small — the 100 TB failure mode
+(hot products with millions of rows per key) is handled by AQE skew-join
+splitting, enabled in the session factory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from retail_sales_project_bigdata_spark.functions import (
+    DAY_EPOCH,
+    day_index,
+    day_of_week,
+    net_sales,
+    oracle_avg,
+    oracle_sum,
+    stable_avg,
+    stable_sum,
+)
+from retail_sales_project_bigdata_spark.sources import read_table
+
+REPURCHASE_WINDOW_DAYS = 90  # ChurnPrediction.java:41
+
+# Shared SQL fragment: the transaction base (lineitem ⋈ orders with
+# integer day + derived measures), used by every oracle below.
+_FACTS_CTE = f"""
+facts AS (
+  SELECT o.o_custkey AS custkey,
+         l.l_partkey AS partkey,
+         l.l_orderkey AS orderkey,
+         l.l_linenumber AS linenumber,
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(l.l_shipdate AS DATE)) + 1 AS INT) AS day,
+         l.l_extendedprice * (1.0 - l.l_discount) AS net_sales,
+         CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END AS is_discounted
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)"""
+
+
+def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The churn-analysis transaction base (ChurnPrediction.java:58-65)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        day_index("l_shipdate").alias("day"),
+        net_sales().alias("net_sales"),
+        F.when(F.col("l_discount") > 0, 1).otherwise(0).alias("is_discounted"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        "day",
+        "net_sales",
+        "is_discounted",
+    )
+
+
+def first_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: first purchase per (household, product) — ChurnPrediction.java:82-88,
+    120-134, with the day-of-week expression ``((day-1)%7)+1`` (``:132``)."""
+    tx = transactions(spark, sf_dir)
+    w = Window.partitionBy("custkey", "partkey").orderBy(
+        "day", "orderkey", "linenumber"
+    )
+    return (
+        tx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "custkey",
+            "partkey",
+            F.col("day").alias("first_day"),
+            day_of_week("day").alias("first_dow"),
+            F.col("net_sales").alias("first_net_sales"),
+            F.col("is_discounted").alias("first_with_discount"),
+        )
+    )
+
+
+FIRST_PURCHASES_SQL = f"""
+WITH {_FACTS_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY custkey, partkey ORDER BY day, orderkey, linenumber) AS rn
+  FROM facts
+)
+SELECT custkey, partkey, day AS first_day,
+       CAST(((day - 1) % 7) + 1 AS INT) AS first_dow,
+       net_sales AS first_net_sales,
+       is_discounted AS first_with_discount
+FROM ranked WHERE rn = 1
+"""
+
+
+def promo_day_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: transactions ⋈left distinct promo-days on (household, day).
+
+    Parity with the coupon-redemption-day join ``ChurnPrediction.java:91-117``:
+    the right side is a DISTINCT (household, day) set (``:91-94``), the join
+    is left, and the output flags matches.  "Promo day" = the household had
+    a deep-discount (>5%) line that day.
+    """
+    tx = transactions(spark, sf_dir).alias("t")
+    promo_days = (
+        transactions(spark, sf_dir)
+        .filter(F.col("is_discounted") == 1)
+        .select(F.col("custkey").alias("p_custkey"), F.col("day").alias("promo_day"))
+        .distinct()
+        .alias("p")
+    )
+    joined = tx.join(
+        promo_days,
+        (F.col("t.custkey") == F.col("p.p_custkey"))
+        & (F.col("t.day") == F.col("p.promo_day")),
+        "left",
+    )
+    return joined.select(
+        F.col("t.custkey").alias("custkey"),
+        F.col("t.partkey").alias("partkey"),
+        F.col("t.orderkey").alias("orderkey"),
+        F.col("t.linenumber").alias("linenumber"),
+        F.col("t.day").alias("day"),
+        F.when(F.col("p.promo_day").isNotNull(), 1).otherwise(0).alias(
+            "on_promo_day"
+        ),
+    )
+
+
+PROMO_DAY_FLAGS_SQL = f"""
+WITH {_FACTS_CTE},
+promo_days AS (
+  SELECT DISTINCT custkey, day AS promo_day
+  FROM facts WHERE is_discounted = 1
+)
+SELECT f.custkey, f.partkey, f.orderkey, f.linenumber, f.day,
+       CASE WHEN p.promo_day IS NOT NULL THEN 1 ELSE 0 END AS on_promo_day
+FROM facts f
+LEFT JOIN promo_days p ON f.custkey = p.custkey AND f.day = p.promo_day
+"""
+
+
+def repurchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 range join + A4 summary + J4 left join back → labeled pairs.
+
+    ``ChurnPrediction.java:147-194``: first purchases joined to later
+    purchases of the same (household, product) within
+    ``(first_day, first_day + 90]`` — strict lower bound, inclusive upper
+    (FIXTURES.md §C.6) — aggregated to ``min(later_day)``/count, then
+    left-joined back so non-repurchasers keep label 0 via coalesce (P12).
+    """
+    fp = first_purchases(spark, sf_dir)
+    later = transactions(spark, sf_dir).select(
+        F.col("custkey").alias("l_custkey"),
+        F.col("partkey").alias("l_partkey"),
+        F.col("day").alias("later_day"),
+    )
+    window_hits = (
+        fp.join(
+            later,
+            (fp.custkey == later.l_custkey) & (fp.partkey == later.l_partkey),
+            "inner",
+        )
+        .filter(
+            (F.col("later_day") > F.col("first_day"))
+            & (F.col("later_day") <= F.col("first_day") + F.lit(REPURCHASE_WINDOW_DAYS))
+        )
+        .groupBy("custkey", "partkey")
+        .agg(
+            F.min("later_day").alias("first_repurchase_day"),
+            F.count("later_day").alias("n_repurchases"),
+        )
+    )
+    return fp.join(window_hits, ["custkey", "partkey"], "left").select(
+        "custkey",
+        "partkey",
+        "first_day",
+        "first_dow",
+        "first_with_discount",
+        F.coalesce(F.col("first_repurchase_day"), F.lit(-1)).alias(
+            "first_repurchase_day"
+        ),
+        F.coalesce(F.col("n_repurchases"), F.lit(0)).alias("n_repurchases"),
+        F.when(F.col("n_repurchases").isNotNull(), 1).otherwise(0).alias("label"),
+    )
+
+
+REPURCHASE_LABELS_SQL = f"""
+WITH {_FACTS_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY custkey, partkey ORDER BY day, orderkey, linenumber) AS rn
+  FROM facts
+),
+fp AS (
+  SELECT custkey, partkey, day AS first_day,
+         CAST(((day - 1) % 7) + 1 AS INT) AS first_dow,
+         is_discounted AS first_with_discount
+  FROM ranked WHERE rn = 1
+),
+window_hits AS (
+  SELECT fp.custkey, fp.partkey,
+         MIN(f.day) AS first_repurchase_day,
+         COUNT(f.day) AS n_repurchases
+  FROM fp JOIN facts f
+    ON fp.custkey = f.custkey AND fp.partkey = f.partkey
+   AND f.day > fp.first_day AND f.day <= fp.first_day + {REPURCHASE_WINDOW_DAYS}
+  GROUP BY fp.custkey, fp.partkey
+)
+SELECT fp.custkey, fp.partkey, fp.first_day, fp.first_dow, fp.first_with_discount,
+       COALESCE(w.first_repurchase_day, -1) AS first_repurchase_day,
+       COALESCE(w.n_repurchases, 0) AS n_repurchases,
+       CASE WHEN w.n_repurchases IS NOT NULL THEN 1 ELSE 0 END AS label
+FROM fp LEFT JOIN window_hits w
+  ON fp.custkey = w.custkey AND fp.partkey = w.partkey
+"""
+
+
+def pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-(household, product) transaction stats —
+    ChurnPrediction.java:197-204 (count / sum / avg of sales)."""
+    tx = transactions(spark, sf_dir)
+    return tx.groupBy("custkey", "partkey").agg(
+        F.count(F.lit(1)).alias("tx_count"),
+        stable_sum("net_sales").alias("total_sales"),
+        stable_avg("net_sales").alias("avg_sales"),
+    )
+
+
+PAIR_STATS_SQL = f"""
+WITH {_FACTS_CTE}
+SELECT custkey, partkey,
+       COUNT(*) AS tx_count,
+       {oracle_sum('net_sales')} AS total_sales,
+       {oracle_avg('net_sales')} AS avg_sales
+FROM facts GROUP BY custkey, partkey
+"""
+
+
+def churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 + J6: labeled pairs ⋈left pair stats ⋈left demographics with
+    coalesce defaults — ChurnPrediction.java:207-251's ML feature frame."""
+    labels = repurchase_labels(spark, sf_dir)
+    stats = pair_stats(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    out = (
+        labels.join(stats, ["custkey", "partkey"], "left")
+        .join(cust, labels.custkey == cust.c_custkey, "left")
+        .select(
+            "custkey",
+            "partkey",
+            "first_day",
+            "first_dow",
+            "first_with_discount",
+            "n_repurchases",
+            "label",
+            F.coalesce(F.col("tx_count"), F.lit(0)).alias("tx_count"),
+            F.coalesce(F.col("total_sales"), F.lit(0.0)).alias("total_sales"),
+            F.coalesce(F.col("avg_sales"), F.lit(0.0)).alias("avg_sales"),
+            F.coalesce(F.col("mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
+            F.coalesce(F.col("acctbal"), F.lit(0.0)).alias("acctbal"),
+            F.coalesce(F.col("nationkey"), F.lit(-1)).alias("nationkey"),
+        )
+    )
+    return out
+
+
+CHURN_FEATURES_SQL = f"""
+WITH {_FACTS_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY custkey, partkey ORDER BY day, orderkey, linenumber) AS rn
+  FROM facts
+),
+fp AS (
+  SELECT custkey, partkey, day AS first_day,
+         CAST(((day - 1) % 7) + 1 AS INT) AS first_dow,
+         is_discounted AS first_with_discount
+  FROM ranked WHERE rn = 1
+),
+window_hits AS (
+  SELECT fp.custkey, fp.partkey,
+         MIN(f.day) AS first_repurchase_day,
+         COUNT(f.day) AS n_repurchases
+  FROM fp JOIN facts f
+    ON fp.custkey = f.custkey AND fp.partkey = f.partkey
+   AND f.day > fp.first_day AND f.day <= fp.first_day + {REPURCHASE_WINDOW_DAYS}
+  GROUP BY fp.custkey, fp.partkey
+),
+labels AS (
+  SELECT fp.custkey, fp.partkey, fp.first_day, fp.first_dow, fp.first_with_discount,
+         COALESCE(w.n_repurchases, 0) AS n_repurchases,
+         CASE WHEN w.n_repurchases IS NOT NULL THEN 1 ELSE 0 END AS label
+  FROM fp LEFT JOIN window_hits w
+    ON fp.custkey = w.custkey AND fp.partkey = w.partkey
+),
+stats AS (
+  SELECT custkey, partkey,
+         COUNT(*) AS tx_count,
+         {oracle_sum('net_sales')} AS total_sales,
+         {oracle_avg('net_sales')} AS avg_sales
+  FROM facts GROUP BY custkey, partkey
+)
+SELECT lb.custkey, lb.partkey, lb.first_day, lb.first_dow,
+       lb.first_with_discount, lb.n_repurchases, lb.label,
+       COALESCE(s.tx_count, 0) AS tx_count,
+       COALESCE(s.total_sales, 0.0) AS total_sales,
+       COALESCE(s.avg_sales, 0.0) AS avg_sales,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+       COALESCE(c.c_acctbal, 0.0) AS acctbal,
+       COALESCE(c.c_nationkey, -1) AS nationkey
+FROM labels lb
+LEFT JOIN stats s ON lb.custkey = s.custkey AND lb.partkey = s.partkey
+LEFT JOIN customer c ON lb.custkey = c.c_custkey
+"""
+
+
+def cohort_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: repurchase rate by first-purchase-discount cohort —
+    ChurnPrediction.java:340-343 (``sum(label)/count(*)`` via expr)."""
+    labels = repurchase_labels(spark, sf_dir)
+    return labels.groupBy("first_with_discount").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("label").alias("n_repurchased"),
+        F.round(F.sum("label") / F.count(F.lit(1)), 6).alias("repurchase_rate"),
+    )
+
+
+COHORT_RATES_SQL = f"""
+WITH {_FACTS_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY custkey, partkey ORDER BY day, orderkey, linenumber) AS rn
+  FROM facts
+),
+fp AS (
+  SELECT custkey, partkey, day AS first_day, is_discounted AS first_with_discount
+  FROM ranked WHERE rn = 1
+),
+window_hits AS (
+  SELECT fp.custkey, fp.partkey, COUNT(f.day) AS n_repurchases
+  FROM fp JOIN facts f
+    ON fp.custkey = f.custkey AND fp.partkey = f.partkey
+   AND f.day > fp.first_day AND f.day <= fp.first_day + {REPURCHASE_WINDOW_DAYS}
+  GROUP BY fp.custkey, fp.partkey
+),
+labels AS (
+  SELECT fp.first_with_discount,
+         CASE WHEN w.n_repurchases IS NOT NULL THEN 1 ELSE 0 END AS label
+  FROM fp LEFT JOIN window_hits w
+    ON fp.custkey = w.custkey AND fp.partkey = w.partkey
+)
+SELECT first_with_discount,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(label) AS BIGINT) AS n_repurchased,
+       ROUND(SUM(label) / COUNT(*), 6) AS repurchase_rate
+FROM labels GROUP BY first_with_discount
+"""
+
+
+ORACLES: dict[str, str] = {
+    "first_purchases": FIRST_PURCHASES_SQL,
+    "promo_day_flags": PROMO_DAY_FLAGS_SQL,
+    "repurchase_labels": REPURCHASE_LABELS_SQL,
+    "pair_stats": PAIR_STATS_SQL,
+    "churn_features": CHURN_FEATURES_SQL,
+    "cohort_rates": COHORT_RATES_SQL,
+}
+
+QUERIES = {
+    "first_purchases": first_purchases,
+    "promo_day_flags": promo_day_flags,
+    "repurchase_labels": repurchase_labels,
+    "pair_stats": pair_stats,
+    "churn_features": churn_features,
+    "cohort_rates": cohort_rates,
+}
