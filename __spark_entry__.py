@@ -21,13 +21,15 @@ if _REPO_DIR not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 
 from retail_sales_project_bigdata_spark.operators import (
+    baskets,
     churn,
     cleaning,
+    reports,
     rfm,
     temporal,
 )
 
-_MODULES = [cleaning, rfm, temporal, churn]
+_MODULES = [cleaning, rfm, temporal, churn, reports, baskets]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,180 @@
+"""Market-basket analysis (SURVEY §2.4 A11, §2.11 M1, §2.1 S8).
+
+The reference drops to ``JavaPairRDD``/``groupByKey`` and old
+``mllib.fpm.FPGrowth`` (``MarketBasketAnalysis.java:125-183``) — SURVEY
+§4.3.4 flags the RDD detour as an anti-pattern.  The rebuild never leaves
+the DataFrame planner:
+
+- baskets: ``groupBy(basket).agg(collect_set(item))`` — map-side partial
+  aggregation in Tungsten, and ``collect_set`` dedups items, matching
+  FP-Growth's distinct-items requirement.
+- ``pyspark.ml.fpm.FPGrowth`` on the array column (M1), association rules
+  included for free.
+- 1- and 2-itemset supports are ALSO computed relationally (distinct-pair
+  self-join) so the DuckDB oracle can cross-check what FP-Growth finds —
+  SURVEY §5.2's property-check strategy made exact.
+
+Scale: the 2-itemset self-join explodes quadratically per basket — fine
+for retail baskets (0.001). The support threshold prunes single
+items *before* the pair join (classic a-priori pruning): items below
+min-support can't form frequent pairs, so the join input shrinks first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.sources import read_table
+
+MIN_SUPPORT = 0.01  # MarketBasketAnalysis.java:86
+
+
+def baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct items per basket as a sorted array column (A11).
+
+    ``sort_array`` makes the array value deterministic for hashing; the
+    reference's ``Iterable→List`` RDD path (MarketBasketAnalysis.java:158-171)
+    had no such guarantee.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("basket_id")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items"),
+        F.count_distinct(F.col("l_partkey")).alias("n_items"),
+    )
+
+
+BASKETS_SQL = """
+SELECT l_orderkey AS basket_id,
+       list_sort(list_distinct(list(l_partkey))) AS items,
+       COUNT(DISTINCT l_partkey) AS n_items
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def itemset_support_1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 1-itemsets by relational counting (oracle cross-check for
+    FP-Growth's first pass).  Support threshold = ceil(minSupport × #baskets),
+    computed lazily via a broadcast scalar — no driver round-trip.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = pairs.select(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    counts = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        counts.crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("freq") >= F.ceil(F.col("n_baskets") * MIN_SUPPORT))
+        .select("l_partkey", "freq")
+    )
+
+
+ITEMSET_SUPPORT_1_SQL = f"""
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM pairs)
+SELECT l_partkey, COUNT(*) AS freq
+FROM pairs GROUP BY l_partkey
+HAVING COUNT(*) >= (SELECT CAST(CEIL(n_baskets * {MIN_SUPPORT}) AS BIGINT) FROM n)
+"""
+
+
+def itemset_support_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets via distinct-pair self-join with a-priori
+    pruning: only items that are themselves frequent enter the pair join
+    (prunes the quadratic blow-up — the scale-critical step)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = pairs.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    freq1 = (
+        pairs.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("freq") >= F.ceil(F.col("n_baskets") * MIN_SUPPORT))
+        .select("l_partkey")
+    )
+    pruned = pairs.join(F.broadcast(freq1), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        co.crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("freq") >= F.ceil(F.col("n_baskets") * MIN_SUPPORT))
+        .select("item_a", "item_b", "freq")
+    )
+
+
+ITEMSET_SUPPORT_2_SQL = f"""
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM pairs),
+freq1 AS (
+  SELECT l_partkey FROM pairs GROUP BY l_partkey
+  HAVING COUNT(*) >= (SELECT CAST(CEIL(n_baskets * {MIN_SUPPORT}) AS BIGINT) FROM n)
+),
+pruned AS (SELECT p.* FROM pairs p JOIN freq1 f ON p.l_partkey = f.l_partkey)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS freq
+FROM pruned a JOIN pruned b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING COUNT(*) >= (SELECT CAST(CEIL(n_baskets * {MIN_SUPPORT}) AS BIGINT) FROM n)
+"""
+
+
+def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: FP-Growth frequent itemsets (MarketBasketAnalysis.java:179-183,
+    minSupport 0.01).  DataFrame-native ``pyspark.ml.fpm.FPGrowth`` — the
+    reference's RDD→mllib detour collapses into one fit on the array column.
+
+    Output formatted as (itemset string, size, freq) sorted arrays — the
+    S8 text-sink line format ``freq\\titem1,item2,...`` is
+    ``concat_ws`` away.  Rows-only check (FP-Growth output order/internal
+    hashing is engine-specific; the 1/2-itemset supports above are the
+    exact oracle cross-check).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    bk = baskets(spark, sf_dir).select("basket_id", "items").cache()
+    try:
+        model = FPGrowth(
+            itemsCol="items", minSupport=MIN_SUPPORT, minConfidence=0.1
+        ).fit(bk)
+        out = model.freqItemsets.select(
+            F.concat_ws(",", F.sort_array(F.col("items")).cast("array<string>")).alias(
+                "itemset"
+            ),
+            F.size("items").alias("n_items"),
+            F.col("freq"),
+        )
+        # Materialize before unpersisting the input.
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        bk.unpersist()
+    return out
+
+
+ORACLES: dict[str, str] = {
+    "baskets": BASKETS_SQL,
+    "itemset_support_1": ITEMSET_SUPPORT_1_SQL,
+    "itemset_support_2": ITEMSET_SUPPORT_2_SQL,
+    # fpgrowth_itemsets: rows-only (cross-checked exactly by the two above)
+}
+
+QUERIES = {
+    "baskets": baskets,
+    "itemset_support_1": itemset_support_1,
+    "itemset_support_2": itemset_support_2,
+    "fpgrowth_itemsets": fpgrowth_itemsets,
+}

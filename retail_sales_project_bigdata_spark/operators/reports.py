@@ -1,0 +1,192 @@
+"""Ranking / top-k reports (SURVEY §2.6 O1-O4, §2.4 A9).
+
+Re-expresses ``top_products_by_count.py`` (count → sort desc → limit) and
+adds the canonical windowed top-k-per-group pattern the reference reaches
+via ALS's internal ``recommendForAllUsers`` (O4).
+
+Determinism: every limit/rank is given a total order (count desc, then key
+asc) so the oracle comparison and reruns are stable — the reference's
+unsorted ``take(50)`` (MarketBasketAnalysis.java:186-198) is exactly the
+anti-pattern §4.3.6 forbids.
+
+Scale: top-k over a groupBy output is a shuffle of pre-aggregated rows
+(tiny); the global sort-limit is a TakeOrderedAndProject — no full sort at
+any scale.  Top-k *per group* uses a ranking window partitioned by the
+group key — one shuffle, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from retail_sales_project_bigdata_spark.functions import (
+    net_sales,
+    oracle_sum,
+    stable_sum,
+)
+from retail_sales_project_bigdata_spark.sources import read_table
+
+TOP_N_PRODUCTS = 100  # top_products_by_count.py topN analog
+TOP_K_PER_GROUP = 3
+
+
+def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 + O1 + O2: transaction counts per (product, name), desc, limit.
+
+    ``top_products_by_count.py:17-24`` — count(lit(1)) grouped by id+name,
+    orderBy desc, limit.  Tie-break on partkey for determinism.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "inner")
+        .groupBy("l_partkey", "p_name")
+        .agg(F.count(F.lit(1)).alias("tx_count"))
+        .orderBy(F.desc("tx_count"), F.asc("l_partkey"))
+        .limit(TOP_N_PRODUCTS)
+    )
+
+
+TOP_PRODUCTS_SQL = f"""
+SELECT l.l_partkey, p.p_name, COUNT(*) AS tx_count
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY l.l_partkey, p.p_name
+ORDER BY tx_count DESC, l.l_partkey ASC
+LIMIT {TOP_N_PRODUCTS}
+"""
+
+
+def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group (O4 pattern): top-3 parts by revenue per
+    supplier.  Rank window with a total order (revenue desc, partkey asc).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.withColumn("net_sales", net_sales())
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(stable_sum("net_sales").alias("revenue"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K_PER_GROUP)
+        .select("l_suppkey", "l_partkey", "revenue", "rank")
+    )
+
+
+TOP_PARTS_PER_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, l_partkey,
+         {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey ASC) AS rank
+  FROM rev
+)
+SELECT l_suppkey, l_partkey, revenue, rank
+FROM ranked WHERE rank <= {TOP_K_PER_GROUP}
+"""
+
+
+def sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dim join rollup: lineitem→orders→customer→nation→region.
+
+    Exercises the full star-schema join path (J7 3-way-join analog,
+    SegmentationFeatureEngineering.java:33-35) with every dim broadcast.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", net_sales().alias("net_sales")
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            stable_sum("net_sales").alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+SALES_BY_REGION_SQL = f"""
+SELECT r.r_name, n.n_name,
+       {oracle_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the canonical OLAP rollup the
+    § guide names; exercises 2-key grouping with 8 aggregates."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_sum("l_quantity").alias("sum_qty"),
+            stable_sum("l_extendedprice").alias("sum_base_price"),
+            stable_sum(net_sales()).alias("sum_disc_price"),
+            stable_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum("l_extendedprice") / F.count(F.lit(1)), 6).alias(
+                "avg_price"
+            ),
+            F.round(F.sum("l_discount") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_sum('l_quantity')} AS sum_qty,
+       {oracle_sum('l_extendedprice')} AS sum_base_price,
+       {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+       {oracle_sum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+       ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+ORACLES: dict[str, str] = {
+    "top_products": TOP_PRODUCTS_SQL,
+    "top_parts_per_supplier": TOP_PARTS_PER_SUPPLIER_SQL,
+    "sales_by_region": SALES_BY_REGION_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+}
+
+QUERIES = {
+    "top_products": top_products,
+    "top_parts_per_supplier": top_parts_per_supplier,
+    "sales_by_region": sales_by_region,
+    "pricing_summary": pricing_summary,
+}

@@ -52,6 +52,11 @@ def _norm(v):
         return f"{v:.9g}"
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        t = v.tolist()
+        if isinstance(t, list):
+            return tuple(_norm(x) for x in t)
+        return _norm(t)
     return str(v)
 
 
