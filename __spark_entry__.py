@@ -20,16 +20,24 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
+from retail_sales_project_bigdata_spark.ml import pipelines as ml_pipelines
 from retail_sales_project_bigdata_spark.operators import (
     baskets,
     churn,
     cleaning,
+    recommend,
     reports,
     rfm,
+    segmentation,
     temporal,
 )
 
-_MODULES = [cleaning, rfm, temporal, churn, reports, baskets]
+_MODULES = [cleaning, rfm, temporal, churn, reports, baskets, recommend, segmentation]
+
+# ML model queries (rows-only by nature)
+_EXTRA_QUERIES = {
+    "churn_model_metrics": ml_pipelines.churn_model_metrics,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
+    out.update(_EXTRA_QUERIES)
     return out
 
 

@@ -1,0 +1,112 @@
+"""ML pipeline builders (SURVEY §2.11 M3-M4, §2.10 transformer surface).
+
+The churn classifier pipeline of ``ChurnPrediction.java:270-318``:
+StringIndexer (handleInvalid=keep) → OneHotEncoder → VectorAssembler →
+StandardScaler (withStd only) → RandomForest (100 trees, depth 8, seed 42),
+trained on an 80/20 split (seed 42) and evaluated with areaUnderROC
+(``:321-337``).
+
+Model persistence (S10): ``save_pipeline`` / ``load_pipeline`` wrap
+``MLWriter``/``PipelineModel.load`` (ChurnPrediction.java:348-350,
+SegmentationPrediction.java:26-27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RF_NUM_TREES = 100  # ChurnPrediction.java:309-314
+RF_MAX_DEPTH = 8
+RF_SEED = 42
+SPLIT_SEED = 42  # ChurnPrediction.java:321
+
+CATEGORICAL_COLS = ["mktsegment"]
+NUMERIC_COLS = [
+    "first_day",
+    "first_dow",
+    "first_with_discount",
+    "tx_count",
+    "total_sales",
+    "avg_sales",
+    "acctbal",
+]
+
+
+def build_churn_pipeline():
+    """M3: the 5-stage pipeline, stage-for-stage with the reference."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import (
+        OneHotEncoder,
+        StandardScaler,
+        StringIndexer,
+        VectorAssembler,
+    )
+
+    indexers = [
+        StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep")
+        for c in CATEGORICAL_COLS
+    ]
+    encoder = OneHotEncoder(
+        inputCols=[f"{c}_idx" for c in CATEGORICAL_COLS],
+        outputCols=[f"{c}_vec" for c in CATEGORICAL_COLS],
+    )
+    assembler = VectorAssembler(
+        inputCols=NUMERIC_COLS + [f"{c}_vec" for c in CATEGORICAL_COLS],
+        outputCol="features_raw",
+    )
+    scaler = StandardScaler(
+        inputCol="features_raw", outputCol="features", withStd=True, withMean=False
+    )
+    rf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol="label",
+        numTrees=RF_NUM_TREES,
+        maxDepth=RF_MAX_DEPTH,
+        seed=RF_SEED,
+    )
+    return Pipeline(stages=[*indexers, encoder, assembler, scaler, rf])
+
+
+def train_and_evaluate_churn(features: DataFrame) -> tuple[object, float]:
+    """M4: 80/20 split + AUC — ChurnPrediction.java:321-337."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    for c in NUMERIC_COLS:
+        features = features.withColumn(c, F.col(c).cast("double"))
+    train, test = features.randomSplit([0.8, 0.2], seed=SPLIT_SEED)
+    model = build_churn_pipeline().fit(train)
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    )
+    auc = float(evaluator.evaluate(model.transform(test)))
+    return model, auc
+
+
+def churn_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the churn model on the oracle-checked feature frame and return
+    a one-row metrics DataFrame (rows-only: RF/AUC are engine-sensitive;
+    the README-published reference AUC was 0.560 on Dunnhumby —
+    scripts/churn_prediction/README.md:105-114)."""
+    from retail_sales_project_bigdata_spark.operators.churn import churn_features
+
+    feats = churn_features(spark, sf_dir)
+    _, auc = train_and_evaluate_churn(feats)
+    n = feats.count()
+    pos = feats.filter(F.col("label") == 1).count()
+    return spark.createDataFrame(
+        [(float(auc), n, pos, round(pos / n, 6) if n else 0.0)],
+        "auc double, n_pairs bigint, n_positive bigint, positive_rate double",
+    )
+
+
+def save_pipeline(model, path: str) -> None:
+    """S10: persist a fitted PipelineModel (overwrite)."""
+    model.write().overwrite().save(path)
+
+
+def load_pipeline(path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
