@@ -20,19 +20,38 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
+from retail_sales_project_bigdata_spark import streaming as streaming_mod
 from retail_sales_project_bigdata_spark.ml import pipelines as ml_pipelines
 from retail_sales_project_bigdata_spark.operators import (
     baskets,
     churn,
     cleaning,
+    dedup,
     recommend,
     reports,
     rfm,
     segmentation,
+    sessions,
+    similarity,
     temporal,
+    textstats,
 )
 
-_MODULES = [cleaning, rfm, temporal, churn, reports, baskets, recommend, segmentation]
+_MODULES = [
+    cleaning,
+    rfm,
+    temporal,
+    churn,
+    reports,
+    baskets,
+    recommend,
+    segmentation,
+    textstats,
+    dedup,
+    similarity,
+    sessions,
+    streaming_mod,
+]
 
 # ML model queries (rows-only by nature)
 _EXTRA_QUERIES = {

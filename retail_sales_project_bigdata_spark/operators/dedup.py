@@ -1,0 +1,333 @@
+"""Deduplication operators over ``documents`` (north-star training-data ops).
+
+Four families, all DataFrame-native:
+
+- **Exact**: hash-groupBy on ``md5(text)`` — grouping on the fixed-width
+  hash instead of the full text keeps the shuffle narrow at 100 TB.
+- **N-gram Jaccard**: word-3-gram shingles → explode → shingle-equi-join →
+  ``common / (|A| + |B| - common)`` — the exact pairwise measure.
+- **MinHash + LSH**: md5-based minhash signatures (16 hashes), banded into
+  4 buckets of 4 → candidate pairs from band-bucket joins → exact-Jaccard
+  verification of candidates only.  md5 makes the signatures
+  engine-portable, so even the LSH pipeline has an exact DuckDB oracle.
+- **SimHash**: 32-bit signature from per-token md5 bits, Hamming-adjacent
+  buckets — rows-only (property-tested), the scale path for near-dup at
+  lower precision.
+
+Scale notes: the shingle join's fan-out is bounded by shingle frequency —
+a stopword-only shingle would explode, so shingles are distinct-per-doc
+and the pair aggregation happens before the quadratic term materializes
+(the groupBy on (d1, d2) is the only wide op).  LSH replaces the all-pairs
+shingle join with per-bucket joins — at 100 TB you run LSH and only
+verify candidates; the exact query exists as the correctness anchor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.sources import read_table
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_K = 3
+MINHASH_N = 16  # 16 hash functions
+LSH_BANDS = 4  # 4 bands × 4 rows
+LSH_ROWS = MINHASH_N // LSH_BANDS
+
+_TOKENIZE = r"[ ]+"
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (keep min doc_id per text-hash)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-3-gram shingles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), _TOKENIZE).alias("toks")
+        )
+        .filter(F.size("toks") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {SHINGLE_K}),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(t) - {SHINGLE_K - 1}),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[ ]+') AS t
+        FROM documents)
+  WHERE len(t) >= {SHINGLE_K}
+)"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard near-dup detection (threshold 0.5)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select(
+            "d1", "d2", "n_common", F.round("jaccard_raw", 6).alias("jaccard")
+        )
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: h_j(doc) = min over shingles of md5(j | shingle).
+
+    md5-on-string is identical in Spark and DuckDB, and lexicographic MIN
+    over hex digests is a valid min-hash family — giving an LSH pipeline
+    with an *exact* cross-engine oracle (engine-specific hash functions
+    like xxhash64 would force a rows-only check).
+    """
+    ex = _shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")).cast("binary"))).alias(
+                f"h{j}"
+            )
+            for j in range(MINHASH_N)
+        ]
+    )
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ",\n         ".join(
+        f"MIN(md5('{j}|' || s)) AS h{j}" for j in range(MINHASH_N)
+    )
+    return f"""
+sigs AS (
+  SELECT doc_id,
+         {aggs}
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+  GROUP BY doc_id
+)"""
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_sig_sql()}
+SELECT * FROM sigs
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact verification.
+
+    Bands of {LSH_ROWS} signature rows hash to a bucket key; docs sharing
+    any band bucket become candidates; candidates are verified with the
+    exact Jaccard (computed only for candidates — the 100 TB path).
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            ).cast("binary")
+        ).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    a = bands_long.alias("a")
+    b = bands_long.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("d1").alias("e1"), F.col("d2").alias("e2"), "jaccard"
+    )
+    return (
+        candidates.join(
+            exact,
+            (F.col("d1") == F.col("e1")) & (F.col("d2") == F.col("e2")),
+            "inner",
+        )
+        .select("d1", "d2", "jaccard")
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_sig_sql()},
+banded AS (
+  SELECT doc_id,
+         {", ".join(
+             "md5(" + " || '|' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + f") AS band{b}"
+             for b in range(LSH_BANDS)
+         )}
+  FROM sigs
+),
+bands_long AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM banded" for b in range(LSH_BANDS))}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands_long a JOIN bands_long b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT d1, d2,
+         ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT c.d1, c.d2, e.jaccard
+FROM candidates c JOIN exact e ON c.d1 = e.d1 AND c.d2 = e.d2
+"""
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash from per-token md5 nibbles (sign-sum per bit),
+    bucketed by the top 16 bits.  Rows-only: property tests assert that
+    exact-duplicate shingle sets collide and bucket sizes are sane."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), _TOKENIZE)).alias("t")
+    )
+    # token hash → 32 bits via conv(md5-prefix); bit b contributes ±1
+    h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    with_bits = toks_df.select("doc_id", *[
+        (F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{b}"
+        )
+        for b in range(32)
+    ])
+    sums = with_bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(32)]
+    )
+    sig = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+                for b in range(32)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig.select(
+        "doc_id", "simhash", F.shiftright("simhash", 16).alias("bucket")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
+    "minhash_signatures": MINHASH_SIGNATURES_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
+    # simhash_buckets: rows-only (bit arithmetic is engine-portable in
+    # principle but the 32-way sign-sum has no compact SQL analog)
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_buckets": simhash_buckets,
+}

@@ -1,0 +1,169 @@
+"""Sessionization over the ``events`` table (north-star batch op).
+
+The classic gap-based sessionizer expressed with window functions only
+(lag → gap flag → cumulative sum = session id), per the standard Spark
+pattern.  Fully oracle-checkable — DuckDB runs the identical window
+expressions.
+
+Timestamp discipline: events carry nanosecond-precision timestamps (parquet
+INT64 TIMESTAMP(NANOS)); all ordering and gap arithmetic runs on the exact
+int64 microsecond value (``ts_us`` in Spark, ``epoch_us(ts)`` in DuckDB; µs
+because DuckDB's parquet reader truncates nano-timestamps to µs) so both
+engines compare identical integers — no float seconds, no sub-second
+truncation mismatches.
+
+Scale: one shuffle (partition by user_id, order by ts) shared by all
+window functions; the rollup reuses the same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from retail_sales_project_bigdata_spark.functions import oracle_sum, stable_sum
+from retail_sales_project_bigdata_spark.sources import read_events
+
+SESSION_GAP_MINUTES = 30
+_GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    user's previous event exceeds 30 minutes."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new_session",
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") > _GAP_US), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "event_type",
+            "value",
+            F.coalesce("gap_us", F.lit(-1)).alias("gap_us"),
+            "is_new_session",
+            "session_seq",
+        )
+    )
+
+
+_SESSION_CTE = f"""
+g AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+f AS (
+  SELECT *,
+         CASE WHEN gap_us IS NULL OR gap_us > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM g
+),
+s AS (
+  SELECT *,
+         CAST(SUM(is_new_session) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM f
+)"""
+
+SESSIONIZE_SQL = f"""
+WITH {_SESSION_CTE}
+SELECT event_id, user_id, ts_us, event_type, value,
+       COALESCE(gap_us, -1) AS gap_us,
+       is_new_session, session_seq
+FROM s
+"""
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup: span, event count, total value."""
+    s = sessionize(spark, sf_dir)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000)).alias(
+            "span_sec"
+        ),
+        stable_sum("value").alias("total_value"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+SESSION_STATS_SQL = f"""
+WITH {_SESSION_CTE}
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       CAST(FLOOR((MAX(ts_us) - MIN(ts_us)) / 1000000) AS BIGINT) AS span_sec,
+       {oracle_sum('value')} AS total_value,
+       COUNT(DISTINCT event_type) AS n_event_types
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/lead + running aggregates — the window-function surface
+    beyond the reference's single row_number (SURVEY §2.5 notes the gap)."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("event_seq"),
+        F.coalesce(F.lag("value").over(w), F.lit(0.0)).alias("prev_value"),
+        F.coalesce(F.lead("value").over(w), F.lit(0.0)).alias("next_value"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(-2, 0))
+            / F.count("value").over(w.rowsBetween(-2, 0)),
+            6,
+        ).alias("moving_avg_3"),
+    )
+
+
+USER_ACTIVITY_SQL = """
+WITH w_ord AS (SELECT *, epoch_us(ts) AS ts_us FROM events)
+SELECT event_id, user_id, event_type, value,
+       CAST(ROW_NUMBER() OVER w AS INT) AS event_seq,
+       COALESCE(LAG(value) OVER w, 0.0) AS prev_value,
+       COALESCE(LEAD(value) OVER w, 0.0) AS next_value,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3
+FROM w_ord
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+ORACLES: dict[str, str] = {
+    "sessionize": SESSIONIZE_SQL,
+    "session_stats": SESSION_STATS_SQL,
+    "user_activity": USER_ACTIVITY_SQL,
+}
+
+QUERIES = {
+    "sessionize": sessionize,
+    "session_stats": session_stats,
+    "user_activity": user_activity,
+}

@@ -1,0 +1,229 @@
+"""Similarity search over the ``embeddings`` table (north-star ops).
+
+Brute-force cosine top-k is the correctness baseline (exact DuckDB oracle:
+both engines compute the dot product as an in-order fold over the same
+array, so doubles match bit-for-bit).  The scale path is random-hyperplane
+LSH: signature buckets shrink the candidate set; recall against the
+brute-force baseline is property-tested.
+
+Scale design: queries are broadcast (a query batch is small by
+definition); the corpus side stays partitioned — the cross join is then
+a broadcast-nested-loop over each partition with no shuffle of the corpus.
+At 100 TB you additionally pre-filter candidates by LSH bucket before the
+exact rerank (``ann_lsh_topk``) — the same two-phase shape as the dedup
+LSH: cheap candidate generation, exact verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from retail_sales_project_bigdata_spark.sources import read_table
+
+N_QUERY_VECS = 10  # vec_id < 10 are the query set
+TOP_K = 10
+LSH_PLANES = 4  # random-hyperplane signature bits (16 buckets; more planes = higher precision, lower recall)
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """In-order fold dot product over two array<double> columns — exact
+    cross-engine parity with DuckDB's list_dot_product (sequential sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", "label", v.alias("v"), F.sqrt(_dot(v, v)).alias("norm")
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id < 10).
+
+    Broadcast queries × partitioned corpus → per-query ranking window.
+    """
+    vecs = _vectors(spark, sf_dir)
+    queries = (
+        vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("c_id"), "v", "norm"
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm")), 6),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+ANN_BRUTEFORCE_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+),
+queries AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.q_v, c.v) / (q.q_norm * c.norm), 6) AS cosine
+  FROM queries q CROSS JOIN vecs c
+  WHERE c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a fixed integer hash —
+    no RNG state, reproducible across runs/engines/partitions."""
+    vals = []
+    x = (plane * 2654435761 + 987654321) & 0xFFFFFFFF
+    for _ in range(dim):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        vals.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) signatures: bit_i =
+    sign(v · plane_i).  Planes are deterministic literals compiled into the
+    plan — broadcast implicitly with the plan, no driver state."""
+    vecs = _vectors(spark, sf_dir)
+    dim = 64
+    sig = sum(
+        [
+            F.when(
+                _dot(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in _hyperplane(dim, p)]),
+                )
+                > 0,
+                F.lit(2 ** p),
+            ).otherwise(F.lit(0))
+            for p in range(LSH_PLANES)
+        ],
+        F.lit(0),
+    )
+    return vecs.select("vec_id", "label", sig.cast("int").alias("bucket"))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ANN: LSH bucket match (cheap candidates) → exact cosine
+    rerank within candidates.  Recall vs ann_bruteforce_topk is
+    property-tested; rows-only for the driver (approximate by design)."""
+    vecs = _vectors(spark, sf_dir)
+    sigs = lsh_signatures(spark, sf_dir).select("vec_id", "bucket")
+    with_sig = vecs.join(sigs, "vec_id")
+    queries = (
+        with_sig.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_v"),
+            F.col("norm").alias("q_norm"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    cand = (
+        with_sig.alias("c")
+        .join(
+            F.broadcast(queries).alias("q"),
+            (F.col("c.bucket") == F.col("q.q_bucket"))
+            & (F.col("c.vec_id") != F.col("q.q_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q.q_v"), F.col("c.v"))
+                / (F.col("q.q_norm") * F.col("c.norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q.q_id").alias("q_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5) — the
+    embedding-space analog of ngram_jaccard_pairs.  Exact all-pairs at test
+    scale; at 100 TB the LSH bucket join replaces the cross join."""
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), F.col("norm").alias("norm_a")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("cosine_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+EMBEDDING_NEAR_DUP_PAIRS_SQL = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.5
+"""
+
+
+ORACLES: dict[str, str] = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_TOPK_SQL,
+    "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
+    # lsh_signatures / ann_lsh_topk: rows-only (approximate by design;
+    # recall property-tested against the brute-force baseline)
+}
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "lsh_signatures": lsh_signatures,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+}

@@ -1,0 +1,229 @@
+"""Text analysis over the ``documents`` table (north-star training-data ops).
+
+Language-ID (marker-token heuristic), quality scoring (length / alpha /
+stopword ratios), token counting (regex tokenizer), and document
+fingerprinting (md5 over the sorted distinct-token set).  Everything is
+built-in column functions (``split`` / ``filter`` / ``transform`` /
+``regexp_replace`` / ``md5``) — JVM-side, no Python in the hot path — and
+every query has an exact DuckDB oracle.
+
+Scale: all per-row narrow transforms except the per-source rollup (one
+partial+final hash agg).  At 100 TB these pipelines are scan-bound, which
+is exactly what you want — no shuffle, no UDF serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.sources import read_table
+
+# Marker stopwords per language for the n-gram/marker heuristic.  Chosen for
+# determinism, not linguistic accuracy (the synthetic corpus shares one
+# vocabulary across langs — accuracy is measured but not asserted).
+_MARKERS = {
+    "en": ["the", "a", "of"],
+    "fr": ["le", "la", "de"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "los", "que"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+_TOKENIZE = r"[ ]+"  # single-space corpus; regex split drops empty tokens
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.lower(F.col(col)), _TOKENIZE)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, char stats, alpha ratio,
+    stopword ratio, and a thresholded quality flag."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    df = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", "")).alias(
+            "n_alpha_chars"
+        ),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stopwords"
+        ),
+    )
+    return df.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.col("n_alpha_chars").cast("double") / F.col("n_chars"), 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.col("n_stopwords").cast("double") / F.col("n_tokens"), 6
+        ).alias("stopword_ratio"),
+        F.when(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_stopwords") / F.col("n_tokens") < 0.5),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_quality"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(lower(text), '[ ]+')) AS n_tokens,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha_chars,
+         len(list_filter(regexp_split_to_array(lower(text), '[ ]+'),
+                         t -> t IN ({_STOP_IN}))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, source, n_chars, n_tokens,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       ROUND(CAST(n_alpha_chars AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+       ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN n_tokens >= 10 AND CAST(n_stopwords AS DOUBLE) / n_tokens < 0.5
+            THEN 1 ELSE 0 END AS is_quality
+FROM base
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic with deterministic argmax
+    (ties break in fixed en→fr→de→es order)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def _count_markers(markers: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    counts = {lang: _count_markers(markers) for lang, markers in _MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(counts["en"] == best, F.lit("en"))
+        .when(counts["fr"] == best, F.lit("fr"))
+        .when(counts["de"] == best, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_pred"),
+        *[counts[lang].alias(f"n_{lang}_markers") for lang in _MARKERS],
+    )
+
+
+def _marker_count_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '[ ]+'),"
+        f" t -> t IN ({markers})))"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         {_marker_count_sql('en')} AS n_en,
+         {_marker_count_sql('fr')} AS n_fr,
+         {_marker_count_sql('de')} AS n_de,
+         {_marker_count_sql('es')} AS n_es
+  FROM documents
+)
+SELECT doc_id, lang AS lang_actual,
+       CASE WHEN GREATEST(n_en, n_fr, n_de, n_es) = 0 THEN 'unknown'
+            WHEN n_en = GREATEST(n_en, n_fr, n_de, n_es) THEN 'en'
+            WHEN n_fr = GREATEST(n_en, n_fr, n_de, n_es) THEN 'fr'
+            WHEN n_de = GREATEST(n_en, n_fr, n_de, n_es) THEN 'de'
+            ELSE 'es' END AS lang_pred,
+       n_en AS n_en_markers, n_fr AS n_fr_markers,
+       n_de AS n_de_markers, n_es AS n_es_markers
+FROM c
+"""
+
+
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per source (the budget/mixture query
+    every training-data pipeline runs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+TOKEN_COUNTS_BY_SOURCE_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(lower(text), '[ ]+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM per_doc GROUP BY source
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the raw text (exact identity) and md5
+    of the sorted distinct-token set (bag-of-words identity — robust to
+    token order, the rolling-hash analog with an exact cross-engine
+    definition)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("exact_fp"),
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(toks))).cast("binary")
+        ).alias("bow_fp"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(lower(text), '[ ]+'))), ' ')) AS bow_fp
+FROM documents
+"""
+
+
+ORACLES: dict[str, str] = {
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "token_counts_by_source": TOKEN_COUNTS_BY_SOURCE_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+}
+
+QUERIES = {
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "token_counts_by_source": token_counts_by_source,
+    "doc_fingerprints": doc_fingerprints,
+}

@@ -39,6 +39,28 @@ def read_table(
     return df
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, handling its nanosecond-precision timestamps.
+
+    The testdata writes parquet INT64 TIMESTAMP(NANOS) which Spark cannot
+    read as TimestampType; ``spark.sql.legacy.parquet.nanosAsLong`` reads
+    it as a raw nanosecond long.  Exposed columns: ``ts_us`` (exact int64
+    micros — use for ordering/gap arithmetic; µs matches what DuckDB's
+    parquet reader keeps) and ``ts`` (microsecond TimestampType for
+    window functions)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.select(
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def read_tables(
     spark: SparkSession, sf_dir: str, *names: str, broadcast_dims: bool = True
 ) -> dict[str, DataFrame]:

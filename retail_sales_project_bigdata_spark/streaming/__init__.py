@@ -1,0 +1,158 @@
+"""Structured Streaming surface over the ``events`` table (SURVEY §2.9 —
+absent from the reference; north-star extension).
+
+Streaming queries run the parquet file through ``readStream`` → windowed
+aggregation → memory sink, driven to completion with
+``processAllAvailable()`` so a batch DataFrame of the final result comes
+back — which makes the tumbling-window query *oracle-checkable* (complete
+mode over a bounded source equals the batch ``date_trunc`` rollup).
+
+Scale: in production the same plans run against Kafka with watermarks
+bounding state; the watermark/sliding variant exercises exactly that state
+path (append mode + late-data eviction).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_counter = itertools.count()
+
+# events.parquet stores INT64 TIMESTAMP(NANOS) — read as raw nanos long
+# (spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
+# timestamp for event-time windows/watermarks.
+EVENTS_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> tuple[str, object]:
+    name = f"stream_out_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name, q
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type, complete mode.
+
+    Over the bounded events file this equals the batch hourly rollup, so
+    the driver's DuckDB oracle (``date_trunc('hour', ts)``) checks the
+    whole streaming path end-to-end: source → window agg → sink.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return spark.table(name).select(
+        F.col("win.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+STREAMING_HOURLY_COUNTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def streaming_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) with a 10-minute
+    watermark — append mode, so only watermark-finalized windows emit.
+    Rows-only: the late-data eviction semantics are streaming-specific by
+    design (that's the point of the query)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    name, _ = _run_to_memory(agg, "append")
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+def streaming_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwindowed running aggregation per (user, event_type) in complete
+    mode — the stateful-aggregation path without event-time windows.
+    Equals the batch groupBy over a bounded source → oracle-checkable."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return spark.table(name)
+
+
+STREAMING_USER_EVENT_COUNTS_SQL = """
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+ORACLES: dict[str, str] = {
+    "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
+    "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
+    # streaming_sliding_value: rows-only (append-mode watermark semantics)
+}
+
+QUERIES = {
+    "streaming_hourly_counts": streaming_hourly_counts,
+    "streaming_sliding_value": streaming_sliding_value,
+    "streaming_user_event_counts": streaming_user_event_counts,
+}

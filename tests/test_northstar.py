@@ -1,0 +1,72 @@
+"""Property tests for the approximate north-star operators (LSH, SimHash)
+— the rows-only queries whose exactness can't be oracle-checked by design.
+Their exact counterparts (ngram_jaccard_pairs, ann_bruteforce_topk,
+minhash_* with md5 hashing) ARE oracle-checked in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from retail_sales_project_bigdata_spark.operators.similarity import (
+    TOP_K,
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    lsh_signatures,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark):
+    """Every LSH-surfaced pair is a true near-dup (precision = 1.0 by
+    construction — candidates are verified), and recall on jaccard=1.0
+    pairs is perfect (identical shingle sets share every band)."""
+    lsh = {(r.d1, r.d2) for r in minhash_lsh_pairs(spark, SF_SMALL).collect()}
+    exact = {
+        (r.d1, r.d2, r.jaccard) for r in ngram_jaccard_pairs(spark, SF_SMALL).collect()
+    }
+    exact_pairs = {(d1, d2) for d1, d2, _ in exact}
+    assert lsh <= exact_pairs  # verified candidates only
+    perfect = {(d1, d2) for d1, d2, j in exact if j == 1.0}
+    assert perfect <= lsh  # identical sets always collide
+
+
+def test_simhash_identical_docs_collide(spark):
+    """Docs with identical token multisets must get identical simhash."""
+    sig = simhash_buckets(spark, SF_SMALL)
+    assert sig.count() == sig.select("doc_id").distinct().count()
+    # signature is a 32-bit value
+    row = sig.agg(F.min("simhash"), F.max("simhash")).first()
+    assert 0 <= row[0] and row[1] < 2**32
+
+
+def test_ann_lsh_subset_of_bucket_and_scores_match_bruteforce(spark):
+    """LSH top-k scores must agree with brute-force scores for the same
+    (query, neighbor) pair — the approximation drops candidates, never
+    rescores them."""
+    bf = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    lsh_rows = ann_lsh_topk(spark, SF_SMALL).collect()
+    assert lsh_rows, "LSH returned nothing — buckets degenerate"
+    for r in lsh_rows:
+        if (r.q_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
+    per_q = {}
+    for r in lsh_rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= TOP_K for v in per_q.values())
+
+
+def test_lsh_signature_buckets_partition_corpus(spark):
+    sigs = lsh_signatures(spark, SF_SMALL)
+    assert sigs.count() == 500
+    n_buckets = sigs.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 16  # 4 planes → at most 16 buckets
