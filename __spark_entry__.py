@@ -27,6 +27,7 @@ from retail_sales_project_bigdata_spark.operators import (
     churn,
     cleaning,
     dedup,
+    multimodal,
     recommend,
     reports,
     rfm,
@@ -50,6 +51,7 @@ _MODULES = [
     dedup,
     similarity,
     sessions,
+    multimodal,
     streaming_mod,
 ]
 

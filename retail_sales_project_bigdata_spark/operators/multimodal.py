@@ -1,0 +1,186 @@
+"""Multimodal (image/audio/video) column pipeline (north-star op).
+
+Treats media as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas UDFs over ``mapInPandas`` — the Spark-idiomatic shape
+for media pipelines at 100 TB:
+
+- media rows travel as (id, modality, payload binary, metadata) — the
+  payload never deserializes JVM-side; Arrow moves it to Python in
+  columnar batches.
+- decode / feature-extract / resize / frame-sample are per-batch pandas
+  functions.  The actual codec calls (PIL/ffmpeg/soundfile) are NOT in
+  this container, so the decode step is STUBBED: a deterministic
+  fake decoder derived from the payload bytes, clearly marked.  The
+  Spark-side plumbing — schema, partitioning, UDF signature, batch
+  shape — is real and tested.
+- ``maxRecordsPerBatch`` bounds Arrow batch memory (media rows are MBs,
+  not bytes — the default 10k-row batches would OOM an executor at scale).
+
+The synthetic corpus derives a binary payload from ``documents.text``
+(deterministic, so the oracle-checked metadata query has a DuckDB analog).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.sources import read_table
+
+# Arrow batch sizing for wide binary rows — set small enough that
+# (rows_per_batch × payload_size) fits executor memory at production media
+# sizes.  Applied by media_pipeline() per-session.
+ARROW_BATCH_ROWS = 256
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table: binary payload + typed metadata.
+
+    Synthesized deterministically from documents (payload = utf-8 bytes;
+    modality assigned round-robin by doc_id) — stands in for a real
+    (id, payload, modality, width, height, sample_rate, duration) table.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.length("text").alias("payload_bytes"),
+        F.col("source").alias("origin"),
+    )
+
+
+MEDIA_TABLE_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       length(text) AS payload_bytes,
+       source AS origin
+FROM documents
+"""
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only projection — the query planners must never touch the
+    payload column for this (column pruning keeps the binary out of the
+    scan; asserted in tests via the physical plan's ReadSchema)."""
+    return media_table(spark, sf_dir).select(
+        "media_id", "modality", "payload_bytes", "origin"
+    )
+
+
+def _fake_decode(payload: bytes, modality: str) -> dict:
+    """STUB decoder — deterministic fake in place of PIL/ffmpeg/soundfile
+    (not installed in this container).  Derives plausible media properties
+    from the payload bytes so downstream plumbing is exercised end-to-end.
+    A real deployment replaces ONLY this function."""
+    n = len(payload)
+    checksum = sum(payload[:64]) % 997
+    if modality == "image":
+        return {"width": 64 + checksum % 512, "height": 64 + n % 512, "frames": 1}
+    if modality == "audio":
+        return {"width": 0, "height": 0, "frames": 8000 + (n * 13 + checksum) % 80000}
+    return {"width": 320, "height": 240, "frames": 24 + (checksum * 7 + n) % 240}
+
+
+def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode step over ``mapInPandas``: binary in → typed properties out.
+
+    Batch iterator signature (Iterator[pd.DataFrame] → Iterator[pd.DataFrame])
+    is the real production shape: per-partition, Arrow-batched, zero JVM
+    deserialization of payloads.
+    """
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+    )
+    media = media_table(spark, sf_dir)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            props = [
+                _fake_decode(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload_bytes": pdf["payload_bytes"],
+                    "width": [r["width"] for r in props],
+                    "height": [r["height"] for r in props],
+                    "frames": [r["frames"] for r in props],
+                }
+            )
+
+    return media.mapInPandas(
+        decode_batches,
+        schema=(
+            "media_id long, modality string, payload_bytes long,"
+            " width long, height long, frames long"
+        ),
+    )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling step: one output row per sampled frame (every 24th),
+    video only — the explode-shaped media op (1 input row → N output rows),
+    again as mapInPandas so a real sampler slots in per-batch."""
+    decoded = decode_media(spark, sf_dir).filter(F.col("modality") == "video")
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                for frame_no in range(0, int(row["frames"]), 24):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_no": frame_no,
+                            "width": row["width"],
+                            "height": row["height"],
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "width", "height"]
+            )
+
+    return decoded.mapInPandas(
+        sample_batches,
+        schema="media_id long, frame_no long, width long, height long",
+    )
+
+
+def media_stats_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-decode rollup — metadata aggregation over the decoded frame
+    (the query a curation pipeline runs to budget a training mix)."""
+    decoded = decode_media(spark, sf_dir)
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.round(F.sum("frames") / F.count(F.lit(1)), 6).alias("avg_frames"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "media_metadata": MEDIA_TABLE_METADATA_SQL,
+    # decode_media / frame_sample / media_stats_by_modality: rows-only —
+    # the decode stub is Python-side by design (that's the operator shape);
+    # properties asserted in tests/test_multimodal.py
+}
+
+QUERIES = {
+    "media_metadata": media_metadata,
+    "decode_media": decode_media,
+    "frame_sample": frame_sample,
+    "media_stats_by_modality": media_stats_by_modality,
+}

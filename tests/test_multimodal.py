@@ -1,0 +1,74 @@
+"""Multimodal pipeline plumbing tests: schema, batch shape, determinism,
+and payload column pruning (the binary must not reach the scan when only
+metadata is queried)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    media_metadata,
+    media_stats_by_modality,
+    media_table,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_media_table_schema(spark):
+    mt = media_table(spark, SF_SMALL)
+    assert dict(mt.dtypes)["payload"] == "binary"
+    assert mt.count() == 500
+    assert {r.modality for r in mt.select("modality").distinct().collect()} == {
+        "image",
+        "audio",
+        "video",
+    }
+
+
+def test_metadata_query_prunes_payload(spark):
+    plan = media_metadata(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    assert "payload" not in plan.split("ReadSchema")[1].split("\n")[0].replace(
+        "payload_bytes", ""
+    ), "binary payload column leaked into the parquet scan"
+
+
+def test_decode_media_deterministic_and_typed(spark):
+    d1 = decode_media(spark, SF_SMALL)
+    assert dict(d1.dtypes) == {
+        "media_id": "bigint",
+        "modality": "string",
+        "payload_bytes": "bigint",
+        "width": "bigint",
+        "height": "bigint",
+        "frames": "bigint",
+    }
+    rows1 = sorted((r.media_id, r.width, r.height, r.frames) for r in d1.collect())
+    rows2 = sorted(
+        (r.media_id, r.width, r.height, r.frames)
+        for r in decode_media(spark, SF_SMALL).collect()
+    )
+    assert rows1 == rows2
+    assert len(rows1) == 500
+    imgs = d1.filter(F.col("modality") == "image")
+    assert imgs.filter((F.col("width") < 64) | (F.col("width") >= 576)).count() == 0
+
+
+def test_frame_sample_explodes_videos(spark):
+    fs = frame_sample(spark, SF_SMALL)
+    per_media = fs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    d = decode_media(spark, SF_SMALL).filter(F.col("modality") == "video")
+    joined = per_media.join(d, "media_id")
+    bad = joined.filter(
+        F.col("n") != F.floor((F.col("frames") - 1) / 24) + 1
+    ).count()
+    assert bad == 0
+    assert fs.filter(F.col("frame_no") % 24 != 0).count() == 0
+
+
+def test_media_stats_cover_modalities(spark):
+    stats = media_stats_by_modality(spark, SF_SMALL).collect()
+    assert {r.modality for r in stats} == {"image", "audio", "video"}
+    assert sum(r.n_items for r in stats) == 500

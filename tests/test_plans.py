@@ -1,0 +1,83 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests fail if a code change silently degrades a broadcast join to
+sort-merge, un-pushes a filter, stops pruning columns, or introduces a
+Python eval node into a relational path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.operators.cleaning import clean_lineitem
+from retail_sales_project_bigdata_spark.operators.churn import repurchase_labels
+from retail_sales_project_bigdata_spark.operators.reports import (
+    sales_by_region,
+    top_products,
+)
+from retail_sales_project_bigdata_spark.operators.rfm import rfm_demographics
+from retail_sales_project_bigdata_spark.operators.segmentation import (
+    segmentation_features,
+)
+from retail_sales_project_bigdata_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_no_python_eval,
+    assert_pushed_filter,
+    assert_read_schema_excludes,
+    whole_stage_codegen_spans,
+)
+from retail_sales_project_bigdata_spark.sources import read_table
+from tests.conftest import SF_SMALL
+
+
+def test_dim_joins_broadcast(spark):
+    # customer/nation/region joins in the flagship must all broadcast
+    assert_broadcast_join(rfm_demographics(spark, SF_SMALL), expect_at_least=3)
+    assert_broadcast_join(sales_by_region(spark, SF_SMALL), expect_at_least=3)
+    assert_broadcast_join(top_products(spark, SF_SMALL), expect_at_least=1)
+    assert_broadcast_join(segmentation_features(spark, SF_SMALL), expect_at_least=1)
+
+
+def test_no_cartesian_products(spark):
+    for q in (rfm_demographics, sales_by_region, repurchase_labels):
+        assert_no_cartesian(q(spark, SF_SMALL))
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        read_table(spark, SF_SMALL, "lineitem")
+        .filter(F.col("l_quantity") > 10)
+        .select("l_orderkey")
+    )
+    assert_pushed_filter(df, "l_quantity")
+    # cleaning's quantity/price filters push down too
+    assert_pushed_filter(clean_lineitem(spark, SF_SMALL), "l_quantity")
+
+
+def test_column_pruning(spark):
+    # a two-column projection must not scan the other nine lineitem columns
+    df = read_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    assert_read_schema_excludes(df, "l_extendedprice")
+    assert_read_schema_excludes(df, "l_shipdate")
+    # rfm never needs part columns nor lineitem comment-ish fields
+    assert_read_schema_excludes(rfm_demographics(spark, SF_SMALL), "l_returnflag")
+
+
+def test_relational_paths_stay_jvm_side(spark):
+    for q in (
+        clean_lineitem,
+        rfm_demographics,
+        repurchase_labels,
+        sales_by_region,
+        segmentation_features,
+    ):
+        assert_no_python_eval(q(spark, SF_SMALL))
+
+
+def test_codegen_active(spark):
+    assert whole_stage_codegen_spans(clean_lineitem(spark, SF_SMALL)) >= 1
+    assert (
+        whole_stage_codegen_spans(segmentation_features(spark, SF_SMALL), final=True)
+        >= 2
+    )
