@@ -64,20 +64,13 @@ def assert_no_python_eval(df: DataFrame) -> None:
     assert "EvalPython" not in plan, "Python UDF in relational plan:\n" + plan
 
 
-def final_physical_plan(df: DataFrame) -> str:
-    """Execute the frame (noop sink) and return the FINAL physical plan —
-    under AQE the pre-execution plan is a placeholder
-    (``AdaptiveSparkPlan isFinalPlan=false``) without codegen annotation."""
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def whole_stage_codegen_spans(df: DataFrame, final: bool = False) -> int:
+def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of distinct WholeStageCodegen spans (wider is better — fewer
     breaks).  The compact plan string marks codegen'd operators ``*(n)``.
-    Pass ``final=True`` for plans with shuffles (AQE finalizes at runtime)."""
+    Note: under AQE, plans containing shuffles report 0 until executed —
+    plan with ``spark.sql.adaptive.enabled=false`` to inspect structure."""
     import re
 
-    plan = final_physical_plan(df) if final else physical_plan(df)
+    plan = physical_plan(df)
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids) or plan.count("WholeStageCodegen")

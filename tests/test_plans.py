@@ -77,7 +77,10 @@ def test_relational_paths_stay_jvm_side(spark):
 
 def test_codegen_active(spark):
     assert whole_stage_codegen_spans(clean_lineitem(spark, SF_SMALL)) >= 1
-    assert (
-        whole_stage_codegen_spans(segmentation_features(spark, SF_SMALL), final=True)
-        >= 2
-    )
+    # under AQE the pre-execution plan is a placeholder without codegen
+    # ids — plan once with AQE off to see the codegen structure
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert whole_stage_codegen_spans(segmentation_features(spark, SF_SMALL)) >= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
