@@ -28,6 +28,7 @@ from retail_sales_project_bigdata_spark.operators import (
     cleaning,
     dedup,
     multimodal,
+    olap,
     recommend,
     reports,
     rfm,
@@ -52,6 +53,7 @@ _MODULES = [
     similarity,
     sessions,
     multimodal,
+    olap,
     streaming_mod,
 ]
 

@@ -1,0 +1,211 @@
+"""Extended OLAP surface (SURVEY §2.7/§7.5 — absent from the reference,
+"the rebuild gets them for free"): cube/rollup, pivot, semi/anti joins,
+exact percentiles, and the SQL-API entry path.  All oracle-checked.
+
+Scale notes: cube/rollup compile to Catalyst's Expand (one shuffle, k×
+row expansion where k = #grouping sets) — fine when the grouping keys are
+low-cardinality as here; semi/anti joins broadcast their right side when
+it is a dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.functions import net_sales, oracle_sum, stable_sum
+from retail_sales_project_bigdata_spark.sources import read_table
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("net_sales", net_sales())
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("net_sales").alias("revenue"),
+        )
+    )
+
+
+CUBE_SALES_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def rollup_region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region → nation hierarchy."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", net_sales().alias("net_sales")
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(stable_sum("net_sales").alias("revenue"))
+    )
+
+
+ROLLUP_REGION_SALES_SQL = f"""
+SELECT r.r_name, n.n_name,
+       {oracle_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list — never pivot on
+    unbounded distinct values at scale)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .withColumnRenamed("O", "O_qty")
+        .withColumnRenamed("F", "F_qty")
+    )
+
+
+PIVOT_STATUS_QTY_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O_qty,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — customers that have at least one order."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — parts that never appear in lineitem."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+PARTS_NEVER_ORDERED_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per brand (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation).  At 100 TB use
+    ``approx_percentile`` (t-digest) — provided as the rows-only variant."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        F.round(F.min("l_extendedprice"), 4).alias("pmin"),
+        F.round(F.max("l_extendedprice"), 4).alias("pmax"),
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT p.p_brand,
+       ROUND(quantile_cont(l.l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l.l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l.l_extendedprice, 0.75), 4) AS p75,
+       ROUND(MIN(l.l_extendedprice), 4) AS pmin,
+       ROUND(MAX(l.l_extendedprice), 4) AS pmax
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the scale path (single-pass sketch,
+    mergeable across partitions).  Rows-only by design."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.approx_count_distinct("l_partkey").alias("nd_parts_approx"),
+    )
+
+
+def sql_api_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API entry path (SURVEY §2.12): register temp views, run a
+    textual query — Catalyst produces the same plan as the DataFrame API."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        FROM v_lineitem l JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+SQL_API_REVENUE_BY_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+ORACLES: dict[str, str] = {
+    "cube_sales": CUBE_SALES_SQL,
+    "rollup_region_sales": ROLLUP_REGION_SALES_SQL,
+    "pivot_status_qty": PIVOT_STATUS_QTY_SQL,
+    "customers_with_orders": CUSTOMERS_WITH_ORDERS_SQL,
+    "parts_never_ordered": PARTS_NEVER_ORDERED_SQL,
+    "price_percentiles": PRICE_PERCENTILES_SQL,
+    "sql_api_revenue_by_priority": SQL_API_REVENUE_BY_PRIORITY_SQL,
+    # price_percentiles_approx: rows-only (sketch-based by design)
+}
+
+QUERIES = {
+    "cube_sales": cube_sales,
+    "rollup_region_sales": rollup_region_sales,
+    "pivot_status_qty": pivot_status_qty,
+    "customers_with_orders": customers_with_orders,
+    "parts_never_ordered": parts_never_ordered,
+    "price_percentiles": price_percentiles,
+    "price_percentiles_approx": price_percentiles_approx,
+    "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
+}
