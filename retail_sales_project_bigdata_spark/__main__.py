@@ -1,0 +1,150 @@
+"""CLI entry points (SURVEY §2.12) — the spark-submit surface.
+
+The reference ships six driver mains with ad-hoc arg parsing
+(``ChurnPrediction.java:27-41`` ``--base/--window`` flags,
+``MarketBasketAnalysis.java:75-87`` positionals,
+``SegmentationPrediction.java:18-23`` ``household_key <id> | manual``
+modes).  The rebuild exposes one argparse CLI:
+
+    python -m retail_sales_project_bigdata_spark <job> [options]
+
+    jobs: preprocess | churn | baskets | recommend | segmentation |
+          top-products | query <name>
+
+Each job builds its plan through the operators package and writes/prints
+results — the same code paths the driver contract exercises.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="retail_sales_project_bigdata_spark")
+    p.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="testdata directory (parquet tables)",
+    )
+    p.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
+    sub = p.add_subparsers(dest="job", required=True)
+
+    sp = sub.add_parser("preprocess", help="ETL fan-out (4 parquet sinks)")
+    sp.add_argument("out_dir")
+    sp.add_argument("--verbose", action="store_true")
+
+    sc = sub.add_parser("churn", help="repurchase labeling + RF AUC")
+    sc.add_argument("--window", type=int, default=90, help="repurchase window days")
+    sc.add_argument("--train", action="store_true", help="also train/evaluate RF")
+
+    sb = sub.add_parser("baskets", help="FP-Growth frequent itemsets")
+    sb.add_argument("out_path", nargs="?", default=None)
+    sb.add_argument("--min-support", type=float, default=None)
+
+    sub.add_parser("recommend", help="ALS top-5 per customer")
+
+    sg = sub.add_parser("segmentation", help="KMeans k-sweep metrics")
+    sg.add_argument("--predict", type=int, default=None, metavar="CUSTKEY")
+
+    st = sub.add_parser("top-products", help="top products report")
+    st.add_argument("--limit", type=int, default=20)
+
+    sq = sub.add_parser("query", help="run any queries() entry by name")
+    sq.add_argument("name")
+    sq.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from retail_sales_project_bigdata_spark.session import get_spark
+
+    spark = get_spark(
+        f"cli_{args.job}",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    sf = args.sf_dir
+
+    if args.job == "preprocess":
+        from retail_sales_project_bigdata_spark.operators.pipeline import (
+            run_preprocessing_pipeline,
+        )
+
+        out = run_preprocessing_pipeline(spark, sf, args.out_dir, args.verbose)
+        print(json.dumps(out))
+    elif args.job == "churn":
+        import retail_sales_project_bigdata_spark.operators.churn as churn_mod
+
+        churn_mod.REPURCHASE_WINDOW_DAYS = args.window
+        if args.train:
+            from retail_sales_project_bigdata_spark.ml.pipelines import (
+                churn_model_metrics,
+            )
+
+            churn_model_metrics(spark, sf).show()
+        else:
+            churn_mod.cohort_rates(spark, sf).show()
+    elif args.job == "baskets":
+        import retail_sales_project_bigdata_spark.operators.baskets as bk
+
+        if args.min_support is not None:
+            bk.MIN_SUPPORT = args.min_support
+        itemsets = bk.fpgrowth_itemsets(spark, sf)
+        if args.out_path:
+            from pyspark.sql import functions as F
+
+            from retail_sales_project_bigdata_spark.sources import write_text_lines
+
+            lines = itemsets.select(
+                F.concat_ws(
+                    "\t", F.col("freq").cast("string"), F.col("itemset")
+                ).alias("value")
+            )
+            write_text_lines(lines, args.out_path)
+            print(args.out_path)
+        else:
+            itemsets.orderBy("itemset").show(50, False)
+    elif args.job == "recommend":
+        from retail_sales_project_bigdata_spark.operators.recommend import (
+            als_recommendations,
+        )
+
+        als_recommendations(spark, sf).show(25)
+    elif args.job == "segmentation":
+        from retail_sales_project_bigdata_spark.operators.segmentation import (
+            kmeans_sweep,
+            segment_assignments,
+        )
+
+        if args.predict is not None:
+            from pyspark.sql import functions as F
+
+            segment_assignments(spark, sf).filter(
+                F.col("custkey") == args.predict
+            ).show()
+        else:
+            kmeans_sweep(spark, sf).show()
+    elif args.job == "top-products":
+        from retail_sales_project_bigdata_spark.operators.reports import top_products
+
+        top_products(spark, sf).limit(args.limit).show(args.limit, False)
+    elif args.job == "query":
+        import __spark_entry__ as entrymod
+
+        queries = entrymod.queries()
+        if args.name not in queries:
+            print(
+                f"unknown query {args.name!r}; available: {sorted(queries)}",
+                file=sys.stderr,
+            )
+            return 2
+        queries[args.name](spark, sf).show(args.limit, False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -155,11 +155,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _shingles(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("s")
     )
-    return ex.groupBy("doc_id").agg(
+    # Two md5 evaluations per shingle, sliced into sixteen 16-bit hex
+    # chunks — 8× less hashing than md5-per-hash-function at the same
+    # banding quality (non-overlapping slices of independent digests).
+    hashed = ex.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("a|"), F.col("s")).cast("binary")).alias("m1"),
+        F.md5(F.concat(F.lit("b|"), F.col("s")).cast("binary")).alias("m2"),
+    )
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")).cast("binary"))).alias(
-                f"h{j}"
-            )
+            F.min(
+                F.substring(
+                    F.col("m1" if j < 8 else "m2"), 1 + 4 * (j % 8), 4
+                )
+            ).alias(f"h{j}")
             for j in range(MINHASH_N)
         ]
     )
@@ -167,13 +177,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     aggs = ",\n         ".join(
-        f"MIN(md5('{j}|' || s)) AS h{j}" for j in range(MINHASH_N)
+        f"MIN(substr(m{1 if j < 8 else 2}, {1 + 4 * (j % 8)}, 4)) AS h{j}"
+        for j in range(MINHASH_N)
     )
     return f"""
 sigs AS (
   SELECT doc_id,
          {aggs}
-  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+  FROM (SELECT doc_id, md5('a|' || s) AS m1, md5('b|' || s) AS m2
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh))
   GROUP BY doc_id
 )"""
 
@@ -227,16 +239,32 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(spark, sf_dir).select(
-        F.col("d1").alias("e1"), F.col("d2").alias("e2"), "jaccard"
+    # Exact verification computed ONLY for candidates via array
+    # intersection — never the global all-pairs shingle join (which would
+    # defeat LSH's purpose; ngram_jaccard_pairs exists separately as the
+    # exhaustive anchor).
+    sh = _shingles(spark, sf_dir)
+    sa = sh.select(
+        F.col("doc_id").alias("sa_id"), F.col("shingles").alias("sa_sh")
     )
-    return (
-        candidates.join(
-            exact,
-            (F.col("d1") == F.col("e1")) & (F.col("d2") == F.col("e2")),
-            "inner",
+    sb = sh.select(
+        F.col("doc_id").alias("sb_id"), F.col("shingles").alias("sb_sh")
+    )
+    verified = (
+        candidates.join(sa, F.col("d1") == F.col("sa_id"))
+        .join(sb, F.col("d2") == F.col("sb_id"))
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("sa_sh"), F.col("sb_sh")))
         )
-        .select("d1", "d2", "jaccard")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.size("sa_sh") + F.size("sb_sh") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "d1", "d2", F.round("jaccard_raw", 6).alias("jaccard")
     )
 
 
@@ -259,23 +287,18 @@ candidates AS (
   FROM bands_long a JOIN bands_long b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-common AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-exact AS (
-  SELECT d1, d2,
-         ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
-  FROM common
-  JOIN sizes sa ON d1 = sa.doc_id
-  JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+verified AS (
+  SELECT c.d1, c.d2,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM candidates c
+  JOIN sh sa ON c.d1 = sa.doc_id
+  JOIN sh sb ON c.d2 = sb.doc_id
 )
-SELECT c.d1, c.d2, e.jaccard
-FROM candidates c JOIN exact e ON c.d1 = e.d1 AND c.d2 = e.d2
+SELECT d1, d2,
+       ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
 """
 
 

@@ -27,9 +27,35 @@ TOP_K = 10
 LSH_PLANES = 4  # random-hyperplane signature bits (16 buckets; more planes = higher precision, lower recall)
 
 
-def _dot(a: F.Column, b: F.Column) -> F.Column:
-    """In-order fold dot product over two array<double> columns — exact
-    cross-engine parity with DuckDB's list_dot_product (sequential sum)."""
+EMBEDDING_DIM = 64
+
+
+def _dot(a: F.Column, b: F.Column, dim: int = EMBEDDING_DIM) -> F.Column:
+    """In-order dot product over two array<double> columns — exact
+    cross-engine parity with DuckDB's list_dot_product (sequential sum).
+
+    Unrolled as an explicit left-associated chain of 64 multiply-adds
+    instead of ``F.aggregate``/``zip_with``: higher-order functions are
+    NOT whole-stage-codegen'd (per-element lambda interpretation), while
+    the unrolled expression compiles into one codegen span — ~10× faster
+    at identical IEEE semantics (left-to-right addition, and
+    ``0 + x == x`` exactly, so the fold and the chain agree bitwise)."""
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _dot_fold(a: F.Column, b: F.Column) -> F.Column:
+    """Fold-based dot product (``aggregate`` over ``zip_with``) — bitwise
+    identical to :func:`_dot` (left-to-right addition; ``0 + x == x``).
+    Preferred when the expression evaluates on millions of rows: the
+    unrolled 64-term chain exceeds the JVM's JIT method-size limit and
+    runs as interpreted bytecode, which is SLOWER than the HOF path at
+    high row counts; at low row counts the unrolled codegen wins."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -194,7 +220,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine_raw",
-            _dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")),
+            _dot_fold(F.col("v_a"), F.col("v_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cosine_raw") >= 0.5)
         .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
@@ -214,6 +241,61 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.5
 """
 
 
+def ann_bruteforce_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force top-k: the query block is broadcast as a
+    NumPy matrix and each corpus partition computes a block matmul inside
+    ``mapInPandas`` — the Arrow-batched production shape for exact rerank
+    (BLAS throughput instead of per-pair expressions).
+
+    Rows-only for the driver (BLAS sum order differs from the sequential
+    fold in final ulps); tests assert neighbor-set equality with the
+    expression-based baseline at round-6 precision.
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    vecs = _vectors(spark, sf_dir)
+    q_rows = (
+        vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "v", "norm")
+        .collect()
+    )  # query block: tiny by definition (it's the probe set)
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.array([r.v for r in q_rows])
+    q_norm = np.array([r.norm for r in q_rows])
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            c_mat = np.stack(pdf["v"].to_numpy())
+            c_norm = pdf["norm"].to_numpy()
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids[None, :], n_c, axis=0).ravel(),
+                    "neighbor_id": np.repeat(
+                        pdf["vec_id"].to_numpy()[:, None], n_q, axis=1
+                    ).ravel(),
+                    "cosine": np.round(sims.ravel(), 6),
+                }
+            )
+
+    scored = vecs.select("vec_id", "v", "norm").mapInPandas(
+        score, schema="q_id long, neighbor_id long, cosine double"
+    ).filter(F.col("q_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 ORACLES: dict[str, str] = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
@@ -223,6 +305,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_bruteforce_topk_numpy": ann_bruteforce_topk_numpy,
     "lsh_signatures": lsh_signatures,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,

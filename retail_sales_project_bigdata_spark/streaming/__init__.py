@@ -145,14 +145,78 @@ GROUP BY user_id, event_type
 """
 
 
+def streaming_stateful_user_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum, session count with a 30-minute gap
+    rule) maintained in explicit state across micro-batches — the escape
+    hatch for operators Spark's built-in aggregations can't express
+    (here: gap-based session counting inside a stream).
+
+    Update-mode rows-only query (state evolution is the point); final
+    per-user totals are property-tested against the batch sessionizer.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, sessions, last_us = (
+            state.get if state.exists else (0, 0.0, 0, -1)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                ts_us = int(ts.value // 1000)  # pandas Timestamp ns → µs
+                if last_us < 0 or ts_us - last_us > 30 * 60 * 1_000_000:
+                    sessions += 1
+                last_us = ts_us
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total, sessions, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "n_sessions": [sessions],
+            }
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, total_value double,"
+        " n_sessions long",
+        stateStructType="n long, total double, sessions long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name, _ = _run_to_memory(agg, "update")
+    # keep the final (largest n_events) state row per user
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 ORACLES: dict[str, str] = {
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
-    # streaming_sliding_value: rows-only (append-mode watermark semantics)
+    # streaming_sliding_value / streaming_stateful_user_sessions:
+    # rows-only (watermark / state-evolution semantics by design)
 }
 
 QUERIES = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sliding_value": streaming_sliding_value,
     "streaming_user_event_counts": streaming_user_event_counts,
+    "streaming_stateful_user_sessions": streaming_stateful_user_sessions,
 }

@@ -1,0 +1,119 @@
+"""Unit tests for column utilities (P1/P17/P5/P6/P16) and the CSV/sink
+surface (S1/S2/S7/S8/S9/S10) with inline fixtures per FIXTURES.md §C."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.operators.colutils import (
+    drop_all_null_columns,
+    fill_categorical,
+    fill_numeric,
+    resolve_column,
+    standardize_columns,
+)
+from retail_sales_project_bigdata_spark.sources import (
+    read_csv,
+    write_csv,
+    write_single_file,
+    write_text_lines,
+)
+
+
+def test_standardize_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["Household Key", "BASKET_ID"])
+    assert standardize_columns(df).columns == ["household_key", "basket_id"]
+
+
+def test_resolve_column_probes(spark):
+    df = spark.createDataFrame([(1, 2)], ["PRODUCT_ID_x", "other"])
+    assert resolve_column(df, "product_id", "product_id_x") == "PRODUCT_ID_x"
+    assert resolve_column(df, "missing") is None
+
+
+def test_fill_helpers_ignore_absent_columns(spark):
+    df = spark.createDataFrame([(None, None)], "a double, b string")
+    out = fill_numeric(df, ["a", "zzz"], 0.0)
+    out = fill_categorical(out, ["b", "yyy"])
+    row = out.first()
+    assert row.a == 0.0 and row.b == "UNKNOWN"
+
+
+def test_drop_all_null_columns_single_job(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None)], "a long, dead string, c string"
+    )
+    out = drop_all_null_columns(df)
+    assert out.columns == ["a", "c"]
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    # S1: explicit Dunnhumby schema, one scan, no inference
+    p = str(tmp_path / "tx.csv")
+    with open(p, "w") as f:
+        f.write(
+            "household_key,basket_id,day,product_id,quantity,sales_value,"
+            "store_id,retail_disc,trans_time,week_no,coupon_disc,coupon_match_disc\n"
+            "1,10,5,100,2,9.99,3,-1.0,1300,1,0.0,0.0\n"
+            "2,11,9,101,1,4.50,3,0.0,1400,2,-0.5,0.0\n"
+        )
+    df = read_csv(spark, p, table="transaction_data")
+    assert dict(df.dtypes)["sales_value"] == "double"
+    assert df.count() == 2
+    # S2: all-strings mode (MarketBasketAnalysis.java:96-99)
+    df2 = read_csv(spark, p, all_strings=True)
+    assert all(t == "string" for _, t in df2.dtypes)
+
+
+def test_csv_sink_and_single_file(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    out = str(tmp_path / "out_csv")
+    write_csv(df, out, single_file=True)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1
+
+    single = write_single_file(df.orderBy("k"), str(tmp_path / "single.csv"), "csv")
+    assert os.path.isfile(single)
+
+    # S8: text sink with preformatted lines (itemset export shape)
+    lines_df = df.select(
+        F.concat_ws("\t", F.col("k").cast("string"), F.col("v")).alias("value")
+    )
+    write_text_lines(lines_df, str(tmp_path / "lines"))
+    assert os.path.isdir(str(tmp_path / "lines"))
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    # S10 + M6: persist a fitted pipeline, reload, score a manual row
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    from retail_sales_project_bigdata_spark.ml.pipelines import (
+        load_pipeline,
+        save_pipeline,
+    )
+
+    train = spark.createDataFrame(
+        [(1.0, 2.0), (1.1, 2.1), (8.0, 9.0), (8.1, 9.2)], ["f1", "f2"]
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f1", "f2"], outputCol="features"),
+            KMeans(k=2, seed=1, featuresCol="features"),
+        ]
+    )
+    model = pipe.fit(train)
+    path = str(tmp_path / "model")
+    save_pipeline(model, path)
+    loaded = load_pipeline(path)
+
+    # SegmentationPrediction.java:74-87 manual single-row scoring path
+    manual = spark.createDataFrame([(1.05, 2.05)], ["f1", "f2"])
+    pred = loaded.transform(manual).select("prediction").first()[0]
+    near = loaded.transform(
+        spark.createDataFrame([(1.0, 2.0)], ["f1", "f2"])
+    ).select("prediction").first()[0]
+    assert pred == near

@@ -1,0 +1,46 @@
+"""Streaming property tests: the custom stateful operator must converge to
+the batch sessionizer's answer, and the numpy ANN must equal the
+expression ANN at round-6 precision."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.operators.sessions import session_stats
+from retail_sales_project_bigdata_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_bruteforce_topk_numpy,
+)
+from retail_sales_project_bigdata_spark.streaming import (
+    streaming_stateful_user_sessions,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_stateful_sessions_match_batch(spark):
+    st = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in streaming_stateful_user_sessions(spark, SF_SMALL).collect()
+    }
+    batch = (
+        session_stats(spark, SF_SMALL)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("ns"),
+            F.sum("n_events").alias("ne"),
+        )
+    )
+    b = {r.user_id: (r.ns, r.ne) for r in batch.collect()}
+    assert st == b
+
+
+def test_numpy_ann_equals_expression_ann(spark):
+    a1 = {
+        (r.q_id, r.neighbor_id, r.cosine)
+        for r in ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    a2 = {
+        (r.q_id, r.neighbor_id, r.cosine)
+        for r in ann_bruteforce_topk_numpy(spark, SF_SMALL).collect()
+    }
+    assert a1 == a2
