@@ -24,6 +24,7 @@ from retail_sales_project_bigdata_spark import streaming as streaming_mod
 from retail_sales_project_bigdata_spark.ml import pipelines as ml_pipelines
 from retail_sales_project_bigdata_spark.operators import (
     baskets,
+    calendar as calendar_mod,
     churn,
     cleaning,
     dedup,
@@ -54,6 +55,7 @@ _MODULES = [
     sessions,
     multimodal,
     olap,
+    calendar_mod,
     streaming_mod,
 ]
 
