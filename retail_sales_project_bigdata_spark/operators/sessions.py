@@ -156,14 +156,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON/map function surface (SURVEY §2.8 notes the reference has
+    none — north-star addition): parse the ``props`` JSON column with
+    ``from_json`` and aggregate an extracted field."""
+    ev = read_events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "props_k",
+        F.from_json(F.col("props"), "k INT").getField("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("props_k").alias("n_with_k"),
+        F.sum("props_k").alias("sum_k"),
+        F.min("props_k").alias("min_k"),
+        F.max("props_k").alias("max_k"),
+    )
+
+
+EVENT_PROPS_STATS_SQL = """
+WITH parsed AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS props_k
+  FROM events
+)
+SELECT event_type,
+       COUNT(props_k) AS n_with_k,
+       CAST(SUM(props_k) AS BIGINT) AS sum_k,
+       MIN(props_k) AS min_k,
+       MAX(props_k) AS max_k
+FROM parsed GROUP BY event_type
+"""
+
+
 ORACLES: dict[str, str] = {
     "sessionize": SESSIONIZE_SQL,
     "session_stats": SESSION_STATS_SQL,
     "user_activity": USER_ACTIVITY_SQL,
+    "event_props_stats": EVENT_PROPS_STATS_SQL,
 }
 
 QUERIES = {
     "sessionize": sessionize,
     "session_stats": session_stats,
     "user_activity": user_activity,
+    "event_props_stats": event_props_stats,
 }
