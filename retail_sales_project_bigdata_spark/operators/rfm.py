@@ -50,14 +50,22 @@ def _order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer RFM (A2)."""
+    """Per-customer RFM (A2).
+
+    The global max day is derived from the already-aggregated per-customer
+    frame (``max(last_purchase_day)`` ≡ ``max(day)`` over facts) instead of
+    re-scanning the fact join a second time — the 1-row aggregate runs on
+    ~|customers| rows and broadcasts back via crossJoin, so the lineitem ⋈
+    orders shuffle happens exactly once."""
     facts = _order_facts(spark, sf_dir)
     per_cust = facts.groupBy("o_custkey").agg(
         F.max("day").alias("last_purchase_day"),
         F.countDistinct("o_orderkey").alias("frequency"),
         stable_sum("net_sales").alias("monetary"),
     )
-    max_day = facts.agg(F.max("day").alias("global_max_day"))
+    max_day = per_cust.agg(
+        F.max("last_purchase_day").alias("global_max_day")
+    )
     return (
         per_cust.crossJoin(F.broadcast(max_day))
         .withColumn("recency", F.col("global_max_day") - F.col("last_purchase_day"))
