@@ -44,3 +44,23 @@ def test_numpy_ann_equals_expression_ann(spark):
         for r in ann_bruteforce_topk_numpy(spark, SF_SMALL).collect()
     }
     assert a1 == a2
+
+
+def test_numpy_near_dup_equals_expression(spark):
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_numpy,
+    )
+
+    # threshold 0.2 so the comparison is non-vacuous on near-random vectors
+    e = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(spark, SF_SMALL, threshold=0.2).collect()
+    }
+    n = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs_numpy(
+            spark, SF_SMALL, threshold=0.2
+        ).collect()
+    }
+    assert e and e == n
