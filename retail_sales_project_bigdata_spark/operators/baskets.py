@@ -48,9 +48,20 @@ def baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BASKETS_SQL = """
+def baskets_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-typed view of :func:`baskets` for the oracle gate (array
+    columns hash differently across comparators; the joined string is
+    value-identical and comparator-proof)."""
+    return baskets(spark, sf_dir).select(
+        "basket_id",
+        F.concat_ws(",", F.col("items").cast("array<string>")).alias("items_csv"),
+        "n_items",
+    )
+
+
+BASKETS_FLAT_SQL = """
 SELECT l_orderkey AS basket_id,
-       list_sort(list_distinct(list(l_partkey))) AS items,
+       array_to_string(list_sort(list_distinct(list(l_partkey))), ',') AS items_csv,
        COUNT(DISTINCT l_partkey) AS n_items
 FROM lineitem GROUP BY l_orderkey
 """
@@ -155,29 +166,29 @@ def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = FPGrowth(
             itemsCol="items", minSupport=MIN_SUPPORT, minConfidence=0.1
         ).fit(bk)
-        out = model.freqItemsets.select(
-            F.concat_ws(",", F.sort_array(F.col("items")).cast("array<string>")).alias(
-                "itemset"
-            ),
-            F.size("items").alias("n_items"),
-            F.col("freq"),
-        )
-        # Materialize before unpersisting the input.
-        out = spark.createDataFrame(out.collect(), out.schema)
     finally:
+        # freqItemsets belongs to the fitted model — safe to release the
+        # training input; the result stays a distributed DataFrame (no
+        # driver collect roundtrip).
         bk.unpersist()
-    return out
+    return model.freqItemsets.select(
+        F.concat_ws(",", F.sort_array(F.col("items")).cast("array<string>")).alias(
+            "itemset"
+        ),
+        F.size("items").alias("n_items"),
+        F.col("freq"),
+    )
 
 
 ORACLES: dict[str, str] = {
-    "baskets": BASKETS_SQL,
+    "baskets_flat": BASKETS_FLAT_SQL,
     "itemset_support_1": ITEMSET_SUPPORT_1_SQL,
     "itemset_support_2": ITEMSET_SUPPORT_2_SQL,
     # fpgrowth_itemsets: rows-only (cross-checked exactly by the two above)
 }
 
 QUERIES = {
-    "baskets": baskets,
+    "baskets_flat": baskets_flat,
     "itemset_support_1": itemset_support_1,
     "itemset_support_2": itemset_support_2,
     "fpgrowth_itemsets": fpgrowth_itemsets,
