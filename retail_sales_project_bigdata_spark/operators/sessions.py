@@ -187,11 +187,39 @@ FROM parsed GROUP BY event_type
 """
 
 
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values via
+    ``applyInPandas`` (grouped map).
+
+    EWMA is recursively defined (y_t = α·x_t + (1-α)·y_{t-1}) — Spark's
+    window frames can't express it, which makes it the canonical case for
+    the grouped-map escape hatch (guide's preference order: built-ins →
+    applyInPandas → mapPartitions).  One shuffle on user_id; pandas runs
+    per group, Arrow-batched.  Rows-only (recursive — no SQL oracle);
+    property-tested against a local pandas computation.
+    """
+    import pandas as pd
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts_us", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        pdf["ewma_value"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean().round(6)
+        return pdf[["event_id", "user_id", "ts_us", "value", "ewma_value"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma,
+        schema="event_id long, user_id long, ts_us long, value double,"
+        " ewma_value double",
+    )
+
+
 ORACLES: dict[str, str] = {
     "sessionize": SESSIONIZE_SQL,
     "session_stats": SESSION_STATS_SQL,
     "user_activity": USER_ACTIVITY_SQL,
     "event_props_stats": EVENT_PROPS_STATS_SQL,
+    # user_value_ewma: rows-only (recursive definition, no SQL analog)
 }
 
 QUERIES = {
@@ -199,4 +227,5 @@ QUERIES = {
     "session_stats": session_stats,
     "user_activity": user_activity,
     "event_props_stats": event_props_stats,
+    "user_value_ewma": user_value_ewma,
 }
