@@ -31,17 +31,54 @@ from pyspark.sql import functions as F
 # day 1 == 1995-01-01, matching the reference's 1-based `day` column).
 DAY_EPOCH = "1995-01-01"
 
+def pround(col: Column | str, scale: int) -> Column:
+    """Portable double rounding — bit-identical to DuckDB's ROUND(double).
+
+    DuckDB computes ``std::round(x * 10^n) / 10^n`` in pure double
+    arithmetic (half-away on the SCALED double, which may itself have
+    rounded onto the tie — e.g. 2.675 scales to exactly 267.5).  Spark's
+    ``round(x, n)`` instead rounds the shortest decimal representation
+    (HALF_UP) and ``bround`` ties to even — both diverge from DuckDB on
+    representable ties.  Reproducing the scale-then-round-at-0 sequence
+    makes every step IEEE-identical: Spark's round(y, 0) equals
+    std::round(y) for all doubles (shortest-repr HALF_UP at scale 0 ==
+    half-away on the binary value)."""
+    c = F.col(col) if isinstance(col, str) else col
+    factor = F.lit(float(10 ** scale))
+    return F.round(c * factor, 0) / factor
+
+
 def stable_sum(col: Column | str, scale: int = 4) -> Column:
     """Engine-portable sum of a double column (rounded to ``scale``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c), scale)
+    return pround(F.sum(c), scale)
 
 
-def stable_avg(col: Column | str, scale: int = 6) -> Column:
-    """Engine-portable average: explicit sum/count (identical expression on
-    the DuckDB side — avoids engine-specific AVG implementations)."""
+def stable_avg(col: Column | str, scale: int = 6, grid: int = 4) -> Column:
+    """Engine-portable average for GRID-VALUED inputs (values on a fixed
+    decimal grid, e.g. 4-decimal net_sales): round the sum at the grid
+    scale first — that recovers the exact decimal total on both engines —
+    then divide.  Identical doubles → identical rounding, always.
+
+    NOT valid for ratio-valued inputs (unbounded decimals): use
+    :func:`ordered_avg` there."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c) / F.count(c), scale)
+    return pround(pround(F.sum(c), grid) / F.count(c), scale)
+
+
+def ordered_avg(col: Column | str, scale: int = 6) -> Column:
+    """Engine-portable average for RATIO-VALUED inputs: canonicalize the
+    summation order (sort, then left-fold) so both engines add the exact
+    same doubles in the exact same sequence — bit-identical results at any
+    partitioning.  DuckDB mirror: ``list_aggregate(list_sort(list(x)),
+    'sum')`` (verified sequential).  Costs a collect_list per group — use
+    for bounded groups (the rollup grains here); grid-valued inputs should
+    prefer :func:`stable_avg` (no per-group array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.aggregate(
+        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    return pround(total / F.count(c), scale)
 
 
 def oracle_sum(expr: str, scale: int = 4) -> str:
@@ -49,9 +86,17 @@ def oracle_sum(expr: str, scale: int = 4) -> str:
     return f"ROUND(SUM({expr}), {scale})"
 
 
-def oracle_avg(expr: str, scale: int = 6) -> str:
+def oracle_avg(expr: str, scale: int = 6, grid: int = 4) -> str:
     """DuckDB SQL mirroring :func:`stable_avg` exactly."""
-    return f"ROUND(SUM({expr}) / COUNT({expr}), {scale})"
+    return f"ROUND(ROUND(SUM({expr}), {grid}) / COUNT({expr}), {scale})"
+
+
+def oracle_ordered_avg(expr: str, scale: int = 6) -> str:
+    """DuckDB SQL mirroring :func:`ordered_avg` exactly."""
+    return (
+        f"ROUND(list_aggregate(list_sort(list({expr})), 'sum')"
+        f" / COUNT({expr}), {scale})"
+    )
 
 
 def day_index(ts_col: Column | str, epoch: str = DAY_EPOCH) -> Column:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from retail_sales_project_bigdata_spark.functions import net_sales, oracle_sum, stable_sum
+from retail_sales_project_bigdata_spark.functions import net_sales, oracle_sum, stable_sum, pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 
@@ -101,7 +101,7 @@ def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_start")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+            pround(F.sum("o_totalprice"), 4).alias("total_value"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from retail_sales_project_bigdata_spark.functions import (
+    pround,
     DAY_EPOCH,
     day_index,
     day_of_week,
@@ -353,7 +354,7 @@ def cohort_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("first_with_discount").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("label").alias("n_repurchased"),
-        F.round(F.sum("label") / F.count(F.lit(1)), 6).alias("repurchase_rate"),
+        pround(F.sum("label") / F.count(F.lit(1)), 6).alias("repurchase_rate"),
     )
 
 

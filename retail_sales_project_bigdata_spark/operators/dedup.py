@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.functions import pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 JACCARD_THRESHOLD = 0.5
@@ -121,7 +122,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select(
-            "d1", "d2", "n_common", F.round("jaccard_raw", 6).alias("jaccard")
+            "d1", "d2", "n_common", pround("jaccard_raw", 6).alias("jaccard")
         )
     )
 
@@ -264,7 +265,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
     )
     return verified.select(
-        "d1", "d2", F.round("jaccard_raw", 6).alias("jaccard")
+        "d1", "d2", pround("jaccard_raw", 6).alias("jaccard")
     )
 
 

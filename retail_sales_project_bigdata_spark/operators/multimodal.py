@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.functions import pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 # Arrow batch sizing for wide binary rows — set small enough that
@@ -167,7 +168,7 @@ def media_stats_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("payload_bytes").alias("total_bytes"),
-        F.round(F.sum("frames") / F.count(F.lit(1)), 6).alias("avg_frames"),
+        pround(F.sum("frames") / F.count(F.lit(1)), 6).alias("avg_frames"),
     )
 
 

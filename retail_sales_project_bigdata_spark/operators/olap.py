@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from retail_sales_project_bigdata_spark.functions import net_sales, oracle_sum, stable_sum
+from retail_sales_project_bigdata_spark.functions import net_sales, oracle_sum, stable_sum, pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 
@@ -79,7 +79,7 @@ def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .agg(pround(F.sum("l_quantity"), 4).alias("qty"))
         .withColumnRenamed("O", "O_qty")
         .withColumnRenamed("F", "F_qty")
     )
@@ -133,11 +133,11 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.groupBy("p_brand").agg(
-        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
-        F.round(F.min("l_extendedprice"), 4).alias("pmin"),
-        F.round(F.max("l_extendedprice"), 4).alias("pmax"),
+        pround(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        pround(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        pround(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        pround(F.min("l_extendedprice"), 4).alias("pmin"),
+        pround(F.max("l_extendedprice"), 4).alias("pmax"),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from retail_sales_project_bigdata_spark.functions import (
+    pround,
     net_sales,
     oracle_sum,
     stable_sum,
@@ -151,11 +152,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(F.sum("l_extendedprice") / F.count(F.lit(1)), 6).alias(
-                "avg_price"
+            pround(pround(F.sum("l_quantity"), 4) / F.count(F.lit(1)), 6).alias(
+                "avg_qty"
             ),
-            F.round(F.sum("l_discount") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            pround(
+                pround(F.sum("l_extendedprice"), 4) / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            pround(pround(F.sum("l_discount"), 4) / F.count(F.lit(1)), 6).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -167,9 +172,9 @@ SELECT l_returnflag, l_linestatus,
        {oracle_sum('l_extendedprice')} AS sum_base_price,
        {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
        {oracle_sum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
-       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-       ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
-       ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+       ROUND(ROUND(SUM(l_quantity), 4) / COUNT(*), 6) AS avg_qty,
+       ROUND(ROUND(SUM(l_extendedprice), 4) / COUNT(*), 6) AS avg_price,
+       ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from retail_sales_project_bigdata_spark.functions import oracle_sum, stable_sum
+from retail_sales_project_bigdata_spark.functions import oracle_sum, stable_sum, pround
 from retail_sales_project_bigdata_spark.sources import read_events
 
 SESSION_GAP_MINUTES = 30
@@ -128,10 +128,10 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("event_seq"),
         F.coalesce(F.lag("value").over(w), F.lit(0.0)).alias("prev_value"),
         F.coalesce(F.lead("value").over(w), F.lit(0.0)).alias("next_value"),
-        F.round(
+        pround(
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
         ).alias("running_value"),
-        F.round(
+        pround(
             F.sum("value").over(w.rowsBetween(-2, 0))
             / F.count("value").over(w.rowsBetween(-2, 0)),
             6,

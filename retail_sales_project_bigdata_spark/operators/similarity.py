@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from retail_sales_project_bigdata_spark.functions import pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query set
@@ -63,6 +64,17 @@ def _dot_fold(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _np_round_half_away(x, n: int):
+    """NumPy mirror of :func:`pround` / DuckDB ROUND: scale, round half
+    away from zero on the scaled double, unscale.  numpy's own ``round``
+    ties to even and would diverge on representable ties."""
+    import numpy as np
+
+    factor = float(10 ** n)
+    scaled = x * factor
+    return np.trunc(scaled + np.copysign(0.5, scaled)) / factor
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -93,7 +105,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm")), 6),
+            pround(_dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm")), 6),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
@@ -185,7 +197,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "cosine",
-            F.round(
+            pround(
                 _dot(F.col("q.q_v"), F.col("c.v"))
                 / (F.col("q.q_norm") * F.col("c.norm")),
                 6,
@@ -226,7 +238,7 @@ def embedding_near_dup_pairs(
             / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cosine_raw") >= threshold)
-        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+        .select("id_a", "id_b", pround("cosine_raw", 6).alias("cosine"))
     )
 
 
@@ -283,7 +295,7 @@ def ann_bruteforce_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "neighbor_id": np.repeat(
                         pdf["vec_id"].to_numpy()[:, None], n_q, axis=1
                     ).ravel(),
-                    "cosine": np.round(sims.ravel(), 6),
+                    "cosine": _np_round_half_away(sims.ravel(), 6),
                 }
             )
 
@@ -335,7 +347,7 @@ def embedding_near_dup_pairs_numpy(
                 {
                     "id_a": my_ids[ai],
                     "id_b": c_ids[bj],
-                    "cosine": np.round(sims[ai, bj], 6),
+                    "cosine": _np_round_half_away(sims[ai, bj], 6),
                 }
             )
 

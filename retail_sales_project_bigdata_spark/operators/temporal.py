@@ -17,7 +17,9 @@ from retail_sales_project_bigdata_spark.functions import (
     day_index,
     net_sales,
     oracle_avg,
+    oracle_ordered_avg,
     oracle_sum,
+    ordered_avg,
     safe_div,
     stable_avg,
     stable_sum,
@@ -47,7 +49,7 @@ def weekly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         stable_sum("net_sales").alias("sum_net_sales"),
         stable_sum("l_quantity").alias("sum_quantity"),
-        stable_avg("unit_price").alias("avg_unit_price"),
+        ordered_avg("unit_price").alias("avg_unit_price"),
         stable_avg("l_discount").alias("avg_discount_rate"),
         F.max("is_discounted").alias("any_discounted"),
         F.max("campaign_flag").alias("any_campaign"),
@@ -69,7 +71,7 @@ WITH li AS (
 SELECT l_suppkey AS store_id, l_partkey AS product_id, week_no,
        {oracle_sum('net_sales')} AS sum_net_sales,
        {oracle_sum('l_quantity')} AS sum_quantity,
-       {oracle_avg('unit_price')} AS avg_unit_price,
+       {oracle_ordered_avg('unit_price')} AS avg_unit_price,
        {oracle_avg('l_discount')} AS avg_discount_rate,
        MAX(is_discounted) AS any_discounted,
        MAX(campaign_flag) AS any_campaign

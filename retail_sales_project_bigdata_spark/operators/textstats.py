@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.functions import pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 # Marker stopwords per language for the n-gram/marker heuristic.  Chosen for
@@ -61,13 +62,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         "n_tokens",
-        F.round(
+        pround(
             F.col("n_chars").cast("double") / F.col("n_tokens"), 6
         ).alias("avg_token_len"),
-        F.round(
+        pround(
             F.col("n_alpha_chars").cast("double") / F.col("n_chars"), 6
         ).alias("alpha_ratio"),
-        F.round(
+        pround(
             F.col("n_stopwords").cast("double") / F.col("n_tokens"), 6
         ).alias("stopword_ratio"),
         F.when(
@@ -167,7 +168,7 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        pround(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )

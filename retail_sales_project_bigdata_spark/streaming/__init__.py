@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from retail_sales_project_bigdata_spark.functions import pround
+
 _counter = itertools.count()
 
 # events.parquet stores INT64 TIMESTAMP(NANOS) — read as raw nanos long
@@ -79,7 +81,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 hour").alias("win"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        pround(F.sum("value"), 4).alias("total_value"),
     )
     name, _ = _run_to_memory(agg, "complete")
     return spark.table(name).select(
@@ -111,7 +113,7 @@ def streaming_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            pround(F.sum("value"), 4).alias("total_value"),
         )
     )
     name, _ = _run_to_memory(agg, "append")
@@ -130,7 +132,7 @@ def streaming_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     agg = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        pround(F.sum("value"), 4).alias("total_value"),
     )
     name, _ = _run_to_memory(agg, "complete")
     return spark.table(name)

@@ -49,7 +49,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # repr() is the shortest round-trip representation — EXACT double
+        # comparison (two doubles differing in any bit normalize
+        # differently).  Deliberately strict: the driver's value-hash may
+        # be exact, so the local gate must be at least as strict.
+        return repr(v)
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
