@@ -217,6 +217,82 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
+    inverted lists; each query probes its ``IVF_NPROBE`` nearest centroids
+    and exactly reranks only those lists — the classic
+    cluster-then-probe alternative to hyperplane LSH (``ann_lsh_topk``).
+
+    Scale shape: the centroid table is tiny (k × dim) and broadcasts; the
+    corpus is scanned once to attach ``cluster`` (at production scale this
+    is a one-off indexing job persisted alongside the vectors, and probe
+    joins prune to nprobe/k of the corpus).  Rows-only (KMeans centroids
+    are seed/engine-specific); recall vs brute force is property-tested.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _vectors(spark, sf_dir)
+    with_features = vecs.withColumn("features", array_to_vector("v"))
+    model = KMeans(
+        k=IVF_CLUSTERS, seed=42, featuresCol="features", predictionCol="cluster"
+    ).fit(with_features)
+    assigned = model.transform(with_features).select(
+        "vec_id", "v", "norm", "cluster"
+    )
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _nearest_clusters(v: list[float]) -> list[int]:
+        dists = [
+            (sum((a - b) ** 2 for a, b in zip(v, c)), i)
+            for i, c in enumerate(centroids)
+        ]
+        return [i for _, i in sorted(dists)[:IVF_NPROBE]]
+
+    queries = assigned.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    probe_rows = [
+        (q.vec_id, q.v, q.norm, cluster)
+        for q in queries
+        for cluster in _nearest_clusters(q.v)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, q_v array<double>, q_norm double, cluster int"
+    )
+
+    cand = (
+        assigned.alias("c")
+        .join(
+            F.broadcast(probes).alias("q"),
+            (F.col("c.cluster") == F.col("q.cluster"))
+            & (F.col("c.vec_id") != F.col("q.q_id")),
+        )
+        .withColumn(
+            "cosine",
+            pround(
+                _dot(F.col("q.q_v"), F.col("c.v"))
+                / (F.col("q.q_norm") * F.col("c.norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q.q_id").alias("q_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
@@ -367,6 +443,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_bruteforce_topk_numpy": ann_bruteforce_topk_numpy,
     "embedding_near_dup_pairs_numpy": embedding_near_dup_pairs_numpy,
+    "ann_ivf_topk": ann_ivf_topk,
     "lsh_signatures": lsh_signatures,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,

@@ -64,3 +64,30 @@ def test_numpy_near_dup_equals_expression(spark):
         ).collect()
     }
     assert e and e == n
+
+
+def test_ivf_ann_recall_and_score_parity(spark):
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    bf = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    ivf_rows = ann_ivf_topk(spark, SF_SMALL).collect()
+    assert ivf_rows
+    # every IVF hit that brute force also ranked must carry the same score
+    for r in ivf_rows:
+        if (r.q_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
+    per_q = {}
+    for r in ivf_rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= TOP_K for v in per_q.values())
+    # recall: with nprobe=4/16 on near-random vectors expect some overlap
+    hits = sum(1 for r in ivf_rows if (r.q_id, r.neighbor_id) in bf)
+    assert hits > 0
