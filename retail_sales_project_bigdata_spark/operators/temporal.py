@@ -85,13 +85,25 @@ def union_weekly_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     required surface for the rebuild): union two disjoint weekly slices,
     then exceptAll a sub-slice.
     """
-    wd = weekly_demand(spark, sf_dir)
+    # Lean aggregate — only the column this query projects.  (Catalyst's
+    # column pruning does not reach through exceptAll into the full
+    # weekly_demand aggregate, so deriving from it would drag the
+    # ordered-avg collect_list along for nothing.)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+        .withColumn("net_sales", net_sales())
+    )
+    wd = li.groupBy(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("product_id"),
+        "week_no",
+    ).agg(stable_sum("net_sales").alias("sum_net_sales"))
     low = wd.filter(F.col("week_no") <= 100)
     high = wd.filter(F.col("week_no") > 100)
     both = low.unionByName(high)
-    return both.exceptAll(both.filter(F.col("week_no") > 300)).select(
-        "store_id", "product_id", "week_no", "sum_net_sales"
-    )
+    return both.exceptAll(both.filter(F.col("week_no") > 300))
 
 
 UNION_WEEKLY_HALVES_SQL = f"""
