@@ -39,8 +39,30 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def warmup(spark) -> None:
+    """One small end-to-end job before timing: JVM JIT, codegen compiler,
+    shuffle machinery, and the parquet footer cache all initialize here
+    instead of inside whichever query sorts first alphabetically."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    materialize(
+        df.crossJoin(F.broadcast(df.select(F.col("r_regionkey").alias("k"))))
+        .groupBy("k")
+        .count()
+    )
+    # Fork the Python worker pool + Arrow serialization path once, so the
+    # first mapInPandas query doesn't pay worker startup in its timing.
+    materialize(
+        spark.range(32, numPartitions=32).mapInPandas(
+            lambda it: it, schema="id long"
+        )
+    )
+
+
 def main() -> None:
     spark = get_spark("bench")
+    warmup(spark)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     queries = entrymod.queries()
     if not os.environ.get("SPARK_GRAFT_BENCH_ML"):

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.functions import pround
-from retail_sales_project_bigdata_spark.sources import read_table
+from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 
 JACCARD_THRESHOLD = 0.5
 SHINGLE_K = 3
@@ -41,7 +41,7 @@ _TOKENIZE = r"[ ]+"
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy (keep min doc_id per text-hash)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
         .groupBy("text_hash")
@@ -61,8 +61,28 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-3-gram shingles."""
-    docs = read_table(spark, sf_dir, "documents")
+    """(doc_id, shingles) distinct word-3-gram shingle arrays, persisted.
+
+    Persisted (MEMORY_AND_DISK) for two reasons, both visible in
+    ``.explain`` without it:
+
+    - Every dedup query consumes the shingle frame at least twice (both
+      sides of a self-join, or signatures + verification); without a
+      cache boundary Catalyst re-runs the full scan→shingle pipeline per
+      consumer.
+    - The shingle expression is a higher-order ``transform`` — Catalyst's
+      constraint inference (isnotnull on join inputs) clones it into
+      interpreted per-row Filters that predicate pushdown moves below the
+      fan-out repartition, i.e. onto the scan's single partition.  The
+      cache boundary stops that: outer filters evaluate against the
+      materialized column instead of the expression.
+
+    At 100 TB the same persist holds as MEMORY_AND_DISK spill — the
+    shingle frame is ~2× the text column; recomputing it per consumer
+    costs more than spilling it.  Spark's CacheManager dedupes repeated
+    persist() calls on an identical plan, so callers share one entry.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id", F.split(F.lower(F.col("text")), _TOKENIZE).alias("toks")
@@ -77,6 +97,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingles"),
         )
+        .persist()
     )
 
 
@@ -93,32 +114,46 @@ sh AS (
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard near-dup detection (threshold 0.5)."""
+    """Exact all-pairs n-gram Jaccard near-dup detection (threshold 0.5).
+
+    Physical shape: each exploded (doc, shingle) row CARRIES the doc's
+    shingle count, so the pair aggregation recovers both set sizes with
+    ``min`` (constant per doc) and no post-join against a sizes frame is
+    needed — one equi-join + one aggregation total.  The join condition
+    also applies the exact size-ratio bound (J ≥ t ⇒ |larger| ≤
+    |smaller|/t, since J ≤ min/max): provably lossless pruning that cuts
+    the quadratic pair fan-out before it is materialized — the lever
+    that matters at 100 TB where per-shingle posting lists are long.
+    """
     sh = _shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * F.lit(JACCARD_THRESHOLD) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(JACCARD_THRESHOLD) <= F.col("a.n")),
         )
         .groupBy(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        common.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .withColumn(
+        common.withColumn(
             "jaccard_raw",
-            F.col("n_common")
-            / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select(
@@ -307,7 +342,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash from per-token md5 nibbles (sign-sum per bit),
     bucketed by the top 16 bits.  Rows-only: property tests assert that
     exact-duplicate shingle sets collide and bucket sizes are sane."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks_df = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), _TOKENIZE)).alias("t")
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from retail_sales_project_bigdata_spark.functions import pround
-from retail_sales_project_bigdata_spark.sources import read_table
+from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query set
 TOP_K = 10
@@ -64,6 +64,24 @@ def _dot_fold(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _dot_expr(a: str, b: str) -> F.Column:
+    """Fold dot product built from ONE SQL string (:func:`_dot_fold`
+    semantics — bitwise identical to the unrolled chain and to DuckDB's
+    ``list_dot_product``).
+
+    Why a string: constructing the unrolled 64-term tree through the
+    Python column API issues thousands of Py4J calls and hands Catalyst a
+    ~250-node expression that constraint inference then clones into join
+    filters — at small row counts ANALYSIS dominated execution 4:1 for
+    the ANN queries.  One ``F.expr`` parse yields a 7-node tree; planning
+    cost becomes row-count-independent, which is also what you want on a
+    1000-executor cluster where the driver plans while executors idle."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
 def _np_round_half_away(x, n: int):
     """NumPy mirror of :func:`pround` / DuckDB ROUND: scale, round half
     away from zero on the scaled double, unscale.  numpy's own ``round``
@@ -76,11 +94,10 @@ def _np_round_half_away(x, n: int):
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
     return emb.select(
-        "vec_id", "label", v.alias("v"), F.sqrt(_dot(v, v)).alias("norm")
-    )
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(_dot_expr("v", "v")))
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +122,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
             "cosine",
-            pround(_dot(F.col("q_v"), F.col("v")) / (F.col("q_norm") * F.col("norm")), 6),
+            pround(_dot_expr("q_v", "v") / (F.col("q_norm") * F.col("norm")), 6),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
@@ -155,20 +172,17 @@ def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — broadcast implicitly with the plan, no driver state."""
     vecs = _vectors(spark, sf_dir)
     dim = 64
-    sig = sum(
-        [
-            F.when(
-                _dot(
-                    F.col("v"),
-                    F.array(*[F.lit(x) for x in _hyperplane(dim, p)]),
-                )
-                > 0,
-                F.lit(2 ** p),
-            ).otherwise(F.lit(0))
-            for p in range(LSH_PLANES)
-        ],
-        F.lit(0),
-    )
+    # One SQL string for the whole signature (see _dot_expr: per-literal
+    # Column construction costs more in Py4J/analysis than execution).
+    terms = []
+    for p in range(LSH_PLANES):
+        plane = ", ".join(f"{x!r}D" for x in _hyperplane(dim, p))
+        dot = (
+            f"aggregate(zip_with(v, array({plane}), (x, y) -> x * y),"
+            " cast(0 as double), (acc, x) -> acc + x)"
+        )
+        terms.append(f"if({dot} > 0D, {2 ** p}, 0)")
+    sig = F.expr(" + ".join(terms))
     return vecs.select("vec_id", "label", sig.cast("int").alias("bucket"))
 
 
@@ -198,8 +212,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cosine",
             pround(
-                _dot(F.col("q.q_v"), F.col("c.v"))
-                / (F.col("q.q_norm") * F.col("c.norm")),
+                _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")),
                 6,
             ),
         )
@@ -238,8 +251,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vectors(spark, sf_dir)
     with_features = vecs.withColumn("features", array_to_vector("v"))
+    # A coarse quantizer does not need converged centroids — IVF recall
+    # comes from multi-probe, not centroid optimality (FAISS trains IVF
+    # quantizers on a sample with few iterations for the same reason).
+    # Capping iterations bounds the index-build cost, which is per-
+    # iteration job overhead locally and per-iteration full-corpus passes
+    # at production scale.
     model = KMeans(
-        k=IVF_CLUSTERS, seed=42, featuresCol="features", predictionCol="cluster"
+        k=IVF_CLUSTERS,
+        seed=42,
+        maxIter=8,
+        featuresCol="features",
+        predictionCol="cluster",
     ).fit(with_features)
     assigned = model.transform(with_features).select(
         "vec_id", "v", "norm", "cluster"
@@ -274,8 +297,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cosine",
             pround(
-                _dot(F.col("q.q_v"), F.col("c.v"))
-                / (F.col("q.q_norm") * F.col("c.norm")),
+                _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")),
                 6,
             ),
         )
@@ -310,8 +332,7 @@ def embedding_near_dup_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine_raw",
-            _dot_fold(F.col("v_a"), F.col("v_b"))
-            / (F.col("norm_a") * F.col("norm_b")),
+            _dot_expr("v_a", "v_b") / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cosine_raw") >= threshold)
         .select("id_a", "id_b", pround("cosine_raw", 6).alias("cosine"))

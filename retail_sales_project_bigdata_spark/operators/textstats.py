@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.functions import pround
-from retail_sales_project_bigdata_spark.sources import read_table
+from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 
 # Marker stopwords per language for the n-gram/marker heuristic.  Chosen for
 # determinism, not linguistic accuracy (the synthetic corpus shares one
@@ -42,7 +42,7 @@ def _tokens(col: str = "text") -> F.Column:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token count, char stats, alpha ratio,
     stopword ratio, and a thresholded quality flag."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = _tokens()
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     df = docs.select(
@@ -106,7 +106,7 @@ FROM base
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language heuristic with deterministic argmax
     (ties break in fixed en→fr→de→es order)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = _tokens()
     def _count_markers(markers: list[str]) -> F.Column:
         arr = F.array(*[F.lit(m) for m in markers])
@@ -161,7 +161,7 @@ FROM c
 def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token accounting per source (the budget/mixture query
     every training-data pipeline runs)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     per_doc = docs.select(
         "source", F.size(_tokens()).cast("long").alias("n_tokens")
     )
@@ -195,7 +195,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the sorted distinct-token set (bag-of-words identity — robust to
     token order, the rolling-hash analog with an exact cross-engine
     definition)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = _tokens()
     return docs.select(
         "doc_id",

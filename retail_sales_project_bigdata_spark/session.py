@@ -48,6 +48,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # InferFiltersFromGenerate clones the generator's child expression
+        # into a pre-Generate Filter (size(e)>0 AND isnotnull(e)).  When
+        # that child is a higher-order function (shingling: transform over
+        # sequence), the clone is (a) interpreted, not codegen'd, and (b)
+        # pushed below any repartition — so the most expensive expression
+        # in the plan is evaluated 3× per row on the scan's (possibly
+        # single-partition) side.  Our explodes are over arrays that are
+        # almost never empty, so the inferred skip-empty filter saves
+        # nothing and costs 5× on the MinHash pipeline; exclude the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if master is not None:
         builder = builder.master(master)

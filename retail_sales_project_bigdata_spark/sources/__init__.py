@@ -22,6 +22,25 @@ from retail_sales_project_bigdata_spark.schemas import (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise scan parallelism for compute-heavy map phases (S3 note).
+
+    The driver testdata is single-row-group parquet — unsplittable, so a
+    scan arrives as ONE partition and everything up to the first shuffle
+    (shingling, 64-term dot products, mapInPandas batches) runs on one
+    core of ``local[32]``.  This helper inserts a round-robin repartition
+    to ``defaultParallelism`` ONLY when the scan is under-parallel; on
+    production inputs (many files / row groups ⇒ scan partitions ≥ cores)
+    it is a structural no-op, so the 100 TB plan is unchanged.  Use it
+    where the downstream map work dominates the tiny extra shuffle —
+    never in front of a plain aggregate whose map side is trivial.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, broadcast_dims: bool = True
 ) -> DataFrame:
