@@ -246,29 +246,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins prune to nprobe/k of the corpus).  Rows-only (KMeans centroids
     are seed/engine-specific); recall vs brute force is property-tested.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     vecs = _vectors(spark, sf_dir)
-    with_features = vecs.withColumn("features", array_to_vector("v"))
-    # A coarse quantizer does not need converged centroids — IVF recall
-    # comes from multi-probe, not centroid optimality (FAISS trains IVF
-    # quantizers on a sample with few iterations for the same reason).
-    # Capping iterations bounds the index-build cost, which is per-
-    # iteration job overhead locally and per-iteration full-corpus passes
-    # at production scale.
-    model = KMeans(
-        k=IVF_CLUSTERS,
-        seed=42,
-        maxIter=8,
-        featuresCol="features",
-        predictionCol="cluster",
-    ).fit(with_features)
-    assigned = model.transform(with_features).select(
-        "vec_id", "v", "norm", "cluster"
+    # Train the coarse quantizer on a DRIVER-SIDE SAMPLE with in-memory
+    # Lloyd iterations — the FAISS design: a 16-centroid quantizer needs a
+    # few thousand training vectors and a handful of iterations, not a
+    # distributed fit (MLlib KMeans costs one full-corpus pass PER
+    # iteration at scale, and per-iteration job overhead locally; it was
+    # 80% of this query's wall clock).  The hash-based sample is
+    # deterministic and scale-invariant: it thins as the corpus grows.
+    sample_target = 4096
+    n_vecs = vecs.count()
+    step = max(1, n_vecs // sample_target)
+    sample = (
+        vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(step)) == 0)
+        .select("vec_id", "v")
+        .collect()
     )
+    train = np.array([r.v for r in sample])
+    rng = np.random.default_rng(42)
+    k = min(IVF_CLUSTERS, len(train))
+    cents = train[rng.choice(len(train), size=k, replace=False)]
+    for _ in range(8):  # Lloyd on the sample: O(sample × k) driver-side
+        d2 = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = train[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    centroids = [list(map(float, c)) for c in cents]
 
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    # Cluster assignment as ONE codegen-able SQL expression: argmin over
+    # k squared distances (fold per centroid; centroid literals compile
+    # into the plan, i.e. broadcast with it).  A map-only pass at any
+    # scale — no MLlib, no shuffle; first-match array_position is the
+    # deterministic tie-break.
+    dist_exprs = ", ".join(
+        "aggregate(zip_with(v, array("
+        + ", ".join(f"{x!r}D" for x in c)
+        + "), (x, y) -> (x - y) * (x - y)), cast(0 as double),"
+        " (acc, x) -> acc + x)"
+        for c in centroids
+    )
+    cluster = F.expr(
+        f"cast(array_position(array({dist_exprs}),"
+        f" array_min(array({dist_exprs}))) - 1 as int)"
+    )
+    assigned = vecs.select("vec_id", "v", "norm", cluster.alias("cluster"))
 
     def _nearest_clusters(v: list[float]) -> list[int]:
         dists = [
