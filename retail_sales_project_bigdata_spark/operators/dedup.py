@@ -374,13 +374,36 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash mirror: Spark's conv(substr(md5, 1, 8), 16, 10) == DuckDB's
+# CAST('0x' || substr(md5, 1, 8) AS BIGINT); the 32-way sign-sum and bit
+# assembly are generated column-per-bit — verbose but exact.
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(32)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+    for b in range(32)
+)
+
+SIMHASH_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ ]+')) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM toks),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM sums)
+SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sig
+"""
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
-    # simhash_buckets: rows-only (bit arithmetic is engine-portable in
-    # principle but the 32-way sign-sum has no compact SQL analog)
+    "simhash_buckets": SIMHASH_BUCKETS_SQL,
 }
 
 QUERIES = {

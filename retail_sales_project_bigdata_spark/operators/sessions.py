@@ -195,16 +195,30 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frames can't express it, which makes it the canonical case for
     the grouped-map escape hatch (guide's preference order: built-ins →
     applyInPandas → mapPartitions).  One shuffle on user_id; pandas runs
-    per group, Arrow-batched.  Rows-only (recursive — no SQL oracle);
-    property-tested against a local pandas computation.
+    per group, Arrow-batched.
+
+    The recursion is written as an EXPLICIT left-to-right float fold
+    (``y = y*0.7 + x*0.3``) with half-away-on-scaled-double rounding, so
+    it is bitwise-reproducible by DuckDB's ``list_reduce`` over the same
+    ordered prefix + ``ROUND`` — giving even this non-SQL recursive
+    operator an exact oracle (the prefix-fold oracle is O(n²) per user;
+    it is the *checker*, not the scale path).
     """
+    import math
+
     import pandas as pd
 
     ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts_us", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        pdf["ewma_value"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean().round(6)
+        out = []
+        y = None
+        for x in pdf["value"]:
+            y = x if y is None else y * 0.7 + x * 0.3
+            s = y * 1e6
+            out.append(math.trunc(s + math.copysign(0.5, s)) / 1e6)
+        pdf["ewma_value"] = out
         return pdf[["event_id", "user_id", "ts_us", "value", "ewma_value"]]
 
     return ev.groupBy("user_id").applyInPandas(
@@ -214,12 +228,37 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recursive EWMA as a per-row prefix fold: list the user's ordered events
+# once, then list_reduce each prefix with the SAME left-to-right float
+# ops as the Spark-side loop (bitwise equal; verified at sf0.01).
+USER_VALUE_EWMA_SQL = """
+WITH rows_ AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+lists AS (
+  SELECT user_id,
+         list(struct_pack(e := event_id, t := ts_us, v := value)
+              ORDER BY ts_us, event_id) AS evs
+  FROM rows_ GROUP BY user_id
+),
+ex AS (
+  SELECT user_id, unnest(evs) AS ev, generate_subscripts(evs, 1) AS i, evs
+  FROM lists
+)
+SELECT ev.e AS event_id, user_id, ev.t AS ts_us, ev.v AS value,
+       ROUND(list_reduce(list_transform(evs[1:i], s -> s.v),
+             (acc, x) -> acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE)),
+             6) AS ewma_value
+FROM ex
+"""
+
+
 ORACLES: dict[str, str] = {
     "sessionize": SESSIONIZE_SQL,
     "session_stats": SESSION_STATS_SQL,
     "user_activity": USER_ACTIVITY_SQL,
     "event_props_stats": EVENT_PROPS_STATS_SQL,
-    # user_value_ewma: rows-only (recursive definition, no SQL analog)
+    "user_value_ewma": USER_VALUE_EWMA_SQL,
 }
 
 QUERIES = {

@@ -478,11 +478,58 @@ def embedding_near_dup_pairs_numpy(
     )
 
 
+def _plane_sql(p: int) -> str:
+    """Hyperplane as a DuckDB double-list literal — same repr round-trip
+    literals as the Spark plan, so both engines dot against identical
+    doubles."""
+    return "[" + ", ".join(repr(x) for x in _hyperplane(EMBEDDING_DIM, p)) + "]"
+
+
+# Bucket expression mirror: DuckDB list_dot_product is the same
+# sequential fold as _dot_expr, so even the LSH bucketing — an
+# *approximate* algorithm — has an exact cross-engine oracle.
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0"
+    f" THEN {2 ** p} ELSE 0 END)"
+    for p in range(LSH_PLANES)
+)
+
+LSH_SIGNATURES_SQL = f"""
+WITH vecs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, label, CAST({_BUCKET_SQL} AS INT) AS bucket FROM vecs
+"""
+
+ANN_LSH_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+),
+ws AS (SELECT vec_id, v, norm, CAST({_BUCKET_SQL} AS INT) AS bucket FROM vecs),
+queries AS (SELECT vec_id AS q_id, v AS q_v, norm AS q_norm, bucket AS q_bucket
+            FROM ws WHERE vec_id < {N_QUERY_VECS}),
+cand AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.q_v, c.v) / (q.q_norm * c.norm), 6) AS cosine
+  FROM ws c JOIN queries q ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 ORACLES: dict[str, str] = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
-    # lsh_signatures / ann_lsh_topk: rows-only (approximate by design;
-    # recall property-tested against the brute-force baseline)
+    "lsh_signatures": LSH_SIGNATURES_SQL,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    # ann_ivf_topk: rows-only (quantizer centroids are computed at run
+    # time from a corpus sample — not expressible as a static SQL string);
+    # numpy variants: rows-only (BLAS summation order)
 }
 
 QUERIES = {
