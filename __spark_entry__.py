@@ -27,6 +27,7 @@ from retail_sales_project_bigdata_spark.operators import (
     calendar as calendar_mod,
     churn,
     cleaning,
+    datasetops,
     dedup,
     multimodal,
     olap,
@@ -51,6 +52,7 @@ _MODULES = [
     segmentation,
     textstats,
     dedup,
+    datasetops,
     similarity,
     sessions,
     multimodal,

@@ -1,0 +1,298 @@
+"""Training-dataset assembly operators over ``documents`` (north-star ops).
+
+The ops a large-scale LLM-training data pipeline runs after cleaning /
+dedup, each expressed Spark-first and each with an exact DuckDB oracle:
+
+- **dedup_groups**: connected components over the verified MinHash-LSH
+  near-dup pairs — turns pairwise matches into canonical-document
+  assignments (the step that actually deletes duplicates).  Iterative
+  min-label propagation in Spark; transitive-closure recursive CTE in the
+  oracle.
+- **hash_split**: deterministic train/val/test assignment from a keyed
+  md5 bucket — reproducible across runs/engines/cluster sizes, no RNG
+  state, content-independent (so re-crawled text can't hop splits).
+- **stratified_sample**: per-stratum top-N by md5 order — a deterministic
+  "random" sample with exact per-stratum counts (hash order is
+  uncorrelated with any data attribute).
+- **pack_sequences**: concat-and-chunk packing — per shard, documents are
+  concatenated in deterministic hash order and cut into fixed
+  ``CONTEXT_TOKENS`` windows; each doc reports its window span (GPT-style
+  packing; window assignment is pure prefix-sum arithmetic, no fold).
+- **vocab_table**: frequency-ranked token→id dictionary (count desc,
+  token asc — fully deterministic ids).
+
+Scale notes: every op here is one scan plus at most one shuffle (window
+partition or groupBy); dedup_groups adds O(component diameter) tiny
+iterations over the near-dup EDGE set (≪ corpus; the pair graph of a
+deduplicated corpus is sparse by construction).  At 100 TB none of these
+touch the payload column except pack_sequences' token count, which rides
+the same scan as the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from retail_sales_project_bigdata_spark.operators.dedup import (
+    MINHASH_LSH_PAIRS_SQL,
+    minhash_lsh_pairs,
+)
+from retail_sales_project_bigdata_spark.sources import fan_out, read_table
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # remainder is test
+SAMPLE_PER_STRATUM = 50
+CONTEXT_TOKENS = 256
+MAX_CC_ITERS = 50  # safety bound; near-dup components converge in a few
+
+
+def _doc_hash(col: str = "doc_id") -> F.Column:
+    """Deterministic engine-portable per-key hash: md5 of the decimal
+    string.  (xxhash64 would be cheaper but is Spark-specific; md5-of-
+    string is identical in DuckDB, which keeps these ops oracle-exact.)"""
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+_DOC_HASH_SQL = "md5(CAST(doc_id AS VARCHAR))"
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment: connected components over the
+    MinHash-LSH verified near-dup pairs; every doc in a component maps to
+    the component's minimum doc_id.
+
+    Spark shape: iterative min-label propagation over the undirected edge
+    list — each round joins labels to neighbors, takes the min, and
+    checks convergence (a count on the changed set).  ``localCheckpoint``
+    truncates lineage per round so the plan doesn't grow with iterations.
+    At web scale you'd switch to the large-star/small-star contraction
+    (same primitive ops, fewer rounds on high-diameter graphs); near-dup
+    components are small and dense, where plain propagation converges in
+    a handful of rounds.
+    """
+    # Persist the directed pair list BEFORE mirroring it: the union's two
+    # branches are separate plan subtrees, so without the cache boundary
+    # each would re-run the whole LSH pipeline (2× the dominant cost).
+    edges = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2").persist()
+    und = edges.unionByName(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).persist()
+    labels = (
+        und.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            und.join(labels, und.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                "old_label",
+                F.least(
+                    F.col("old_label"), F.coalesce("nbr_min", "old_label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({MINHASH_LSH_PAIRS_SQL})
+),
+und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+FROM reach
+GROUP BY a
+"""
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5(doc_id) mod 100 buckets —
+    {TRAIN_PCT}/{VAL_PCT}/rest.  Map-only at any scale; the assignment is
+    stable under re-runs, engine changes, and repartitioning (properties
+    engine-native RNG splits do not have)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(_doc_hash(), 1, 8), 16, 10).cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+HASH_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr({_DOC_HASH_SQL}, 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample: top {SAMPLE_PER_STRATUM} docs per
+    ``source`` in md5 order (doc_id tiebreak).  One shuffle on the
+    stratum key; at scale the window's sort is per-stratum, and AQE skew
+    handling covers hot strata."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_doc_hash(), "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY {_DOC_HASH_SQL}, doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank
+FROM ranked WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: per ``source`` shard, documents are
+    concatenated in deterministic md5 order and cut into
+    {CONTEXT_TOKENS}-token windows; each doc reports its start offset and
+    window span.  Window assignment is an exclusive prefix sum — one
+    shuffle on the shard key, no sequential fold, so it scales as a
+    single window aggregation."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), "[ ]+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_doc_hash(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    out = toks.select("doc_id", "source", "n_tokens", start)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok DIV {CONTEXT_TOKENS}").alias("start_window"),
+        F.expr(
+            f"(start_tok + n_tokens - 1) DIV {CONTEXT_TOKENS}"
+        ).alias("end_window"),
+        (
+            F.expr(f"start_tok DIV {CONTEXT_TOKENS}")
+            != F.expr(f"(start_tok + n_tokens - 1) DIV {CONTEXT_TOKENS}")
+        )
+        .cast("int")
+        .alias("straddles"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '[ ]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY {_DOC_HASH_SQL}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS start_tok
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_tok,
+       start_tok // {CONTEXT_TOKENS} AS start_window,
+       (start_tok + n_tokens - 1) // {CONTEXT_TOKENS} AS end_window,
+       CAST(start_tok // {CONTEXT_TOKENS}
+            <> (start_tok + n_tokens - 1) // {CONTEXT_TOKENS} AS INT) AS straddles
+FROM pre
+"""
+
+
+def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked token→id dictionary: tokens ordered by (count
+    desc, token asc) get dense ids — the vocab-building step of a
+    tokenizer pipeline.  Explode + count is map-side-combined; the final
+    ranking window runs over the (small) distinct-token set in one
+    partition, which is correct at any corpus size because the dictionary
+    is vocabulary-sized, not corpus-sized."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[ ]+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", F.row_number().over(w).cast("long") - 1
+    )
+
+
+VOCAB_TABLE_SQL = """
+WITH counts AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ ]+')) AS t
+        FROM documents)
+  GROUP BY t
+)
+SELECT token, n_occurrences,
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS token_id
+FROM counts
+"""
+
+
+ORACLES: dict[str, str] = {
+    "dedup_groups": DEDUP_GROUPS_SQL,
+    "hash_split": HASH_SPLIT_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "vocab_table": VOCAB_TABLE_SQL,
+}
+
+QUERIES = {
+    "dedup_groups": dedup_groups,
+    "hash_split": hash_split,
+    "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
+    "vocab_table": vocab_table,
+}

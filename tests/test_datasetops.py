@@ -1,0 +1,103 @@
+"""Invariant tests for the training-dataset assembly ops (datasetops).
+
+Exact values are covered by the DuckDB oracle gate; these assert the
+semantic invariants that make the ops *correct as pipeline stages*:
+transitive consistency of canonical assignment, split totality, packing
+conservation, dense ids.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from retail_sales_project_bigdata_spark.operators import datasetops
+from retail_sales_project_bigdata_spark.operators.dedup import minhash_lsh_pairs
+from tests.conftest import SF_SMALL
+
+
+def test_dedup_groups_is_a_consistent_components_labeling(spark):
+    labels = {
+        r.doc_id: r.canonical_id
+        for r in datasetops.dedup_groups(spark, SF_SMALL).collect()
+    }
+    pairs = [
+        (r.d1, r.d2) for r in minhash_lsh_pairs(spark, SF_SMALL).collect()
+    ]
+    assert labels, "near-dup pairs exist at sf0.001 by data design"
+    # canonical is the component min: never above the member id...
+    assert all(c <= d for d, c in labels.items())
+    # ...both endpoints of every edge agree...
+    assert all(labels[a] == labels[b] for a, b in pairs)
+    # ...and canonicals are fixpoints (label(label(x)) == label(x)).
+    assert all(labels[c] == c for c in set(labels.values()))
+    # Independent union-find over the same edges gives identical groups.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in labels}
+    assert labels == expected
+
+
+def test_hash_split_is_total_and_consistent(spark):
+    rows = datasetops.hash_split(spark, SF_SMALL).collect()
+    assert all(0 <= r.bucket < 100 for r in rows)
+    for r in rows:
+        if r.bucket < datasetops.TRAIN_PCT:
+            assert r.split == "train"
+        elif r.bucket < datasetops.TRAIN_PCT + datasetops.VAL_PCT:
+            assert r.split == "val"
+        else:
+            assert r.split == "test"
+    # all three splits non-empty and train is the (rough) majority
+    by_split = defaultdict(int)
+    for r in rows:
+        by_split[r.split] += 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"] + by_split["test"]
+
+
+def test_pack_sequences_conserves_tokens_and_orders_windows(spark):
+    rows = datasetops.pack_sequences(spark, SF_SMALL).collect()
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r.start_tok)
+        # exclusive prefix sum: each doc starts where the previous ended
+        pos = 0
+        for r in rs:
+            assert r.start_tok == pos, (source, r.doc_id)
+            pos += r.n_tokens
+            assert r.start_window == r.start_tok // datasetops.CONTEXT_TOKENS
+            assert r.end_window == (r.start_tok + r.n_tokens - 1) // datasetops.CONTEXT_TOKENS
+            assert r.straddles == int(r.start_window != r.end_window)
+
+
+def test_stratified_sample_caps_and_ranks(spark):
+    rows = datasetops.stratified_sample(spark, SF_SMALL).collect()
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r.sample_rank)
+    for source, ranks in by_source.items():
+        assert len(ranks) <= datasetops.SAMPLE_PER_STRATUM
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), source
+
+
+def test_vocab_table_ids_dense_and_frequency_ordered(spark):
+    rows = sorted(
+        datasetops.vocab_table(spark, SF_SMALL).collect(),
+        key=lambda r: r.token_id,
+    )
+    assert [r.token_id for r in rows] == list(range(len(rows)))
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
