@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from retail_sales_project_bigdata_spark import streaming as streaming_mod
 from retail_sales_project_bigdata_spark.ml import pipelines as ml_pipelines
 from retail_sales_project_bigdata_spark.operators import (
+    asof,
     baskets,
     calendar as calendar_mod,
+    cdc,
     churn,
     cleaning,
     datasetops,
@@ -58,6 +60,8 @@ _MODULES = [
     multimodal,
     olap,
     calendar_mod,
+    asof,
+    cdc,
     streaming_mod,
 ]
 

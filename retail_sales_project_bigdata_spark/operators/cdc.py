@@ -1,0 +1,169 @@
+"""Change-data-capture primitives: snapshot diff and MERGE-style upsert.
+
+Lakehouse write patterns expressed as plain DataFrame algebra (no Delta /
+Iceberg dependency — those arrive via the connector stubs in
+``sources.lakehouse``; these ops are the engine-side semantics):
+
+- **snapshot_diff**: two versions of a keyed table → (key, status) with
+  status ∈ {added, removed, changed}.  Full-outer join on the key,
+  change detection by md5 over the canonicalized value columns — one
+  shuffle, no row amplification, at 100 TB the hash comparison avoids
+  shipping wide rows twice.
+- **merge_upsert**: MERGE INTO semantics (matched → update, not matched
+  by target → insert, else keep) via full-outer join + coalesce — the
+  engine-level plan that a Delta MERGE compiles to.
+
+Both versions here are *simulated* deterministically from the testdata
+(there is only one physical snapshot), which keeps the ops oracle-exact:
+the "old" snapshot drops every 10th order and the "new" one bumps every
+7th order's price.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.functions import pround
+from retail_sales_project_bigdata_spark.sources import read_table
+
+
+def _order_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, pround(F.col("o_totalprice") + 1.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return old, new
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff of the simulated order snapshots: rows added in the new
+    version, removed from it, or changed in any value column (detected
+    via md5 over the canonicalized row — wide tables compare one hash,
+    not every column, after the single key-shuffle)."""
+    old, new = _order_snapshots(spark, sf_dir)
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    "o_orderstatus",
+                    F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .cast("long")
+                    .cast("string"),
+                ).cast("binary")
+            ).alias("row_hash"),
+        )
+
+    a = fingerprint(old).withColumnRenamed("row_hash", "old_hash")
+    b = fingerprint(new).withColumnRenamed("row_hash", "new_hash")
+    joined = a.join(b, "o_orderkey", "full_outer")
+    return joined.select(
+        "o_orderkey",
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    ).filter(F.col("status") != "unchanged")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN ROUND(o_totalprice + 1.0, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+),
+a AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+          || '|' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS old_hash FROM old),
+b AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+          || '|' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS new_hash FROM new)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.old_hash IS NULL THEN 'added'
+            WHEN b.new_hash IS NULL THEN 'removed'
+            WHEN a.old_hash <> b.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE (CASE WHEN a.old_hash IS NULL THEN 'added'
+            WHEN b.new_hash IS NULL THEN 'removed'
+            WHEN a.old_hash <> b.new_hash THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: target = customers with c_custkey % 3 != 0
+    (simulated stale table), source = per-customer order counts.  Matched
+    targets get ``order_count`` updated; unmatched source keys are
+    inserted with defaults; unmatched targets are kept (order_count 0).
+    One full-outer join on the merge key — the shuffle MERGE compiles to
+    when the source isn't broadcastable."""
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    target = customer.filter(F.col("c_custkey") % 3 != 0)
+    source = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    merged = target.join(source, "c_custkey", "full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("c_name"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("c_mktsegment"),
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("c_acctbal"),
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        F.when(F.col("c_name").isNull(), "inserted")
+        .when(F.col("order_count").isNull(), "kept")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH target AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+source AS (
+  SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS order_count
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       COALESCE(t.c_name, 'UNKNOWN') AS c_name,
+       COALESCE(t.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       COALESCE(t.c_acctbal, 0.0) AS c_acctbal,
+       COALESCE(s.order_count, 0) AS order_count,
+       CASE WHEN t.c_name IS NULL THEN 'inserted'
+            WHEN s.order_count IS NULL THEN 'kept'
+            ELSE 'updated' END AS merge_action
+FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+"""
+
+
+ORACLES: dict[str, str] = {
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "merge_upsert": MERGE_UPSERT_SQL,
+}
+
+QUERIES = {
+    "snapshot_diff": snapshot_diff,
+    "merge_upsert": merge_upsert,
+}
