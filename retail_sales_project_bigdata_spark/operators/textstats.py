@@ -190,6 +190,42 @@ FROM per_doc GROUP BY source
 """
 
 
+# BPE-style pre-tokenizer pattern (GPT-2-family simplified to portable
+# character classes: letter runs, digit runs, single other-symbols — the
+# split boundaries a byte-level BPE sees before merges).  Class-based, so
+# Java regex (Spark) and RE2-style (DuckDB) agree exactly.
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token accounting per doc: pre-tokenizer
+    match count (``regexp_count`` — JVM-side, no Python) and the
+    chars-per-token compression ratio that budget planning uses to
+    convert corpus bytes into training tokens."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    n_ws = F.size(_tokens()).cast("long")
+    n_bpe = F.regexp_count(low, F.lit(_BPE_PATTERN)).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        pround(F.length("text") / n_bpe, 6).alias("chars_per_bpe_token"),
+    )
+
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id, source,
+       CAST(len(regexp_split_to_array(lower(text), '[ ]+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS BIGINT) AS n_tokens_bpe,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')), 6)
+           AS chars_per_bpe_token
+FROM documents
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of the raw text (exact identity) and md5
     of the sorted distinct-token set (bag-of-words identity — robust to
@@ -219,6 +255,7 @@ ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
     "token_counts_by_source": TOKEN_COUNTS_BY_SOURCE_SQL,
+    "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
 }
 
@@ -226,5 +263,6 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_counts_by_source": token_counts_by_source,
+    "bpe_token_stats": bpe_token_stats,
     "doc_fingerprints": doc_fingerprints,
 }

@@ -209,9 +209,77 @@ def streaming_stateful_user_sessions(
     )
 
 
+def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views from the preceding 30 minutes, watermarks on BOTH sides
+    so the join state is bounded (Spark evicts view state older than the
+    watermark minus the interval — the production Kafka shape).
+
+    An INNER stream-stream join over a bounded source emits exactly the
+    batch equi+range join result, so this streaming query is
+    oracle-exact; the watermark changes only state retention, never the
+    inner-join output."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    )
+    out = joined.select(
+        "purchase_event_id",
+        "view_event_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias(
+            "gap_us"
+        ),
+    )
+    name, _ = _run_to_memory(out, "append")
+    return spark.table(name)
+
+
+STREAMING_PURCHASE_VIEW_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
+)
+SELECT p.event_id AS purchase_event_id,
+       v.event_id AS view_event_id,
+       p.user_id,
+       p.us - v.us AS gap_us
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.us <= p.us
+ AND v.us >= p.us - 30 * 60 * 1000000
+"""
+
+
 ORACLES: dict[str, str] = {
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
+    "streaming_purchase_view_join": STREAMING_PURCHASE_VIEW_JOIN_SQL,
     # streaming_sliding_value / streaming_stateful_user_sessions:
     # rows-only (watermark / state-evolution semantics by design)
 }
@@ -221,4 +289,5 @@ QUERIES = {
     "streaming_sliding_value": streaming_sliding_value,
     "streaming_user_event_counts": streaming_user_event_counts,
     "streaming_stateful_user_sessions": streaming_stateful_user_sessions,
+    "streaming_purchase_view_join": streaming_purchase_view_join,
 }
