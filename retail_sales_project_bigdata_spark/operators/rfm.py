@@ -164,12 +164,62 @@ FROM per_cust p JOIN demo d ON p.o_custkey = d.c_custkey
 """
 
 
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic 5-quintile RFM scoring on top of :func:`rfm` — ``ntile(5)``
+    per metric with the customer key as total-order tiebreak (NTILE is
+    purely rank-based, so a unique ordering makes it deterministic and
+    engine-portable).  R inverts (most recent = 5); the concatenated
+    segment code is the standard retail-marketing cell label.
+
+    Scale: three global NTILEs are single-partition windows over the
+    per-customer frame — correct because that frame is |customers|-sized
+    (already aggregated), the same justification as vocab_table's ranking.
+    """
+    from pyspark.sql.window import Window
+
+    base = rfm(spark, sf_dir)
+    r_w = Window.orderBy(F.asc("recency"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        "recency",
+        "frequency",
+        "monetary",
+        (F.lit(6) - F.ntile(5).over(r_w)).alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(f_w)).alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(m_w)).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+RFM_SCORES_SQL = f"""
+WITH rfm_base AS ({RFM_SQL})
+SELECT o_custkey, recency, frequency, monetary,
+       6 - NTILE(5) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_score,
+       6 - NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+       6 - NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score,
+       CAST(6 - NTILE(5) OVER (ORDER BY recency ASC, o_custkey ASC) AS VARCHAR)
+       || CAST(6 - NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS VARCHAR)
+       || CAST(6 - NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS VARCHAR)
+           AS segment
+FROM rfm_base
+"""
+
+
 ORACLES: dict[str, str] = {
     "rfm": RFM_SQL,
     "rfm_demographics": RFM_DEMOGRAPHICS_SQL,
+    "rfm_scores": RFM_SCORES_SQL,
 }
 
 QUERIES = {
     "rfm": rfm,
     "rfm_demographics": rfm_demographics,
+    "rfm_scores": rfm_scores,
 }

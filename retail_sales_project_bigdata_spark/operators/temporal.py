@@ -129,12 +129,75 @@ SELECT store_id, product_id, week_no, sum_net_sales FROM combined WHERE week_no 
 """
 
 
+def rolling_7day_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day store sales: a RANGE-frame window (time-interval
+    frame, not row-count) over the daily rollup — days with no sales
+    correctly fall out of the trailing sum because RANGE frames bound by
+    the ORDER BY *value*.
+
+    Float discipline: the daily total is rounded to its 4-decimal grid
+    and SCALED TO BIGINT before the window sum — integer addition is
+    associative, so the trailing sum is exact regardless of the engine's
+    frame-evaluation order (segment trees vs running folds), then one
+    final division converts back.  A double window-sum here would be
+    order-sensitive in the last ulp and break the oracle hash."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("net_sales", net_sales())
+    )
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("store_id"), "day"
+    ).agg(stable_sum("net_sales").alias("day_sales"))
+    scaled = daily.withColumn(
+        "day_sales_e4",
+        F.floor(F.col("day_sales") * 10000 + 0.5).cast("long"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("store_id").orderBy("day").rangeBetween(-6, 0)
+    return scaled.select(
+        "store_id",
+        "day",
+        "day_sales",
+        (F.sum("day_sales_e4").over(w) / 10000.0).alias("trailing_7d_sales"),
+        F.count(F.lit(1)).over(w).alias("active_days_in_window"),
+    )
+
+
+ROLLING_7DAY_SALES_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey AS store_id,
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1 AS INT) AS day,
+         l_extendedprice * (1.0 - l_discount) AS net_sales
+  FROM lineitem
+),
+daily AS (
+  SELECT store_id, day, {oracle_sum('net_sales')} AS day_sales
+  FROM li GROUP BY store_id, day
+),
+scaled AS (
+  SELECT store_id, day, day_sales,
+         CAST(FLOOR(day_sales * 10000 + 0.5) AS BIGINT) AS day_sales_e4
+  FROM daily
+)
+SELECT store_id, day, day_sales,
+       CAST(SUM(day_sales_e4) OVER w AS DOUBLE) / 10000.0 AS trailing_7d_sales,
+       CAST(COUNT(*) OVER w AS BIGINT) AS active_days_in_window
+FROM scaled
+WINDOW w AS (PARTITION BY store_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 ORACLES: dict[str, str] = {
     "weekly_demand": WEEKLY_DEMAND_SQL,
     "union_weekly_halves": UNION_WEEKLY_HALVES_SQL,
+    "rolling_7day_sales": ROLLING_7DAY_SALES_SQL,
 }
 
 QUERIES = {
     "weekly_demand": weekly_demand,
     "union_weekly_halves": union_weekly_halves,
+    "rolling_7day_sales": rolling_7day_sales,
 }
