@@ -48,6 +48,27 @@ def pround(col: Column | str, scale: int) -> Column:
     return F.round(c * factor, 0) / factor
 
 
+def pround_py(x: float, scale: int) -> float:
+    """Scalar Python mirror of :func:`pround` / DuckDB ROUND(double):
+    half-away-from-zero on the scaled double.  (Python's round and
+    numpy's round tie to even and diverge on representable ties.)"""
+    import math
+
+    factor = float(10 ** scale)
+    s = x * factor
+    return math.trunc(s + math.copysign(0.5, s)) / factor
+
+
+def pround_np(x, scale: int):
+    """NumPy (vectorized) mirror of :func:`pround` — same scaled
+    half-away sequence, element-wise."""
+    import numpy as np
+
+    factor = float(10 ** scale)
+    s = x * factor
+    return np.trunc(s + np.copysign(0.5, s)) / factor
+
+
 def stable_sum(col: Column | str, scale: int = 4) -> Column:
     """Engine-portable sum of a double column (rounded to ``scale``)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -42,25 +42,28 @@ def asof_join(
 ) -> DataFrame:
     """Generic as-of left join: left ⟕ most-recent right with
     ``right_ts <= left_ts`` per ``on`` key.  Returns all left columns
-    plus ``right_cols`` (null when no prior right row exists)."""
+    plus ``right_cols`` (null when no prior right row exists).
+
+    The right columns travel as ONE struct through the running
+    ``last(ignorenulls)`` — filling them independently would splice
+    values from different right rows whenever one right column is null
+    (ASOF matches a *row*, atomically).  Right rows with a null timestamp
+    are excluded up front: ``right_ts <= left_ts`` is null-false in ASOF
+    semantics, but a null would sort FIRST under Spark's asc ordering and
+    become a phantom earliest match."""
     on = list(on)
-    tagged_right = right.select(
+    tagged_right = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
     )
     left_cols = [c for c in left.columns]
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[
-            F.lit(None).cast(tagged_right.schema[f"__r_{c}"].dataType).alias(
-                f"__r_{c}"
-            )
-            for c in right_cols
-        ],
+        F.lit(None).cast(tagged_right.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     merged = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
@@ -72,12 +75,15 @@ def asof_join(
     filled = merged.select(
         "__tag",
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r_filled"),
     )
-    return filled.filter(F.col("__tag") == 1).drop("__tag")
+    return (
+        filled.filter(F.col("__tag") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__r_filled.{c}").alias(c) for c in right_cols],
+        )
+    )
 
 
 def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

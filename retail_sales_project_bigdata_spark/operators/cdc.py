@@ -52,16 +52,28 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _order_snapshots(spark, sf_dir)
 
     def fingerprint(df: DataFrame) -> DataFrame:
+        # Each column is null-coalesced to an explicit sentinel BEFORE
+        # concatenation (concat_ws would silently SKIP nulls, making
+        # ('a', null, 'b') collide with ('a', 'b') and diverging from the
+        # oracle's null-propagating `||`; plain concat would null the
+        # whole hash and misclassify the row as added/removed).  The
+        # sentinel keeps null a distinct, hashable value in both engines.
+        def canon(c: F.Column) -> F.Column:
+            return F.coalesce(c.cast("string"), F.lit("<null>"))
+
         return df.select(
             "o_orderkey",
             F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_custkey").cast("string"),
-                    "o_orderstatus",
-                    F.floor(F.col("o_totalprice") * 100 + 0.5)
-                    .cast("long")
-                    .cast("string"),
+                F.concat(
+                    canon(F.col("o_custkey")),
+                    F.lit("|"),
+                    canon(F.col("o_orderstatus")),
+                    F.lit("|"),
+                    canon(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast(
+                            "long"
+                        )
+                    ),
                 ).cast("binary")
             ).alias("row_hash"),
         )
@@ -90,10 +102,16 @@ new AS (
               ELSE o_totalprice END AS o_totalprice
   FROM base
 ),
-a AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
-          || '|' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS old_hash FROM old),
-b AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
-          || '|' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS new_hash FROM new)
+a AS (SELECT o_orderkey, md5(
+          COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|'
+          || COALESCE(o_orderstatus, '<null>') || '|'
+          || COALESCE(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '<null>')
+      ) AS old_hash FROM old),
+b AS (SELECT o_orderkey, md5(
+          COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|'
+          || COALESCE(o_orderstatus, '<null>') || '|'
+          || COALESCE(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '<null>')
+      ) AS new_hash FROM new)
 SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
        CASE WHEN a.old_hash IS NULL THEN 'added'
             WHEN b.new_hash IS NULL THEN 'removed'

@@ -85,6 +85,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             und.join(labels, und.d2 == labels.doc_id)
@@ -108,6 +109,14 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     und.unpersist()
+    edges.unpersist()
+    if changed != 0:
+        # Silent truncation would return labels that are not component
+        # minima — fail loudly instead (a >MAX_CC_ITERS-diameter chain of
+        # near-dups wants the large-star/small-star variant, not a cap).
+        raise RuntimeError(
+            f"dedup_groups did not converge in {MAX_CC_ITERS} rounds"
+        )
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 

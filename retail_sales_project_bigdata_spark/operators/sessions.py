@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from retail_sales_project_bigdata_spark.functions import oracle_sum, stable_sum, pround
+from retail_sales_project_bigdata_spark.functions import (
+    oracle_sum,
+    pround,
+    pround_py,
+    stable_sum,
+)
 from retail_sales_project_bigdata_spark.sources import read_events
 
 SESSION_GAP_MINUTES = 30
@@ -204,8 +209,6 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator an exact oracle (the prefix-fold oracle is O(n²) per user;
     it is the *checker*, not the scale path).
     """
-    import math
-
     import pandas as pd
 
     ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts_us", "value")
@@ -216,8 +219,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = None
         for x in pdf["value"]:
             y = x if y is None else y * 0.7 + x * 0.3
-            s = y * 1e6
-            out.append(math.trunc(s + math.copysign(0.5, s)) / 1e6)
+            out.append(pround_py(y, 6))
         pdf["ewma_value"] = out
         return pdf[["event_id", "user_id", "ts_us", "value", "ewma_value"]]
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from retail_sales_project_bigdata_spark.functions import pround
+from retail_sales_project_bigdata_spark.functions import pround, pround_np
 from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query set
@@ -29,68 +29,29 @@ LSH_PLANES = 4  # random-hyperplane signature bits (16 buckets; more planes = hi
 
 
 EMBEDDING_DIM = 64
-
-
-def _dot(a: F.Column, b: F.Column, dim: int = EMBEDDING_DIM) -> F.Column:
-    """In-order dot product over two array<double> columns — exact
-    cross-engine parity with DuckDB's list_dot_product (sequential sum).
-
-    Unrolled as an explicit left-associated chain of 64 multiply-adds
-    instead of ``F.aggregate``/``zip_with``: higher-order functions are
-    NOT whole-stage-codegen'd (per-element lambda interpretation), while
-    the unrolled expression compiles into one codegen span — ~10× faster
-    at identical IEEE semantics (left-to-right addition, and
-    ``0 + x == x`` exactly, so the fold and the chain agree bitwise)."""
-    terms = [
-        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
-def _dot_fold(a: F.Column, b: F.Column) -> F.Column:
-    """Fold-based dot product (``aggregate`` over ``zip_with``) — bitwise
-    identical to :func:`_dot` (left-to-right addition; ``0 + x == x``).
-    Preferred when the expression evaluates on millions of rows: the
-    unrolled 64-term chain exceeds the JVM's JIT method-size limit and
-    runs as interpreted bytecode, which is SLOWER than the HOF path at
-    high row counts; at low row counts the unrolled codegen wins."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+NEAR_DUP_THRESHOLD = 0.5  # shared by both near-dup variants AND their oracle SQL
 
 
 def _dot_expr(a: str, b: str) -> F.Column:
-    """Fold dot product built from ONE SQL string (:func:`_dot_fold`
-    semantics — bitwise identical to the unrolled chain and to DuckDB's
-    ``list_dot_product``).
+    """In-order fold dot product over two array<double> columns, built
+    from ONE SQL string.
 
-    Why a string: constructing the unrolled 64-term tree through the
-    Python column API issues thousands of Py4J calls and hands Catalyst a
-    ~250-node expression that constraint inference then clones into join
-    filters — at small row counts ANALYSIS dominated execution 4:1 for
-    the ANN queries.  One ``F.expr`` parse yields a 7-node tree; planning
-    cost becomes row-count-independent, which is also what you want on a
+    Parity: a left-to-right fold with a 0.0 seed (``0 + x == x``
+    exactly) — bitwise identical to DuckDB's ``list_dot_product``
+    sequential sum, which is what makes the ANN oracles exact.
+
+    Why a string: constructing an equivalent tree through the Python
+    column API (64 unrolled terms, or per-element lambdas) issues
+    thousands of Py4J calls and hands Catalyst a ~250-node expression
+    that constraint inference then clones into join filters — at small
+    row counts ANALYSIS dominated execution 4:1 for the ANN queries.
+    One ``F.expr`` parse yields a 7-node tree; planning cost becomes
+    row-count-independent, which is also what you want on a
     1000-executor cluster where the driver plans while executors idle."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
         " cast(0 as double), (acc, x) -> acc + x)"
     )
-
-
-def _np_round_half_away(x, n: int):
-    """NumPy mirror of :func:`pround` / DuckDB ROUND: scale, round half
-    away from zero on the scaled double, unscale.  numpy's own ``round``
-    ties to even and would diverge on representable ties."""
-    import numpy as np
-
-    factor = float(10 ** n)
-    scaled = x * factor
-    return np.trunc(scaled + np.copysign(0.5, scaled)) / factor
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,33 +127,38 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
-def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (SimHash-for-cosine) signatures: bit_i =
-    sign(v · plane_i).  Planes are deterministic literals compiled into the
-    plan — broadcast implicitly with the plan, no driver state."""
-    vecs = _vectors(spark, sf_dir)
-    dim = 64
-    # One SQL string for the whole signature (see _dot_expr: per-literal
-    # Column construction costs more in Py4J/analysis than execution).
+def _bucket_expr(vec_col: str = "v") -> F.Column:
+    """Hyperplane LSH bucket as one SQL-string expression over a vector
+    column (see _dot_expr: per-literal Column construction costs more in
+    Py4J/analysis than execution).  Planes are deterministic literals
+    compiled into the plan — broadcast implicitly with it, no driver
+    state; reusable map-side wherever the vector column is in scope."""
     terms = []
     for p in range(LSH_PLANES):
-        plane = ", ".join(f"{x!r}D" for x in _hyperplane(dim, p))
+        plane = ", ".join(f"{x!r}D" for x in _hyperplane(EMBEDDING_DIM, p))
         dot = (
-            f"aggregate(zip_with(v, array({plane}), (x, y) -> x * y),"
+            f"aggregate(zip_with({vec_col}, array({plane}), (x, y) -> x * y),"
             " cast(0 as double), (acc, x) -> acc + x)"
         )
         terms.append(f"if({dot} > 0D, {2 ** p}, 0)")
-    sig = F.expr(" + ".join(terms))
-    return vecs.select("vec_id", "label", sig.cast("int").alias("bucket"))
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) signatures: bit_i =
+    sign(v · plane_i)."""
+    vecs = _vectors(spark, sf_dir)
+    return vecs.select("vec_id", "label", _bucket_expr().alias("bucket"))
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase ANN: LSH bucket match (cheap candidates) → exact cosine
     rerank within candidates.  Recall vs ann_bruteforce_topk is
     property-tested; rows-only for the driver (approximate by design)."""
-    vecs = _vectors(spark, sf_dir)
-    sigs = lsh_signatures(spark, sf_dir).select("vec_id", "bucket")
-    with_sig = vecs.join(sigs, "vec_id")
+    # Bucket attached MAP-SIDE via the shared expression — joining the
+    # lsh_signatures frame back on vec_id would rescan embeddings and
+    # shuffle both sides to rebuild a column that is a pure function of v.
+    with_sig = _vectors(spark, sf_dir).withColumn("bucket", _bucket_expr())
     queries = (
         with_sig.filter(F.col("vec_id") < N_QUERY_VECS)
         .select(
@@ -341,7 +307,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5) — the
     embedding-space analog of ngram_jaccard_pairs.  Exact all-pairs at test
@@ -364,7 +330,7 @@ def embedding_near_dup_pairs(
     )
 
 
-EMBEDDING_NEAR_DUP_PAIRS_SQL = """
+EMBEDDING_NEAR_DUP_PAIRS_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
@@ -373,7 +339,7 @@ WITH vecs AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
 FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.5
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 """
 
 
@@ -417,7 +383,7 @@ def ann_bruteforce_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "neighbor_id": np.repeat(
                         pdf["vec_id"].to_numpy()[:, None], n_q, axis=1
                     ).ravel(),
-                    "cosine": _np_round_half_away(sims.ravel(), 6),
+                    "cosine": pround_np(sims.ravel(), 6),
                 }
             )
 
@@ -433,7 +399,7 @@ def ann_bruteforce_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs_numpy(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
     """Block-matmul variant of the all-pairs near-dup scan: the corpus is
     broadcast as a normalized matrix; each partition multiplies its block
@@ -469,7 +435,7 @@ def embedding_near_dup_pairs_numpy(
                 {
                     "id_a": my_ids[ai],
                     "id_b": c_ids[bj],
-                    "cosine": _np_round_half_away(sims[ai, bj], 6),
+                    "cosine": pround_np(sims[ai, bj], 6),
                 }
             )
 
