@@ -56,16 +56,34 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stateful-operator parallelism: every stateful streaming op creates one
+# state store PER shuffle partition PER microbatch, so state partitions
+# must be sized to STREAM volume, not the batch session default — with 32
+# partitions the stream-stream join spent 4× its runtime on state-store
+# init/commit for near-empty partitions.  In production this is
+# throughput-sized at stream start (it is fixed for the life of the
+# checkpoint); 8 matches the bounded local microbatches.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_memory(agg: DataFrame, mode: str) -> tuple[str, object]:
     name = f"stream_out_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
+    spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name, q
 
 
