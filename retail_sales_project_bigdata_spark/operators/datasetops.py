@@ -290,7 +290,170 @@ FROM counts
 """
 
 
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: train-split documents that share any
+    word-3-gram shingle with a test-split document (the n-gram collision
+    check run before training to keep benchmark text out of the corpus).
+
+    Shape: the split assignment (a pure hash expression) joins onto the
+    exploded shingle frame, then train-side shingles equi-join test-side
+    shingles — identical physics to the Jaccard pair join, but the probe
+    side (test/benchmark set) is tiny by definition, so at 100 TB this
+    broadcasts the benchmark shingle set and the check is a map-only
+    filter over the train corpus."""
+    sh = _shingles_with_split(spark, sf_dir)
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    test = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "s"
+    )
+    return (
+        train.join(F.broadcast(test), "s")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def _shingles_with_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_sales_project_bigdata_spark.operators.dedup import _shingles
+
+    bucket = (
+        F.conv(F.substring(_doc_hash(), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        _shingles(spark, sf_dir)
+        .withColumn("split", split)
+        .select("doc_id", "split", F.explode("shingles").alias("s"))
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles,
+         CAST(('0x' || substr({_DOC_HASH_SQL}, 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[ ]+') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+              WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         unnest(shingles) AS s
+  FROM sh
+)
+SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
+       COUNT(*) AS n_shared_shingles
+FROM (SELECT * FROM ex WHERE split = 'train') tr
+JOIN (SELECT * FROM ex WHERE split = 'test') te ON tr.s = te.s
+GROUP BY tr.doc_id, te.doc_id
+"""
+
+
+# Quality-funnel stage predicates, applied CUMULATIVELY in order.  Each
+# entry: (stage_name, SQL boolean over the per-doc feature frame) — the
+# same string compiles into the Spark plan (F.expr) and the oracle.
+FUNNEL_STAGES: list[tuple[str, str]] = [
+    ("ingested", "TRUE"),
+    ("len_ok", "n_tokens >= 10"),
+    ("alpha_ok", "n_alpha * 2 >= n_chars"),
+    ("lang_known", "lang <> 'unknown'"),
+]
+
+
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage retention accounting for a cleaning chain: one scan,
+    conditional aggregation per cumulative stage (no unions, no repeated
+    passes) — the ablation report every dataset build publishes.  Output:
+    stage, docs surviving, tokens surviving, retention vs ingested."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), "[ ]+")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).alias(
+            "n_alpha"
+        ),
+    )
+    cumulative = []
+    rows = []
+    for stage, pred in FUNNEL_STAGES:
+        cumulative.append(f"({pred})")
+        keep = F.expr(" AND ".join(cumulative))
+        rows.append(
+            feats.agg(
+                F.lit(stage).alias("stage"),
+                F.sum(keep.cast("long")).alias("n_docs"),
+                F.sum(
+                    F.when(keep, F.col("n_tokens")).otherwise(0)
+                ).alias("n_tokens"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    total = out.filter(F.col("stage") == "ingested").select(
+        F.col("n_docs").alias("total_docs")
+    )
+    from retail_sales_project_bigdata_spark.functions import pround
+
+    return out.crossJoin(F.broadcast(total)).select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        pround(F.col("n_docs") / F.col("total_docs"), 6).alias("retention"),
+    )
+
+
+def _funnel_sql() -> str:
+    cumulative = []
+    selects = []
+    for stage, pred in FUNNEL_STAGES:
+        cumulative.append(f"({pred})")
+        keep = " AND ".join(cumulative)
+        selects.append(
+            f"SELECT '{stage}' AS stage,\n"
+            f"       CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,\n"
+            f"       CAST(SUM(CASE WHEN {keep} THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens\n"
+            "FROM feats"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(text), '[ ]+')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+stages AS (
+{union}
+)
+SELECT stage, n_docs, n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / (SELECT n_docs FROM stages WHERE stage = 'ingested'), 6)
+           AS retention
+FROM stages
+"""
+
+
+QUALITY_FUNNEL_SQL = _funnel_sql()
+
+
 ORACLES: dict[str, str] = {
+    "contamination_check": CONTAMINATION_CHECK_SQL,
+    "quality_funnel": QUALITY_FUNNEL_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
     "hash_split": HASH_SPLIT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
@@ -299,6 +462,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "contamination_check": contamination_check,
+    "quality_funnel": quality_funnel,
     "dedup_groups": dedup_groups,
     "hash_split": hash_split,
     "stratified_sample": stratified_sample,
