@@ -92,3 +92,62 @@ def test_stable_sum_equals_exact_decimal_sum(spark, vals):
         df = spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(parts)
         got = df.agg(stable_sum("x", 2).alias("s")).first().s
         assert got == round(exact, 2)
+
+
+# ---------------------------------------------------------------------------
+# Generic as-of join vs a Python reference, under adversarial null patterns
+# (null right timestamps must be excluded; a null in ONE right column must
+# not splice values from different right rows — the match is atomic).
+
+_asof_right_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key
+        st.one_of(st.none(), st.integers(0, 50)),  # ts (nullable)
+        st.one_of(st.none(), st.integers(0, 99)),  # payload a (nullable)
+        st.integers(100, 199),  # payload b
+    ),
+    min_size=0,
+    max_size=12,
+)
+_asof_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(left_rows=_asof_left_rows, right_rows=_asof_right_rows)
+@_slow
+def test_asof_join_matches_reference_with_nulls(spark, left_rows, right_rows):
+    from retail_sales_project_bigdata_spark.operators.asof import asof_join
+
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(left_rows)]
+    right_rows = [
+        (k, t, a, b, i) for i, (k, t, a, b) in enumerate(right_rows)
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        right_rows, "k long, rts long, pa long, pb long, rid long"
+    )
+    got = {
+        r.lid: (r.pa, r.pb, r.rid)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["pa", "pb", "rid"],
+        ).collect()
+    }
+    for lid, k, ts in left_rows:
+        # reference: the matching right ROW with max (rts, then insertion
+        # order via rid as the union's stable tie-break is unspecified for
+        # exact rts ties — only assert when the max-ts right row is unique)
+        cands = [r for r in right_rows if r[0] == k and r[1] is not None and r[1] <= ts]
+        if not cands:
+            assert got[lid] == (None, None, None), lid
+            continue
+        max_ts = max(r[1] for r in cands)
+        at_max = [r for r in cands if r[1] == max_ts]
+        if len(at_max) > 1:
+            assert got[lid][2] in {r[4] for r in at_max}, lid
+            continue
+        expect = at_max[0]
+        assert got[lid] == (expect[2], expect[3], expect[4]), lid
