@@ -172,11 +172,66 @@ def media_stats_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle mirror of the stub decoder: the synthetic payload is the utf-8
+# bytes of documents.text, which the testdata guarantees is pure ASCII
+# (length == strlen), so DuckDB's per-character ord() sums the same BYTE
+# values Python's sum(payload[:64]) sums.  This value-checks the whole
+# Arrow/mapInPandas decode path — batch iteration, schema, explode
+# fan-out — against an independent SQL evaluation of the same math.
+_DECODE_CTE = """
+base AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(
+             generate_series(1, least(length(text), 64)),
+             i -> ord(substr(text, i, 1)))) % 997 AS BIGINT) AS checksum
+  FROM documents
+),
+decoded AS (
+  SELECT media_id, modality, n AS payload_bytes,
+         CAST(CASE WHEN modality = 'image' THEN 64 + checksum % 512
+                   WHEN modality = 'audio' THEN 0
+                   ELSE 320 END AS BIGINT) AS width,
+         CAST(CASE WHEN modality = 'image' THEN 64 + n % 512
+                   WHEN modality = 'audio' THEN 0
+                   ELSE 240 END AS BIGINT) AS height,
+         CAST(CASE WHEN modality = 'image' THEN 1
+                   WHEN modality = 'audio' THEN 8000 + (n * 13 + checksum) % 80000
+                   ELSE 24 + (checksum * 7 + n) % 240 END AS BIGINT) AS frames
+  FROM base
+)"""
+
+DECODE_MEDIA_SQL = f"""
+WITH {_DECODE_CTE}
+SELECT media_id, modality, payload_bytes, width, height, frames FROM decoded
+"""
+
+FRAME_SAMPLE_SQL = f"""
+WITH {_DECODE_CTE}
+SELECT media_id,
+       CAST(unnest(generate_series(0, frames - 1, 24)) AS BIGINT) AS frame_no,
+       width, height
+FROM decoded WHERE modality = 'video'
+"""
+
+MEDIA_STATS_BY_MODALITY_SQL = f"""
+WITH {_DECODE_CTE}
+SELECT modality,
+       COUNT(*) AS n_items,
+       CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes,
+       ROUND(CAST(SUM(frames) AS DOUBLE) / COUNT(*), 6) AS avg_frames
+FROM decoded GROUP BY modality
+"""
+
+
 ORACLES: dict[str, str] = {
     "media_metadata": MEDIA_TABLE_METADATA_SQL,
-    # decode_media / frame_sample / media_stats_by_modality: rows-only —
-    # the decode stub is Python-side by design (that's the operator shape);
-    # properties asserted in tests/test_multimodal.py
+    "decode_media": DECODE_MEDIA_SQL,
+    "frame_sample": FRAME_SAMPLE_SQL,
+    "media_stats_by_modality": MEDIA_STATS_BY_MODALITY_SQL,
 }
 
 QUERIES = {
