@@ -94,6 +94,8 @@ def read_csv(
     table: str | None = None,
     all_strings: bool = False,
     infer: bool = False,
+    mode: str = "PERMISSIVE",
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """CSV scan (S1/S2).
 
@@ -102,10 +104,24 @@ def read_csv(
       behavior (inferSchema=false, everything string).
     - ``infer=True`` → reference-compatible fallback
       (FullPreprocessingPipeline.java:43-46); costs a second scan.
+    - ``mode`` → malformed-row policy (PERMISSIVE null-fills,
+      DROPMALFORMED discards, FAILFAST raises).  At ingest scale bad
+      rows are a certainty; the reference hard-crashes on them.
+    - ``keep_corrupt=True`` (PERMISSIVE + explicit schema only) →
+      retain the raw malformed line in ``_corrupt_record`` for a
+      quarantine sink instead of silently null-filling.
     """
-    reader = spark.read.option("header", True)
+    reader = spark.read.option("header", True).option("mode", mode)
     if table is not None:
-        reader = reader.schema(DUNNHUMBY_SCHEMAS[table])
+        schema = DUNNHUMBY_SCHEMAS[table]
+        if keep_corrupt:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+        reader = reader.schema(schema)
     elif infer and not all_strings:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)

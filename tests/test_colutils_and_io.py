@@ -117,3 +117,37 @@ def test_model_save_load_roundtrip(spark, tmp_path):
         spark.createDataFrame([(1.0, 2.0)], ["f1", "f2"])
     ).select("prediction").first()[0]
     assert pred == near
+
+
+def test_csv_malformed_row_policies(spark, tmp_path):
+    # Ingest robustness (S1 extension): one well-formed row, one row with a
+    # non-numeric quantity.  PERMISSIVE null-fills, DROPMALFORMED discards,
+    # keep_corrupt quarantines the raw line.
+    p = str(tmp_path / "bad.csv")
+    header = (
+        "household_key,basket_id,day,product_id,quantity,sales_value,"
+        "store_id,retail_disc,trans_time,week_no,coupon_disc,coupon_match_disc"
+    )
+    good = "1,10,5,100,2,9.99,3,-1.0,1300,1,0.0,0.0"
+    bad = "2,11,9,101,NOT_A_NUMBER,4.50,3,0.0,1400,2,-0.5,0.0"
+    with open(p, "w") as f:
+        f.write(header + "\n" + good + "\n" + bad + "\n")
+
+    permissive = read_csv(spark, p, table="transaction_data").collect()
+    assert len(permissive) == 2
+    assert {r.household_key for r in permissive} == {1, 2}
+    assert [r.quantity for r in permissive if r.household_key == 2] == [None]
+
+    dropped = read_csv(spark, p, table="transaction_data", mode="DROPMALFORMED")
+    assert [r.household_key for r in dropped.collect()] == [1]
+
+    quarantined = read_csv(
+        spark, p, table="transaction_data", keep_corrupt=True
+    ).collect()
+    corrupt = [r for r in quarantined if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0]._corrupt_record == bad
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_csv(spark, p, table="transaction_data", mode="FAILFAST").collect()
