@@ -190,14 +190,102 @@ WINDOW w AS (PARTITION BY store_id ORDER BY day
 """
 
 
+INCREMENTAL_CUTOVER_DAY = 2000  # "base" snapshot covers day <= cutover
+
+
+def incremental_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance for the weekly rollup: a BASE
+    aggregate (day ≤ cutover, the materialized view) merged with a DELTA
+    aggregate (late-arriving days) by summing partial states per group —
+    the foreachBatch/MERGE pattern that avoids re-scanning history.
+
+    Sum/count/max states merge associatively.  The mergeable state for
+    the rounded sum is the GRID-SCALED INTEGER (exact under addition);
+    rounding happens per partial, exactly as a re-materialization would,
+    and the oracle mirrors the same two-stage sequence — the point being
+    checked is that merge(base, delta) is deterministic and
+    engine-portable, not that it equals a monolithic recompute to the
+    last rounded digit (double rounding differs at ulp ties, which is
+    why production incremental views keep integer/unrounded states).
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+        .withColumn("net_sales", net_sales())
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        agg = df.groupBy(
+            F.col("l_suppkey").alias("store_id"),
+            F.col("l_partkey").alias("product_id"),
+            "week_no",
+        ).agg(
+            stable_sum("net_sales").alias("part_sales"),
+            F.count(F.lit(1)).alias("part_rows"),
+            F.max("day").alias("part_max_day"),
+        )
+        return agg.withColumn(
+            "part_sales_e4",
+            F.floor(F.col("part_sales") * 10000 + 0.5).cast("long"),
+        )
+
+    base = partial(li.filter(F.col("day") <= INCREMENTAL_CUTOVER_DAY))
+    delta = partial(li.filter(F.col("day") > INCREMENTAL_CUTOVER_DAY))
+    merged = base.unionByName(delta).groupBy(
+        "store_id", "product_id", "week_no"
+    ).agg(
+        (F.sum("part_sales_e4") / 10000.0).alias("sum_net_sales"),
+        F.sum("part_rows").alias("n_rows"),
+        F.max("part_max_day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    return merged
+
+
+INCREMENTAL_WEEKLY_MERGE_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey AS store_id, l_partkey AS product_id,
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1 AS INT) AS day,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+         l_extendedprice * (1.0 - l_discount) AS net_sales
+  FROM lineitem
+),
+base AS (
+  SELECT store_id, product_id, week_no,
+         CAST(FLOOR({oracle_sum('net_sales')} * 10000 + 0.5) AS BIGINT) AS part_sales_e4,
+         COUNT(*) AS part_rows, MAX(day) AS part_max_day
+  FROM li WHERE day <= {INCREMENTAL_CUTOVER_DAY}
+  GROUP BY store_id, product_id, week_no
+),
+delta AS (
+  SELECT store_id, product_id, week_no,
+         CAST(FLOOR({oracle_sum('net_sales')} * 10000 + 0.5) AS BIGINT) AS part_sales_e4,
+         COUNT(*) AS part_rows, MAX(day) AS part_max_day
+  FROM li WHERE day > {INCREMENTAL_CUTOVER_DAY}
+  GROUP BY store_id, product_id, week_no
+),
+partials AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+SELECT store_id, product_id, week_no,
+       CAST(SUM(part_sales_e4) AS DOUBLE) / 10000.0 AS sum_net_sales,
+       CAST(SUM(part_rows) AS BIGINT) AS n_rows,
+       MAX(part_max_day) AS last_day,
+       CAST(COUNT(*) AS BIGINT) AS n_partials
+FROM partials
+GROUP BY store_id, product_id, week_no
+"""
+
+
 ORACLES: dict[str, str] = {
     "weekly_demand": WEEKLY_DEMAND_SQL,
     "union_weekly_halves": UNION_WEEKLY_HALVES_SQL,
     "rolling_7day_sales": ROLLING_7DAY_SALES_SQL,
+    "incremental_weekly_merge": INCREMENTAL_WEEKLY_MERGE_SQL,
 }
 
 QUERIES = {
     "weekly_demand": weekly_demand,
     "union_weekly_halves": union_weekly_halves,
     "rolling_7day_sales": rolling_7day_sales,
+    "incremental_weekly_merge": incremental_weekly_merge,
 }
