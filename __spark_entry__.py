@@ -33,6 +33,7 @@ from retail_sales_project_bigdata_spark.operators import (
     dedup,
     multimodal,
     olap,
+    rangejoin,
     recommend,
     reports,
     rfm,
@@ -62,6 +63,7 @@ _MODULES = [
     calendar_mod,
     asof,
     cdc,
+    rangejoin,
     streaming_mod,
 ]
 

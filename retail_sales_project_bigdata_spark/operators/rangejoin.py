@@ -1,0 +1,124 @@
+"""Scale-safe interval (range) join — events ⋈ campaign windows.
+
+The reference's only non-equi predicate is the repurchase range join
+(``ChurnPrediction.java:147-154``), which rides on an equi key.  A pure
+interval join — points vs windows with NO shared key — is the harder,
+genuinely-100TB case: Spark's default physical plan for
+``ev.join(camp, (ts >= start) & (ts < end))`` is
+BroadcastNestedLoopJoin (fine only while the interval table broadcasts)
+or, worse, a cartesian product.
+
+This module implements the standard **bin-bucketing** rewrite (the same
+strategy behind Databricks' range-join hints and KDB/Flink interval
+joins): quantize time into fixed-width buckets, explode each interval to
+the buckets it overlaps, tag each point with its single bucket, and
+equi-join on the bucket before applying the exact range predicate.
+
+  - The join becomes a plain hash/sort-merge equi-join on ``bucket`` —
+    shuffle-partitionable, AQE-skew-splittable, no nested loop.  It
+    survives interval tables far beyond broadcast size.
+  - Each point lands in exactly ONE bucket and each (interval, bucket)
+    pair is unique, so candidates are matched exactly once — no
+    post-join dedup is needed, regardless of interval overlap.
+  - Bucket width tunes candidate quality: ~= median interval length
+    keeps the explode factor and the false-candidate rate both small.
+
+Overlapping windows are exercised deliberately (10h-long campaigns every
+7h), so events match multiple campaigns — the rewrite must not lose or
+duplicate matches; the DuckDB oracle runs the naive range join (its
+IEJoin handles it exactly) over identical integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.functions import oracle_sum, stable_sum
+from retail_sales_project_bigdata_spark.sources import fan_out, read_events
+
+# Campaign grid over the events month (2024-01): campaign i starts at
+# epoch + i*7h and runs 10h — consecutive campaigns overlap by 3h.
+_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_SPACING_US = 7 * 3_600 * 1_000_000
+_DURATION_US = 10 * 3_600 * 1_000_000
+N_CAMPAIGNS = 100
+BUCKET_US = 3_600 * 1_000_000  # 1h bins; explode factor ≤ 11 per campaign
+
+
+def campaign_windows(spark: SparkSession) -> DataFrame:
+    """The interval side: (campaign_id, start_us, end_us), end exclusive."""
+    return spark.range(N_CAMPAIGNS).select(
+        F.col("id").alias("campaign_id"),
+        (F.lit(_EPOCH_US) + F.col("id") * F.lit(_SPACING_US)).alias("start_us"),
+        (
+            F.lit(_EPOCH_US) + F.col("id") * F.lit(_SPACING_US) + F.lit(_DURATION_US)
+        ).alias("end_us"),
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = BUCKET_US,
+) -> DataFrame:
+    """Generic bin-bucketed interval join (point in [start, end)).
+
+    Works for ANY interval table size: the bucket explode keeps the join
+    equi (hash-partitionable on ``bucket``) instead of nested-loop.
+    """
+    b = F.lit(int(bucket_us))
+    ivals = intervals.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b).cast("long"),
+                F.floor((F.col(end_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("bucket", F.floor(F.col(ts_col) / b).cast("long"))
+    return (
+        pts.join(ivals, "bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("bucket")
+    )
+
+
+def campaign_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-campaign event counts + value over the interval join."""
+    ev = fan_out(read_events(spark, sf_dir)).select("ts_us", "value")
+    joined = interval_join(ev, campaign_windows(spark))
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_sum("value").alias("sum_value"),
+    )
+
+
+CAMPAIGN_EVENT_ROLLUP_SQL = f"""
+WITH camp AS (
+  SELECT range AS campaign_id,
+         {_EPOCH_US} + range * {_SPACING_US} AS start_us,
+         {_EPOCH_US} + range * {_SPACING_US} + {_DURATION_US} AS end_us
+  FROM range(0, {N_CAMPAIGNS})
+),
+ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events)
+SELECT c.campaign_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_sum('e.value')} AS sum_value
+FROM ev e JOIN camp c
+  ON e.ts_us >= c.start_us AND e.ts_us < c.end_us
+GROUP BY c.campaign_id
+"""
+
+
+ORACLES: dict[str, str] = {
+    "campaign_event_rollup": CAMPAIGN_EVENT_ROLLUP_SQL,
+}
+
+QUERIES = {
+    "campaign_event_rollup": campaign_event_rollup,
+}
