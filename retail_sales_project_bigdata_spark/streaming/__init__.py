@@ -294,10 +294,78 @@ JOIN (SELECT * FROM ev WHERE event_type = 'view') v
 """
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): the input is the events stream
+    UNIONED with a second read of itself — every event arrives (at
+    least) twice, possibly in different micro-batches — and exactly one
+    copy per ``event_id`` must come out.
+
+    This is the streaming twin of the batch ``dedup_exact`` family: at
+    Kafka scale the dedup state cannot grow forever, so the watermark
+    evicts keys older than the delay; duplicates arriving later than
+    that are dropped by the late-data filter instead — either way the
+    output holds one copy, which is why the query stays ORACLE-EXACT
+    (``SELECT * FROM events``) over a bounded source.
+    """
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = deduped.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    name, _ = _run_to_memory(out, "append")
+    return spark.table(name)
+
+
+STREAMING_DEDUP_EVENTS_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+"""
+
+
+def write_stream_idempotent_parquet(
+    agg_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Durable streaming sink (exactly-once parquet via ``foreachBatch``).
+
+    Structured Streaming's contract is at-least-once per micro-batch on
+    failure/restart: ``foreachBatch`` may REPLAY a ``batch_id`` whose
+    write already (partially) happened.  Writing each batch to its own
+    ``batch_id=N`` directory with ``mode("overwrite")`` makes the replay
+    idempotent — a retried batch clobbers its own partial output and
+    never touches other batches' directories, so downstream readers of
+    ``out_dir`` (a hive-partitioned parquet table) see each input row
+    exactly once.  The checkpoint dir carries source offsets, so a
+    restarted query resumes instead of re-reading history.
+
+    Returns the started StreamingQuery (caller drives + stops it).
+    """
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        df.write.mode("overwrite").parquet(target)
+
+    return (
+        agg_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 ORACLES: dict[str, str] = {
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
     "streaming_purchase_view_join": STREAMING_PURCHASE_VIEW_JOIN_SQL,
+    "streaming_dedup_events": STREAMING_DEDUP_EVENTS_SQL,
     # streaming_sliding_value / streaming_stateful_user_sessions:
     # rows-only (watermark / state-evolution semantics by design)
 }
@@ -308,4 +376,5 @@ QUERIES = {
     "streaming_user_event_counts": streaming_user_event_counts,
     "streaming_stateful_user_sessions": streaming_stateful_user_sessions,
     "streaming_purchase_view_join": streaming_purchase_view_join,
+    "streaming_dedup_events": streaming_dedup_events,
 }
