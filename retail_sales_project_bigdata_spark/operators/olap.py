@@ -188,6 +188,83 @@ GROUP BY o.o_orderpriority
 """
 
 
+HEAVY_HITTER_K = 1500  # heavy hitter := item with > 1/K of all rows
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: parts carrying more than 1/K of lineitem rows.
+
+    The threshold compare is PURE INTEGER (``n*K > total``) — no float
+    tie can disagree between engines.  The global total rides in as a
+    broadcast 1-row cross join (no driver action, no second scan of the
+    base table — the per-key counts re-aggregate to the total).
+
+    Scale: one shuffle for the per-key counts (map-side partials make
+    the shuffle ~|keys|); the total is a tiny all-reduce of those
+    counts.  The approximate twin (``heavy_hitters_approx``) is the
+    single-pass sketch path for when even |keys| is too large.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * HEAVY_HITTER_K > F.col("total"))
+        .select("l_partkey", "n")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) * {HEAVY_HITTER_K} > (SELECT COUNT(*) FROM lineitem)
+"""
+
+
+def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass approximate heavy hitters (``DataFrame.stat.freqItems``,
+    Karp-Papadimitriou-Shenker): guaranteed SUPERSET of the exact > 1/K
+    items without the per-key aggregation — the first-pass filter at
+    100 TB, re-counted exactly only for the candidate set.  Rows-only by
+    design (false positives are part of the contract); the superset
+    guarantee is property-tested against ``heavy_hitters``."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    freq = li.stat.freqItems(["l_partkey"], support=1.0 / HEAVY_HITTER_K)
+    return freq.select(
+        F.explode("l_partkey_freqItems").alias("l_partkey")
+    ).orderBy("l_partkey")
+
+
+def distinct_parts_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg``): per-returnflag sketches of
+    distinct parts, re-MERGED into the global estimate WITHOUT touching
+    the base table again.
+
+    This is the 100 TB pre-aggregation pattern ``approx_count_distinct``
+    alone cannot express: materialize a sketch per cube cell once, then
+    answer any coarser grouping by unioning cell sketches — a second
+    full scan becomes a |cells|-row merge.  Rows-only by design
+    (estimates); accuracy and merge-associativity are property-tested.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd_parts_est"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("ALL").alias("l_returnflag"), "nd_parts_est", "n_rows")
+    per_flag_est = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("nd_parts_est"),
+        "n_rows",
+    )
+    return per_flag_est.unionByName(merged)
+
+
 ORACLES: dict[str, str] = {
     "cube_sales": CUBE_SALES_SQL,
     "rollup_region_sales": ROLLUP_REGION_SALES_SQL,
@@ -196,7 +273,9 @@ ORACLES: dict[str, str] = {
     "parts_never_ordered": PARTS_NEVER_ORDERED_SQL,
     "price_percentiles": PRICE_PERCENTILES_SQL,
     "sql_api_revenue_by_priority": SQL_API_REVENUE_BY_PRIORITY_SQL,
-    # price_percentiles_approx: rows-only (sketch-based by design)
+    "heavy_hitters": HEAVY_HITTERS_SQL,
+    # price_percentiles_approx / heavy_hitters_approx /
+    # distinct_parts_sketch_rollup: rows-only (sketch-based by design)
 }
 
 QUERIES = {
@@ -208,4 +287,7 @@ QUERIES = {
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "sql_api_revenue_by_priority": sql_api_revenue_by_priority,
+    "heavy_hitters": heavy_hitters,
+    "heavy_hitters_approx": heavy_hitters_approx,
+    "distinct_parts_sketch_rollup": distinct_parts_sketch_rollup,
 }
