@@ -182,11 +182,56 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def supplier_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows (percent_rank / cume_dist / ntile) over
+    per-supplier revenue — the analytic complement of the ranking windows
+    (W1 row_number, RFM ntile): where does each supplier sit in the
+    revenue distribution?
+
+    Engine parity is exact: the order key is the grid-rounded
+    ``stable_sum`` revenue (identical doubles both engines, ties → same
+    rank) and percent_rank/cume_dist are pure integer ratios
+    ((rank−1)/(n−1), peers/n) evaluated in IEEE doubles.  One shuffle
+    for the aggregate; the window runs over the supplier-sized result,
+    not the fact table.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", net_sales().alias("net_sales")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        stable_sum("net_sales").alias("revenue")
+    )
+    w = Window.orderBy(F.asc("revenue"), F.asc("l_suppkey"))
+    return rev.select(
+        "l_suppkey",
+        "revenue",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+SUPPLIER_REVENUE_RANKS_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, revenue,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM rev
+WINDOW w AS (ORDER BY revenue ASC, l_suppkey ASC)
+"""
+
+
 ORACLES: dict[str, str] = {
     "top_products": TOP_PRODUCTS_SQL,
     "top_parts_per_supplier": TOP_PARTS_PER_SUPPLIER_SQL,
     "sales_by_region": SALES_BY_REGION_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
+    "supplier_revenue_ranks": SUPPLIER_REVENUE_RANKS_SQL,
 }
 
 QUERIES = {
@@ -194,4 +239,5 @@ QUERIES = {
     "top_parts_per_supplier": top_parts_per_supplier,
     "sales_by_region": sales_by_region,
     "pricing_summary": pricing_summary,
+    "supplier_revenue_ranks": supplier_revenue_ranks,
 }

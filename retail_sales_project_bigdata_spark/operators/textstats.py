@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from retail_sales_project_bigdata_spark.functions import pround
 from retail_sales_project_bigdata_spark.sources import fan_out, read_table
@@ -251,12 +252,80 @@ FROM documents
 """
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K salient terms — TF-IDF shape with an
+    ENGINE-EXACT salience score ``tf * N / df`` (plain rarity weighting
+    instead of ``tf·ln(N/df)``: libm ``log`` implementations differ in
+    final ulps across engines, while integer multiply + one IEEE double
+    divide is bit-identical everywhere, keeping the top-K ordering — and
+    the oracle — deterministic).
+
+    Shape: one explode → (doc, token) count for TF; token-level
+    re-aggregate for DF (document frequency); N rides in as a broadcast
+    scalar.  The rank window partitions by doc — state is per-document
+    vocabulary, never corpus-sized.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    pairs = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    tf = pairs.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "salience",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("salience"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", "tf", "df", "salience")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{_TOKENIZE}')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY doc_id, token
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, df.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / df.df AS salience
+  FROM tf t JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY salience DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, salience
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
     "token_counts_by_source": TOKEN_COUNTS_BY_SOURCE_SQL,
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
 }
 
 QUERIES = {
@@ -265,4 +334,5 @@ QUERIES = {
     "token_counts_by_source": token_counts_by_source,
     "bpe_token_stats": bpe_token_stats,
     "doc_fingerprints": doc_fingerprints,
+    "tfidf_top_terms": tfidf_top_terms,
 }
