@@ -120,6 +120,63 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation (Spark's built-in dynamic-gap
+    session operator) — same 30-minute gap rule as :func:`sessionize`, but
+    expressed as a single groupBy instead of three window functions, which
+    is the form that also runs INSIDE Structured Streaming (see
+    ``streaming/``): state merges adjacent windows per key as events
+    arrive.
+
+    Boundary note: ``session_window`` starts a NEW session when the gap is
+    **>=** the duration (an event at exactly ``end`` does not extend),
+    while :func:`sessionize` keeps gap == 30 min in-session (``>``); the
+    oracle mirrors the ``>=`` rule.  Window end = last event + gap.
+    """
+    ev = read_events(spark, sf_dir)
+    agg = ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("sw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_sum("value").alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros("sw.start").alias("start_us"),
+        F.unix_micros("sw.end").alias("end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+SESSION_WINDOW_STATS_SQL = f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= {_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM f
+)
+SELECT user_id,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) + {_GAP_US} AS end_us,
+       COUNT(*) AS n_events,
+       {oracle_sum('value')} AS total_value
+FROM s GROUP BY user_id, seq
+"""
+
+
 def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lag/lead + running aggregates — the window-function surface
     beyond the reference's single row_number (SURVEY §2.5 notes the gap)."""
@@ -261,6 +318,7 @@ ORACLES: dict[str, str] = {
     "user_activity": USER_ACTIVITY_SQL,
     "event_props_stats": EVENT_PROPS_STATS_SQL,
     "user_value_ewma": USER_VALUE_EWMA_SQL,
+    "session_window_stats": SESSION_WINDOW_STATS_SQL,
 }
 
 QUERIES = {
@@ -269,4 +327,5 @@ QUERIES = {
     "user_activity": user_activity,
     "event_props_stats": event_props_stats,
     "user_value_ewma": user_value_ewma,
+    "session_window_stats": session_window_stats,
 }

@@ -189,3 +189,46 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     shutil.move(parts[0], path)
     shutil.rmtree(tmp)
     return path
+
+
+def read_parquet_merged(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet directories whose schemas
+    drifted (columns added/dropped between pipeline versions).
+
+    ``mergeSchema`` makes the footer reconciliation explicit — absent
+    columns come back NULL, new columns survive.  It costs a footer read
+    per file at planning time, which is why it is opt-in here rather
+    than session-default (at 100 TB the footer sweep is the expensive
+    part; production tables should pin the merged schema in a metastore
+    and leave this path for exploration/backfill reads)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the maintenance op every long-running
+    ingest needs: N tiny part files (per-microbatch/per-task emissions)
+    rewritten as ceil(total_bytes / target) right-sized files.
+
+    Sizing comes from the SOURCE bytes (cheap file-status sweep), not a
+    row count job; ``repartition`` (round-robin shuffle) balances output
+    files regardless of input skew.  At production scale the same logic
+    runs per hive-partition so compaction parallelizes across partitions
+    and never rewrites already-compact ones.  Returns the file count
+    written."""
+    total = 0
+    for root, _dirs, files in os.walk(in_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(in_dir).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return n_files

@@ -331,6 +331,36 @@ FROM events
 """
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows INSIDE Structured Streaming: the same
+    30-minute-gap ``session_window`` as the batch
+    ``session_window_stats``, with a 10-minute watermark bounding merge
+    state.  Append mode — a session emits only once the watermark passes
+    its end, so sessions still open at end-of-stream stay in state:
+    emitted rows are a strict subset of the batch answer, and the
+    only missing sessions end inside the final watermark tail (both
+    halves property-tested)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    name, _ = _run_to_memory(agg, "append")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("sw.start").alias("start_us"),
+        F.unix_micros("sw.end").alias("end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
 def write_stream_idempotent_parquet(
     agg_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):
@@ -377,4 +407,5 @@ QUERIES = {
     "streaming_stateful_user_sessions": streaming_stateful_user_sessions,
     "streaming_purchase_view_join": streaming_purchase_view_join,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_session_windows": streaming_session_windows,
 }

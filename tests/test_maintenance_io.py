@@ -1,0 +1,51 @@
+"""Maintenance I/O: small-files compaction and schema-evolution reads."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.sources import (
+    compact_parquet,
+    read_parquet_merged,
+    read_table,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "compact")
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.repartition(40).write.parquet(frag)  # simulate micro-batch litter
+    n_in = len(
+        [f for f in os.listdir(frag) if f.startswith("part-") and f.endswith(".parquet")]
+    )
+    assert n_in == 40
+
+    n_planned = compact_parquet(spark, frag, out, target_file_bytes=10 * 1024 * 1024)
+    n_out = len(
+        [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")]
+    )
+    assert n_out == n_planned < n_in
+
+    a = spark.read.parquet(frag).agg(
+        F.count(F.lit(1)), F.sum("l_quantity")
+    ).first()
+    b = spark.read.parquet(out).agg(
+        F.count(F.lit(1)), F.sum("l_quantity")
+    ).first()
+    assert (a[0], round(a[1], 4)) == (b[0], round(b[1], 4))
+
+
+def test_read_parquet_merged_reconciles_drifted_schemas(spark, tmp_path):
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, old string").write.parquet(v1)
+    spark.createDataFrame([(2, 9.5)], "id long, new double").write.parquet(v2)
+
+    df = read_parquet_merged(spark, v1, v2)
+    assert set(df.columns) == {"id", "old", "new"}
+    rows = {r.id: (r.old, r.new) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: (None, 9.5)}
