@@ -265,6 +265,47 @@ def distinct_parts_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_flag_est.unionByName(merged)
 
 
+HIST_BUCKET_WIDTH = 5000.0  # covers l_extendedprice ∈ [~900, ~105000]
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price: bucket assignment is one
+    IEEE double divide + floor (bit-identical across engines — Spark's
+    ``width_bucket`` is avoided only because DuckDB lacks it, the
+    arithmetic is the same), then an ordinary count/min/max rollup.
+
+    Scale: histogramming is the map-side-combine ideal — ~22 groups
+    regardless of input size, so the shuffle carries one row per
+    (partition, bucket)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    w = F.lit(HIST_BUCKET_WIDTH)
+    return (
+        li.withColumn(
+            "bucket", F.floor(F.col("l_extendedprice") / w).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .withColumn("bucket_start", F.col("bucket") * w)
+    )
+
+
+PRICE_HISTOGRAM_SQL = f"""
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi,
+       bucket * {HIST_BUCKET_WIDTH} AS bucket_start
+FROM (SELECT l_extendedprice,
+             CAST(FLOOR(l_extendedprice / {HIST_BUCKET_WIDTH}) AS INT) AS bucket
+      FROM lineitem)
+GROUP BY bucket
+"""
+
+
 ORACLES: dict[str, str] = {
     "cube_sales": CUBE_SALES_SQL,
     "rollup_region_sales": ROLLUP_REGION_SALES_SQL,
@@ -274,6 +315,7 @@ ORACLES: dict[str, str] = {
     "price_percentiles": PRICE_PERCENTILES_SQL,
     "sql_api_revenue_by_priority": SQL_API_REVENUE_BY_PRIORITY_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
+    "price_histogram": PRICE_HISTOGRAM_SQL,
     # price_percentiles_approx / heavy_hitters_approx /
     # distinct_parts_sketch_rollup: rows-only (sketch-based by design)
 }
@@ -290,4 +332,5 @@ QUERIES = {
     "heavy_hitters": heavy_hitters,
     "heavy_hitters_approx": heavy_hitters_approx,
     "distinct_parts_sketch_rollup": distinct_parts_sketch_rollup,
+    "price_histogram": price_histogram,
 }

@@ -276,11 +276,72 @@ GROUP BY store_id, product_id, week_no
 """
 
 
+def weekly_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-store weekly sales re-gridded onto a
+    DENSE week spine (every week between the store's first and last sale),
+    missing weeks filled with 0 and flagged — the gap-fill step before any
+    rolling/EWMA/forecast consumer that assumes a regular grid.
+
+    The spine is generated per store with ``sequence`` + ``explode`` —
+    distributed with the store rows, never a driver-side calendar nor a
+    store × all-weeks cartesian; the fill join is equi on (store, week)
+    against the pre-aggregated weekly frame (both sides shuffle once on
+    the same key).
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+        .withColumn("net_sales", net_sales())
+    )
+    weekly = li.groupBy(
+        F.col("l_suppkey").alias("store_id"), "week_no"
+    ).agg(stable_sum("net_sales").alias("sales"))
+    spine = (
+        weekly.groupBy("store_id")
+        .agg(F.min("week_no").alias("w0"), F.max("week_no").alias("w1"))
+        .select(
+            "store_id",
+            F.explode(F.sequence("w0", "w1")).alias("week_no"),
+        )
+    )
+    return spine.join(weekly, ["store_id", "week_no"], "left").select(
+        "store_id",
+        "week_no",
+        F.coalesce("sales", F.lit(0.0)).alias("sales"),
+        F.when(F.col("sales").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+WEEKLY_SALES_GAPFILL_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey AS store_id,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+         l_extendedprice * (1.0 - l_discount) AS net_sales
+  FROM lineitem
+),
+weekly AS (
+  SELECT store_id, week_no, {oracle_sum('net_sales')} AS sales
+  FROM li GROUP BY store_id, week_no
+),
+spine AS (
+  SELECT store_id, CAST(unnest(generate_series(w0, w1)) AS INT) AS week_no
+  FROM (SELECT store_id, MIN(week_no) AS w0, MAX(week_no) AS w1
+        FROM weekly GROUP BY store_id)
+)
+SELECT s.store_id, s.week_no,
+       COALESCE(w.sales, 0.0) AS sales,
+       CASE WHEN w.sales IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s LEFT JOIN weekly w USING (store_id, week_no)
+"""
+
+
 ORACLES: dict[str, str] = {
     "weekly_demand": WEEKLY_DEMAND_SQL,
     "union_weekly_halves": UNION_WEEKLY_HALVES_SQL,
     "rolling_7day_sales": ROLLING_7DAY_SALES_SQL,
     "incremental_weekly_merge": INCREMENTAL_WEEKLY_MERGE_SQL,
+    "weekly_sales_gapfill": WEEKLY_SALES_GAPFILL_SQL,
 }
 
 QUERIES = {
@@ -288,4 +349,5 @@ QUERIES = {
     "union_weekly_halves": union_weekly_halves,
     "rolling_7day_sales": rolling_7day_sales,
     "incremental_weekly_merge": incremental_weekly_merge,
+    "weekly_sales_gapfill": weekly_sales_gapfill,
 }
