@@ -31,6 +31,7 @@ from retail_sales_project_bigdata_spark.operators import (
     cleaning,
     datasetops,
     dedup,
+    funnel,
     multimodal,
     olap,
     rangejoin,
@@ -60,6 +61,7 @@ _MODULES = [
     sessions,
     multimodal,
     olap,
+    funnel,
     calendar_mod,
     asof,
     cdc,
