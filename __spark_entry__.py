@@ -41,6 +41,7 @@ from retail_sales_project_bigdata_spark.operators import (
     segmentation,
     sessions,
     similarity,
+    stats,
     temporal,
     textstats,
 )
@@ -62,6 +63,7 @@ _MODULES = [
     multimodal,
     olap,
     funnel,
+    stats,
     calendar_mod,
     asof,
     cdc,

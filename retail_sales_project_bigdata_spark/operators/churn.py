@@ -42,6 +42,7 @@ from retail_sales_project_bigdata_spark.functions import (
     oracle_sum,
     stable_avg,
     stable_sum,
+    week_no,
 )
 from retail_sales_project_bigdata_spark.sources import read_table
 
@@ -390,6 +391,61 @@ FROM labels GROUP BY first_with_discount
 """
 
 
+def retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle over ``orders``: customers are
+    cohorted by the week of their first order; each cell counts distinct
+    customers active at week-offset k, with retention relative to the
+    cohort's own week-0 size (every customer is active at offset 0 by
+    construction, so the window max IS the base).
+
+    Scale: the cohort week comes from a window-min over one ``o_custkey``
+    shuffle (no self-join back onto orders); the cell rollup is the only
+    other shuffle, and the retention normalizer is a window over the
+    already-tiny (cohort × offset) frame."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", week_no(day_index("o_orderdate")).alias("wk")
+    )
+    w_cust = Window.partitionBy("o_custkey")
+    cells = (
+        orders.withColumn("cohort_week", F.min("wk").over(w_cust))
+        .withColumn("offset_weeks", F.col("wk") - F.col("cohort_week"))
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+    w_cohort = Window.partitionBy("cohort_week")
+    return cells.withColumn(
+        "retention",
+        F.col("n_active").cast("double")
+        / F.max(
+            F.when(F.col("offset_weeks") == 0, F.col("n_active"))
+        ).over(w_cohort).cast("double"),
+    )
+
+
+RETENTION_TRIANGLE_SQL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(o_orderdate AS DATE)) + 1) / 7.0) AS INT) AS wk
+  FROM orders
+),
+tagged AS (
+  SELECT o_custkey, wk,
+         MIN(wk) OVER (PARTITION BY o_custkey) AS cohort_week
+  FROM o
+),
+cells AS (
+  SELECT cohort_week, wk - cohort_week AS offset_weeks,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+  FROM tagged GROUP BY cohort_week, wk - cohort_week
+)
+SELECT cohort_week, offset_weeks, n_active,
+       CAST(n_active AS DOUBLE)
+         / CAST(MAX(CASE WHEN offset_weeks = 0 THEN n_active END)
+                  OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+FROM cells
+"""
+
+
 ORACLES: dict[str, str] = {
     "first_purchases": FIRST_PURCHASES_SQL,
     "promo_day_flags": PROMO_DAY_FLAGS_SQL,
@@ -397,6 +453,7 @@ ORACLES: dict[str, str] = {
     "pair_stats": PAIR_STATS_SQL,
     "churn_features": CHURN_FEATURES_SQL,
     "cohort_rates": COHORT_RATES_SQL,
+    "retention_triangle": RETENTION_TRIANGLE_SQL,
 }
 
 QUERIES = {
@@ -406,4 +463,5 @@ QUERIES = {
     "pair_stats": pair_stats,
     "churn_features": churn_features,
     "cohort_rates": cohort_rates,
+    "retention_triangle": retention_triangle,
 }

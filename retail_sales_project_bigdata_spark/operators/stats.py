@@ -1,0 +1,212 @@
+"""Exact distributed statistics: grouped Pearson correlation / simple
+linear regression and IQR outlier detection.
+
+The reference computes no second-moment statistics (its aggregation
+surface stops at sum/count/min/max — SURVEY §2.4); these are the
+descriptive-stats layer any retail engine grows next, built
+deterministically enough to value-hash against DuckDB.
+
+Why not ``F.corr`` / ``regr_slope``: both engines implement them as
+streaming double accumulations whose partial-merge order differs, so the
+last ulps wobble run-to-run AND engine-to-engine.  Instead every moment
+is an EXACT integer sum on the value grid (quantity is integral, price
+is 2-decimal ⇒ cents are integral), accumulated as ``decimal(38,0)`` /
+HUGEINT (overflow-safe at 100 TB: Σx·y ≲ 1e11/row · 1e12 rows < 1e23 ≪
+1e38), and only the FINAL closed-form expression runs in floating point —
+the identical expression tree on identical operands is IEEE-deterministic
+on both engines (sqrt is correctly rounded).
+
+Scale notes: one map-side-combinable shuffle per query for the moments
+(3 groups); the IQR pass broadcasts the 3-row bounds frame back onto the
+fact scan, so the second pass is shuffle-free.  The exact interpolated
+percentile runs in the integer cents domain, where every intermediate
+(positions are multiples of 0.25, values < 2^50) is exactly
+representable — the bounds compare without tie ambiguity.  At 100 TB the
+percentile pass would switch to ``approx_percentile`` (mergeable
+t-digest; see ``olap.price_percentiles_approx``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.sources import read_table
+
+_D38 = "decimal(38,0)"
+
+
+def _cents(col: str) -> Column:
+    """Exact integer cents from a 2-decimal-grid double (ROUND then cast:
+    after rounding the value is exactly integral, so Spark's truncating
+    cast and DuckDB's rounding cast agree)."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def sales_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag covariance, Pearson correlation, and OLS
+    slope/intercept of extended price (cents) on quantity — all from
+    exact integer moments; see module docstring for the determinism
+    argument.  ``slope_cents`` is cents-per-unit-quantity."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("q"),
+        _cents("l_extendedprice").alias("p"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast(_D38)).alias("sx"),
+        F.sum(F.col("p").cast(_D38)).alias("sy"),
+        F.sum((F.col("q") * F.col("q")).cast(_D38)).alias("sxx"),
+        F.sum((F.col("q") * F.col("p")).cast(_D38)).alias("sxy"),
+        F.sum((F.col("p") * F.col("p")).cast(_D38)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = (sxy - sx * sy / nd) / nd
+    varx = (sxx - sx * sx / nd) / nd
+    vary = (syy - sy * sy / nd) / nd
+    slope = cov / varx
+    return m.select(
+        "l_returnflag",
+        "n",
+        cov.alias("cov_qty_cents"),
+        F.when(
+            (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)
+        ).alias("corr_qty_price"),
+        F.when(varx > 0, slope).alias("slope_cents"),
+        F.when(varx > 0, sy / nd - slope * (sx / nd)).alias(
+            "intercept_cents"
+        ),
+    )
+
+
+SALES_STATS_BY_FLAG_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS DOUBLE) AS sx,
+         CAST(SUM(p) AS DOUBLE) AS sy,
+         CAST(SUM(q * q) AS DOUBLE) AS sxx,
+         CAST(SUM(q * p) AS DOUBLE) AS sxy,
+         CAST(SUM(p * p) AS DOUBLE) AS syy
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov_qty_cents,
+       CASE WHEN (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+             AND (syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+            THEN ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                 / SQRT(((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                        * ((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+       END AS corr_qty_price,
+       CASE WHEN (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+            THEN ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                 / ((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       END AS slope_cents,
+       CASE WHEN (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+            THEN sy / CAST(n AS DOUBLE)
+                 - (((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                    / ((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+                   * (sx / CAST(n AS DOUBLE))
+       END AS intercept_cents
+FROM m
+"""
+
+
+IQR_K = 1.5
+
+
+def price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per returnflag: quartiles of price in
+    exact integer cents, fences at q1/q3 ∓ 1.5·IQR, then a broadcast
+    join back onto the scan to count and bound the outliers.  Every
+    compared quantity is an exact multiple of 0.25 (interpolation
+    positions are quarter-points over integers), so membership never
+    depends on engine rounding."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("p")
+    )
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("p", 0.25).alias("q1"),
+        F.percentile("p", 0.75).alias("q3"),
+    )
+    bounds = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - IQR_K * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + IQR_K * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    flagged = li.join(F.broadcast(bounds), "l_returnflag")
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("q1").alias("q1_cents"),
+        F.first("q3").alias("q3_cents"),
+        F.first("lo").alias("lo_cents"),
+        F.first("hi").alias("hi_cents"),
+        F.sum(F.when(F.col("p") < F.col("lo"), 1).otherwise(0)).alias(
+            "n_low"
+        ),
+        F.sum(F.when(F.col("p") > F.col("hi"), 1).otherwise(0)).alias(
+            "n_high"
+        ),
+    ).withColumn(
+        "outlier_share",
+        (F.col("n_low") + F.col("n_high")).cast("double")
+        / F.col("n").cast("double"),
+    )
+
+
+PRICE_OUTLIERS_IQR_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem
+),
+q AS (
+  SELECT l_returnflag,
+         quantile_cont(p, 0.25) AS q1,
+         quantile_cont(p, 0.75) AS q3
+  FROM base GROUP BY l_returnflag
+),
+bounds AS (
+  SELECT l_returnflag, q1, q3,
+         q1 - {IQR_K} * (q3 - q1) AS lo,
+         q3 + {IQR_K} * (q3 - q1) AS hi
+  FROM q
+)
+SELECT b.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(bo.q1) AS q1_cents,
+       MIN(bo.q3) AS q3_cents,
+       MIN(bo.lo) AS lo_cents,
+       MIN(bo.hi) AS hi_cents,
+       CAST(SUM(CASE WHEN b.p < bo.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN b.p > bo.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN b.p < bo.lo OR b.p > bo.hi THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS outlier_share
+FROM base b JOIN bounds bo USING (l_returnflag)
+GROUP BY b.l_returnflag
+"""
+
+
+ORACLES: dict[str, str] = {
+    "sales_stats_by_flag": SALES_STATS_BY_FLAG_SQL,
+    "price_outliers_iqr": PRICE_OUTLIERS_IQR_SQL,
+}
+
+QUERIES = {
+    "sales_stats_by_flag": sales_stats_by_flag,
+    "price_outliers_iqr": price_outliers_iqr,
+}
