@@ -226,12 +226,201 @@ WINDOW w AS (ORDER BY revenue ASC, l_suppkey ASC)
 """
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1997-06-01"
+Q5_REGION = "ASIA"
+Q10_TOP_N = 20
+
+
+def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the testdata's columns): unshipped-as-of
+    revenue per urgent order for one market segment — the canonical
+    fact ⋈ fact ⋈ dim + agg + global top-10 benchmark query.
+
+    Scale: the customer filter broadcasts onto orders; orders⋈lineitem is
+    the one big shuffle (AQE picks SMJ at real scale); the top-10 is a
+    TakeOrderedAndProject on the aggregated frame (no global sort)."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+        .withColumn("net_sales", net_sales())
+        .select("l_orderkey", "net_sales")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(stable_sum("net_sales").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORDER_SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey,
+       CAST(o.o_orderdate AS DATE)::VARCHAR AS odate,
+       o.o_orderpriority,
+       {oracle_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)::VARCHAR, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the ordering customer and
+    the supplying supplier sit in the SAME nation, one region, one year.
+
+    Scale: all four dims broadcast (customer is the largest but still
+    dim-sized next to the facts); the single fact-fact shuffle is
+    lineitem ⋈ orders on orderkey; the same-nation predicate rides the
+    broadcast joins as an equi-condition, never a post-filter on a
+    cross product."""
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = (
+        read_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q5_REGION)
+        .select("r_regionkey")
+    )
+    nations_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("net_sales", net_sales())
+        .select("l_orderkey", "l_suppkey", "net_sales")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(nations_in_region),
+            supp.s_nationkey == nations_in_region.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(stable_sum("net_sales").alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n.n_name,
+       {oracle_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-{Q10_TOP_N} customers by revenue lost to
+    returned items (returnflag 'R') in one quarter, with their nation.
+
+    Scale: same join topology as Q3 plus a broadcast nation lookup; the
+    per-customer aggregate shuffles once on custkey."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .withColumn("net_sales", net_sales())
+        .select("l_orderkey", "net_sales")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(stable_sum("net_sales").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP_N)
+    )
+
+
+RETURNED_ITEM_REPORT_SQL = f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       {oracle_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT {Q10_TOP_N}
+"""
+
+
 ORACLES: dict[str, str] = {
     "top_products": TOP_PRODUCTS_SQL,
     "top_parts_per_supplier": TOP_PARTS_PER_SUPPLIER_SQL,
     "sales_by_region": SALES_BY_REGION_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "supplier_revenue_ranks": SUPPLIER_REVENUE_RANKS_SQL,
+    "order_shipping_priority": ORDER_SHIPPING_PRIORITY_SQL,
+    "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+    "returned_item_report": RETURNED_ITEM_REPORT_SQL,
 }
 
 QUERIES = {
@@ -240,4 +429,7 @@ QUERIES = {
     "sales_by_region": sales_by_region,
     "pricing_summary": pricing_summary,
     "supplier_revenue_ranks": supplier_revenue_ranks,
+    "order_shipping_priority": order_shipping_priority,
+    "local_supplier_volume": local_supplier_volume,
+    "returned_item_report": returned_item_report,
 }

@@ -49,3 +49,36 @@ def test_read_parquet_merged_reconciles_drifted_schemas(spark, tmp_path):
     assert set(df.columns) == {"id", "old", "new"}
     rows = {r.id: (r.old, r.new) for r in df.collect()}
     assert rows == {1: ("a", None), 2: (None, 9.5)}
+
+
+def test_cluster_parquet_zone_maps_prune(spark, tmp_path):
+    """Range clustering must leave pairwise-disjoint per-file min/max
+    bands on the leading key, so a point predicate maps to ~1 file; the
+    same data written round-robin leaves every file covering the probe."""
+    from retail_sales_project_bigdata_spark.sources import (
+        cluster_parquet,
+        file_minmax,
+    )
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice"
+    )
+    clustered = str(tmp_path / "clustered")
+    shuffled = str(tmp_path / "shuffled")
+    cluster_parquet(li, clustered, ["l_suppkey", "l_partkey"], n_files=6)
+    li.repartition(6).write.mode("overwrite").parquet(shuffled)
+
+    spans = file_minmax(clustered, "l_suppkey")
+    assert len(spans) == 6
+    # disjoint up to one shared boundary key between adjacent files
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert lo >= hi
+    probe = spans[2][0]
+    covering = sum(1 for lo, hi in spans if lo <= probe <= hi)
+    covering_shuffled = sum(
+        1 for lo, hi in file_minmax(shuffled, "l_suppkey") if lo <= probe <= hi
+    )
+    assert covering <= 2 < covering_shuffled
+    # rewrite is lossless
+    assert spark.read.parquet(clustered).count() == li.count()
