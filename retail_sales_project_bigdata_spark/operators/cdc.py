@@ -176,12 +176,53 @@ FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
 """
 
 
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-row-per-key — the CDC compaction every changelog
+    consumer runs (row_number over a TOTAL order: date desc then
+    orderkey desc, so reruns and engines agree on ties).  One shuffle on
+    the key; at scale this is the standard dedup before a snapshot
+    publish."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+
+
+LATEST_ORDER_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE)::VARCHAR AS odate,
+       o_orderstatus, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,
+    "latest_order_per_customer": LATEST_ORDER_PER_CUSTOMER_SQL,
 }
 
 QUERIES = {
     "snapshot_diff": snapshot_diff,
     "merge_upsert": merge_upsert,
+    "latest_order_per_customer": latest_order_per_customer,
 }

@@ -306,6 +306,117 @@ GROUP BY bucket
 """
 
 
+def status_qty_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``unpivot`` (melt) — the inverse of ``pivot_status_qty``:
+    wide per-status columns back to (flag, status, qty) rows.  Runs on
+    the 3-row pivot output, so the operator cost is nil at any scale;
+    the point is the API surface and its null semantics (Spark keeps
+    null cells — mirrored by the UNION ALL oracle)."""
+    wide = pivot_status_qty(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["O_qty", "F_qty"],
+        variableColumnName="status_col",
+        valueColumnName="qty",
+    )
+
+
+STATUS_QTY_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O_qty,
+         ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F_qty
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'O_qty' AS status_col, O_qty AS qty FROM wide
+UNION ALL
+SELECT l_returnflag, 'F_qty' AS status_col, F_qty AS qty FROM wide
+"""
+
+
+LATE_SHIP_DAYS = 90
+
+
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having AT LEAST ONE lineitem shipped more
+    than {LATE_SHIP_DAYS} days after the order date, counted by priority
+    — the correlated EXISTS, expressed as a left-semi join whose
+    condition carries the correlated predicate (Catalyst's own
+    decorrelation target shape: one shuffle on orderkey, no row
+    amplification from multi-lineitem orders)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_COUNTS_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+SMALL_QTY_FRACTION = 0.5
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    {SMALL_QTY_FRACTION}× their part's average quantity — the correlated
+    scalar (per-group average) subquery, decorrelated into an aggregate
+    + self-join on partkey.
+
+    Determinism: quantities are integral, so each per-part sum is an
+    exact double and avg = sum/n is the identical IEEE division on both
+    engines — the ``q < f·avg`` membership test can't flip.  Scale: both
+    sides shuffle once on partkey; AQE merges the post-agg side."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < SMALL_QTY_FRACTION * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            stable_sum("l_extendedprice").alias("small_qty_revenue"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       {oracle_sum('l.l_extendedprice')} AS small_qty_revenue
+FROM lineitem l
+JOIN (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) pa
+  ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < {SMALL_QTY_FRACTION} * pa.avg_qty
+"""
+
+
 ORACLES: dict[str, str] = {
     "cube_sales": CUBE_SALES_SQL,
     "rollup_region_sales": ROLLUP_REGION_SALES_SQL,
@@ -316,6 +427,9 @@ ORACLES: dict[str, str] = {
     "sql_api_revenue_by_priority": SQL_API_REVENUE_BY_PRIORITY_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "price_histogram": PRICE_HISTOGRAM_SQL,
+    "status_qty_unpivot": STATUS_QTY_UNPIVOT_SQL,
+    "late_shipment_priority_counts": LATE_SHIPMENT_PRIORITY_COUNTS_SQL,
+    "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     # price_percentiles_approx / heavy_hitters_approx /
     # distinct_parts_sketch_rollup: rows-only (sketch-based by design)
 }
@@ -333,4 +447,7 @@ QUERIES = {
     "heavy_hitters_approx": heavy_hitters_approx,
     "distinct_parts_sketch_rollup": distinct_parts_sketch_rollup,
     "price_histogram": price_histogram,
+    "status_qty_unpivot": status_qty_unpivot,
+    "late_shipment_priority_counts": late_shipment_priority_counts,
+    "small_quantity_revenue": small_quantity_revenue,
 }
