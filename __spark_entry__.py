@@ -32,6 +32,7 @@ from retail_sales_project_bigdata_spark.operators import (
     datasetops,
     dedup,
     funnel,
+    graph,
     multimodal,
     olap,
     rangejoin,
@@ -63,6 +64,7 @@ _MODULES = [
     multimodal,
     olap,
     funnel,
+    graph,
     stats,
     calendar_mod,
     asof,

@@ -1,0 +1,108 @@
+"""Iterative graph analytics on the co-purchase graph: PageRank by power
+iteration, DataFrame-native.
+
+The reference's basket analysis stops at pairwise co-occurrence counts
+(``MarketBasketAnalysis.java`` §3.3); ranking products by co-purchase
+centrality is the canonical next step and exercises the one execution
+shape the rest of the engine doesn't: a DRIVER-CONTROLLED iterative
+dataflow (Pregel-style), each step a pure DataFrame join + aggregate.
+
+Scale notes:
+- Edges come from the same order-pair explode as ``basket_pairs`` and are
+  symmetrized, so every node has degree ≥ 1 (no dangling-mass term).
+- Each iteration is one join (ranks ⋈ edges on src — both sides hash-
+  partitioned on the same key, so AQE reuses the exchange) and one
+  groupBy(dst) — 2 shuffles/iter, the textbook distributed PR cost.
+- Lineage grows linearly with iterations; at production iteration counts
+  (>~15) insert ``localCheckpoint()`` every few steps to truncate the
+  plan.  ``N_ITERATIONS`` here is fixed and small, so the plan stays
+  compilable and the whole run is lazy until the sink.
+- Rows-only in the driver gate (iterative FP accumulation has no stable
+  cross-engine SQL mirror); ``tests/test_graph.py`` asserts the
+  invariants instead: mass conservation (Σrank = N up to FP noise),
+  positivity, and agreement with a NumPy dense-power-iteration oracle at
+  sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_sales_project_bigdata_spark.sources import read_table
+
+DAMPING = 0.85
+N_ITERATIONS = 5
+PAGERANK_TOP_N = 50
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) part pairs that co-occur in an order."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PAGERANK_TOP_N} parts by PageRank over the co-purchase graph
+    ({N_ITERATIONS} damped power iterations; deterministic tie-break on
+    part key)."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    ranks = nodes.select(
+        "node", "deg", F.lit(1.0).alias("rank")
+    )
+    base = 1.0 - DAMPING
+    for _ in range(N_ITERATIONS):
+        contribs = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.lit(DAMPING) * F.coalesce("incoming", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select("node", "rank")
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(PAGERANK_TOP_N)
+    )
+
+
+ORACLES: dict[str, str] = {}
+
+QUERIES = {
+    "pagerank_copurchase": pagerank_copurchase,
+}

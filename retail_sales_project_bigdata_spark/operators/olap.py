@@ -417,6 +417,38 @@ WHERE l.l_quantity < {SMALL_QTY_FRACTION} * pa.avg_qty
 """
 
 
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag), (status), ()) with a grouping-id
+    bitmask — the general form cube/rollup specialize.  One Expand +
+    one shuffle regardless of how many sets are requested."""
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "net_sales", net_sales()
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("net_sales").alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "revenue")
+    )
+
+
+GROUPING_SETS_SALES_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_rows,
+       {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 ORACLES: dict[str, str] = {
     "cube_sales": CUBE_SALES_SQL,
     "rollup_region_sales": ROLLUP_REGION_SALES_SQL,
@@ -430,6 +462,7 @@ ORACLES: dict[str, str] = {
     "status_qty_unpivot": STATUS_QTY_UNPIVOT_SQL,
     "late_shipment_priority_counts": LATE_SHIPMENT_PRIORITY_COUNTS_SQL,
     "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+    "grouping_sets_sales": GROUPING_SETS_SALES_SQL,
     # price_percentiles_approx / heavy_hitters_approx /
     # distinct_parts_sketch_rollup: rows-only (sketch-based by design)
 }
@@ -450,4 +483,5 @@ QUERIES = {
     "status_qty_unpivot": status_qty_unpivot,
     "late_shipment_priority_counts": late_shipment_priority_counts,
     "small_quantity_revenue": small_quantity_revenue,
+    "grouping_sets_sales": grouping_sets_sales,
 }

@@ -281,3 +281,43 @@ def file_minmax(out_dir: str, column: str) -> list[tuple[object, object]]:
             if mins:
                 spans.append((min(mins), max(maxs)))
     return spans
+
+
+def publish_versioned(df: DataFrame, table_dir: str) -> int:
+    """Versioned snapshot publish — atomic-swap table updates without a
+    lakehouse format: each publish writes a fresh ``v=N`` directory and
+    then flips a tiny ``_CURRENT`` manifest to point at it.  Readers that
+    resolved the manifest before the flip keep reading the old snapshot
+    (no in-place overwrite ⇒ no torn reads), and old versions remain
+    addressable for time travel / rollback until a retention sweep.
+    The manifest write is a single small file — the closest thing to an
+    atomic commit a plain object store gives you.  Returns the new
+    version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    df.write.mode("errorifexists").parquet(
+        os.path.join(table_dir, f"v={version}")
+    )
+    tmp = os.path.join(table_dir, "_CURRENT.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+    return version
+
+
+def read_versioned(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current (manifest-resolved) or an explicit snapshot
+    version of a table published with :func:`publish_versioned`."""
+    if version is None:
+        with open(
+            os.path.join(table_dir, "_CURRENT"), encoding="utf-8"
+        ) as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))

@@ -82,3 +82,18 @@ def test_cluster_parquet_zone_maps_prune(spark, tmp_path):
     assert covering <= 2 < covering_shuffled
     # rewrite is lossless
     assert spark.read.parquet(clustered).count() == li.count()
+
+
+def test_publish_versioned_snapshot_swap_and_time_travel(spark, tmp_path):
+    from retail_sales_project_bigdata_spark.sources import (
+        publish_versioned,
+        read_versioned,
+    )
+
+    table = str(tmp_path / "dim_customer")
+    c = read_table(spark, SF_SMALL, "customer")
+    v1 = publish_versioned(c.limit(10), table)
+    v2 = publish_versioned(c.limit(25), table)
+    assert (v1, v2) == (1, 2)
+    assert read_versioned(spark, table).count() == 25      # manifest → v2
+    assert read_versioned(spark, table, 1).count() == 10   # time travel
