@@ -59,20 +59,27 @@ def read_table(
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, handling its nanosecond-precision timestamps.
+    """Read the events table, normalizing its timestamp representation.
 
-    The testdata writes parquet INT64 TIMESTAMP(NANOS) which Spark cannot
-    read as TimestampType; ``spark.sql.legacy.parquet.nanosAsLong`` reads
-    it as a raw nanosecond long.  Exposed columns: ``ts_us`` (exact int64
-    micros — use for ordering/gap arithmetic; µs matches what DuckDB's
-    parquet reader keeps) and ``ts`` (microsecond TimestampType for
-    window functions)."""
+    The testdata generator has shipped ``ts`` both as parquet INT64
+    TIMESTAMP(NANOS) (unreadable as TimestampType; needs
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as plain microsecond
+    TIMESTAMP (read as TIMESTAMP_NTZ).  Branch on the physical type and
+    expose the same contract either way: ``ts_us`` (exact int64 micros —
+    use for ordering/gap arithmetic; µs matches what DuckDB's parquet
+    reader keeps, ``epoch_us(ts)``) and ``ts`` (microsecond TimestampType
+    for window functions; session tz is UTC so the instant is identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts_us = F.expr("ts DIV 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return df.select(
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("ts"),
         "user_id",
         "event_type",
         "value",

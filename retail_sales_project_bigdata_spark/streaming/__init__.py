@@ -24,32 +24,47 @@ from retail_sales_project_bigdata_spark.functions import pround
 
 _counter = itertools.count()
 
-# events.parquet stores INT64 TIMESTAMP(NANOS) — read as raw nanos long
-# (spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
-# timestamp for event-time windows/watermarks.
-EVENTS_NANOS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet has shipped ``ts`` both as INT64 TIMESTAMP(NANOS) — read
+# as raw nanos long (spark.sql.legacy.parquet.nanosAsLong) — and as plain
+# microsecond TIMESTAMP (read as TIMESTAMP_NTZ).  readStream needs an
+# explicit schema, so probe the footer via a batch read and branch.
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    batch_ts = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
+    nanos_as_long = batch_ts in ("bigint", "long")
+    schema = _events_schema(
+        T.LongType() if nanos_as_long else T.TimestampNTZType()
+    )
     raw = (
-        spark.readStream.schema(EVENTS_NANOS)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
+    if nanos_as_long:
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",

@@ -8,19 +8,15 @@ import os
 from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.streaming import (
-    EVENTS_NANOS,
+    _events_stream,
     write_stream_idempotent_parquet,
 )
 from tests.conftest import SF_SMALL
 
 
 def _start(spark, out_dir, ckpt_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_NANOS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_SMALL)
-        .select("event_id", "user_id", "value")
+    stream = _events_stream(spark, SF_SMALL).select(
+        "event_id", "user_id", "value"
     )
     return write_stream_idempotent_parquet(stream, out_dir, ckpt_dir)
 
