@@ -45,6 +45,7 @@ from retail_sales_project_bigdata_spark.operators import (
     stats,
     temporal,
     textstats,
+    tpch_shapes,
 )
 
 _MODULES = [
@@ -70,6 +71,7 @@ _MODULES = [
     asof,
     cdc,
     rangejoin,
+    tpch_shapes,
     streaming_mod,
 ]
 
