@@ -84,3 +84,34 @@ def test_codegen_active(spark):
         assert whole_stage_codegen_spans(segmentation_features(spark, SF_SMALL)) >= 2
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tpch_shapes_plans(spark):
+    """Plan audit for the Q13-Q22 shape batch (tpch_shapes module)."""
+    from retail_sales_project_bigdata_spark.operators import tpch_shapes as tq
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+
+    for q in tq.QUERIES.values():
+        df = q(spark, SF_SMALL)
+        assert_no_cartesian(df)
+        assert_no_python_eval(df)
+
+    # dim sides must broadcast (part / supplier / customer)
+    assert_broadcast_join(tq.promo_revenue_share(spark, SF_SMALL), 1)
+    assert_broadcast_join(tq.disjunctive_revenue(spark, SF_SMALL), 1)
+    assert_broadcast_join(tq.waiting_suppliers(spark, SF_SMALL), 1)
+    assert_broadcast_join(tq.large_volume_customers(spark, SF_SMALL), 1)
+
+    # Q21's EXISTS / NOT EXISTS compile to semi + anti joins, Q22's
+    # "no recent orders" to an anti join — never row-exploding inners
+    ws_plan = physical_plan(tq.waiting_suppliers(spark, SF_SMALL))
+    assert "LeftSemi" in ws_plan, ws_plan
+    assert "LeftAnti" in ws_plan, ws_plan
+    assert "LeftAnti" in physical_plan(tq.idle_wealthy_customers(spark, SF_SMALL))
+
+    # the Q14 month window must reach the lineitem scan
+    assert_pushed_filter(tq.promo_revenue_share(spark, SF_SMALL), "l_shipdate")
+    # Q13 never reads order payload columns
+    assert_read_schema_excludes(
+        tq.order_count_distribution(spark, SF_SMALL), "o_totalprice"
+    )
