@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from retail_sales_project_bigdata_spark.functions import pround, pround_np
+from retail_sales_project_bigdata_spark.functions import (
+    oracle_ordered_avg,
+    ordered_avg,
+    pround,
+    pround_np,
+)
 from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query set
@@ -488,7 +493,50 @@ SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label,
+    dimension) — the grouped array-mean every clustering / dedup-quality
+    report needs.
+
+    posexplode flattens array<float> to (label, pos, val) — a narrow map —
+    then ONE shuffle on (label, pos) aggregates each dimension.  The
+    per-dimension mean uses the ordered-fold discipline
+    (:func:`functions.ordered_avg`): floats cast to double, sorted, then
+    left-folded, so DuckDB's ``list_aggregate(list_sort(...), 'sum')``
+    adds bit-identical doubles in the same sequence regardless of Spark's
+    partitioning.  At production scale the ordered fold bounds state per
+    (label, dim) group — rows/labels per dimension, not the full table;
+    a throughput-first variant would use plain ``avg`` and skip oracle
+    exactness."""
+    emb = read_table(spark, sf_dir, "embeddings", broadcast_dims=False)
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based, matches DuckDB subscripts
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        fan_out(flat)
+        .groupBy("label", "pos")
+        .agg(ordered_avg("val").alias("centroid_val"))
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = f"""
+SELECT label, pos, {oracle_ordered_avg('v')} AS centroid_val
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
 ORACLES: dict[str, str] = {
+    "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
     "lsh_signatures": LSH_SIGNATURES_SQL,
@@ -499,6 +547,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "embedding_centroids": embedding_centroids,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_bruteforce_topk_numpy": ann_bruteforce_topk_numpy,
     "embedding_near_dup_pairs_numpy": embedding_near_dup_pairs_numpy,

@@ -376,6 +376,48 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_segment_event_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (events.user_id ⊆ customer.c_custkey in the
+    testdata), then rolls up per (market segment, event type).
+
+    Stream-static inner joins are STATELESS — each micro-batch probes the
+    static side with no watermark and no state store, and the dim side
+    carries its broadcast hint, so at production scale every executor
+    probes a local hash map instead of shuffling the stream.  Over the
+    bounded source, complete mode equals the batch join+rollup — exact
+    DuckDB oracle."""
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return spark.table(name).select(
+        "c_mktsegment", "event_type", "n_events", "total_value"
+    )
+
+
+STREAMING_SEGMENT_EVENT_COUNTS_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 def write_stream_idempotent_parquet(
     agg_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):
@@ -411,6 +453,7 @@ ORACLES: dict[str, str] = {
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
     "streaming_purchase_view_join": STREAMING_PURCHASE_VIEW_JOIN_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_EVENTS_SQL,
+    "streaming_segment_event_counts": STREAMING_SEGMENT_EVENT_COUNTS_SQL,
     # streaming_sliding_value / streaming_stateful_user_sessions:
     # rows-only (watermark / state-evolution semantics by design)
 }
@@ -422,5 +465,6 @@ QUERIES = {
     "streaming_stateful_user_sessions": streaming_stateful_user_sessions,
     "streaming_purchase_view_join": streaming_purchase_view_join,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_segment_event_counts": streaming_segment_event_counts,
     "streaming_session_windows": streaming_session_windows,
 }
