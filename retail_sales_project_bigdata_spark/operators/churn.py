@@ -168,6 +168,50 @@ LEFT JOIN promo_days p ON f.custkey = p.custkey AND f.day = p.promo_day
 """
 
 
+def _pair_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-(custkey, partkey) signal of the churn DAG in ONE shuffle.
+
+    The reference materializes first-purchases, self-joins transactions
+    back for the repurchase window, aggregates, and left-joins twice more
+    (``ChurnPrediction.java:82-230``) — at scale that shuffles the fact
+    table 4×, every time on the same (household, product) key.  All of it
+    is expressible as window functions over a single hash partitioning:
+
+    - first purchase  = ``min(struct(day, orderkey, linenumber))`` over
+      the unordered partition (lexicographic struct min == first row of
+      the total order — §4.3.6 determinism),
+    - the J3 range self-join = a per-row membership test
+      ``first_day < day <= first_day + W`` (equi keys are the partition),
+    - A4's min/count = conditional window aggregates of that flag,
+    - A5's per-pair stats = plain window aggregates.
+
+    One Exchange; the ordered row_number and every unordered aggregate
+    reuse it (same partition keys ⇒ Spark plans a single shuffle with
+    stacked Window nodes).  AQE skew-join handling is irrelevant here —
+    there is no join left to skew."""
+    tx = transactions(spark, sf_dir)
+    w = Window.partitionBy("custkey", "partkey")
+    wo = w.orderBy("day", "orderkey", "linenumber")
+    first_day = F.min(F.struct("day", "orderkey", "linenumber")).over(w)[
+        "day"
+    ]
+    in_win = (F.col("day") > F.col("first_day")) & (
+        F.col("day") <= F.col("first_day") + F.lit(REPURCHASE_WINDOW_DAYS)
+    )
+    return (
+        tx.withColumn("rn", F.row_number().over(wo))
+        .withColumn("first_day", first_day)
+        .withColumn("in_win", in_win)
+        .withColumn(
+            "n_repurchases", F.sum(F.col("in_win").cast("long")).over(w)
+        )
+        .withColumn(
+            "first_repurchase_day",
+            F.min(F.when(F.col("in_win"), F.col("day"))).over(w),
+        )
+    )
+
+
 def repurchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 range join + A4 summary + J4 left join back → labeled pairs.
 
@@ -176,40 +220,22 @@ def repurchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(first_day, first_day + 90]`` — strict lower bound, inclusive upper
     (FIXTURES.md §C.6) — aggregated to ``min(later_day)``/count, then
     left-joined back so non-repurchasers keep label 0 via coalesce (P12).
+    Physically the whole chain collapses into one shuffle
+    (:func:`_pair_window_frame`); the SQL oracle keeps the reference's
+    join formulation, proving the rewrite semantics-identical.
     """
-    fp = first_purchases(spark, sf_dir)
-    later = transactions(spark, sf_dir).select(
-        F.col("custkey").alias("l_custkey"),
-        F.col("partkey").alias("l_partkey"),
-        F.col("day").alias("later_day"),
-    )
-    window_hits = (
-        fp.join(
-            later,
-            (fp.custkey == later.l_custkey) & (fp.partkey == later.l_partkey),
-            "inner",
-        )
-        .filter(
-            (F.col("later_day") > F.col("first_day"))
-            & (F.col("later_day") <= F.col("first_day") + F.lit(REPURCHASE_WINDOW_DAYS))
-        )
-        .groupBy("custkey", "partkey")
-        .agg(
-            F.min("later_day").alias("first_repurchase_day"),
-            F.count("later_day").alias("n_repurchases"),
-        )
-    )
-    return fp.join(window_hits, ["custkey", "partkey"], "left").select(
+    enriched = _pair_window_frame(spark, sf_dir)
+    return enriched.filter(F.col("rn") == 1).select(
         "custkey",
         "partkey",
         "first_day",
-        "first_dow",
-        "first_with_discount",
+        day_of_week("first_day").alias("first_dow"),
+        F.col("is_discounted").alias("first_with_discount"),
         F.coalesce(F.col("first_repurchase_day"), F.lit(-1)).alias(
             "first_repurchase_day"
         ),
-        F.coalesce(F.col("n_repurchases"), F.lit(0)).alias("n_repurchases"),
-        F.when(F.col("n_repurchases").isNotNull(), 1).otherwise(0).alias("label"),
+        "n_repurchases",
+        F.when(F.col("n_repurchases") > 0, 1).otherwise(0).alias("label"),
     )
 
 
@@ -267,35 +293,57 @@ FROM facts GROUP BY custkey, partkey
 
 def churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 + J6: labeled pairs ⋈left pair stats ⋈left demographics with
-    coalesce defaults — ChurnPrediction.java:207-251's ML feature frame."""
-    labels = repurchase_labels(spark, sf_dir)
-    stats = pair_stats(spark, sf_dir)
+    coalesce defaults — ChurnPrediction.java:207-251's ML feature frame.
+
+    Physically: the pair stats (A5) ride the SAME single shuffle as the
+    labels (window aggregates over the shared (custkey, partkey)
+    partitioning — :func:`_pair_window_frame`), so the only join left is
+    the broadcast customer-dimension lookup.  The reference's plan
+    shuffled the fact table four times here; this one shuffles it once.
+    The stats coalesces are no-ops by construction (every pair has its
+    own transactions) but are kept for schema parity with the oracle's
+    left-join formulation."""
+    w = Window.partitionBy("custkey", "partkey")
+    enriched = (
+        _pair_window_frame(spark, sf_dir)
+        .withColumn("tx_count", F.count(F.lit(1)).over(w))
+        .withColumn("pair_sum", F.sum("net_sales").over(w))
+    )
+    labels = enriched.filter(F.col("rn") == 1).select(
+        "custkey",
+        "partkey",
+        "first_day",
+        day_of_week("first_day").alias("first_dow"),
+        F.col("is_discounted").alias("first_with_discount"),
+        "n_repurchases",
+        F.when(F.col("n_repurchases") > 0, 1).otherwise(0).alias("label"),
+        "tx_count",
+        pround(F.col("pair_sum"), 4).alias("total_sales"),
+        pround(pround(F.col("pair_sum"), 4) / F.col("tx_count"), 6).alias(
+            "avg_sales"
+        ),
+    )
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_mktsegment").alias("mktsegment"),
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").alias("nationkey"),
     )
-    out = (
-        labels.join(stats, ["custkey", "partkey"], "left")
-        .join(cust, labels.custkey == cust.c_custkey, "left")
-        .select(
-            "custkey",
-            "partkey",
-            "first_day",
-            "first_dow",
-            "first_with_discount",
-            "n_repurchases",
-            "label",
-            F.coalesce(F.col("tx_count"), F.lit(0)).alias("tx_count"),
-            F.coalesce(F.col("total_sales"), F.lit(0.0)).alias("total_sales"),
-            F.coalesce(F.col("avg_sales"), F.lit(0.0)).alias("avg_sales"),
-            F.coalesce(F.col("mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
-            F.coalesce(F.col("acctbal"), F.lit(0.0)).alias("acctbal"),
-            F.coalesce(F.col("nationkey"), F.lit(-1)).alias("nationkey"),
-        )
+    return labels.join(cust, labels.custkey == cust.c_custkey, "left").select(
+        "custkey",
+        "partkey",
+        "first_day",
+        "first_dow",
+        "first_with_discount",
+        "n_repurchases",
+        "label",
+        F.coalesce(F.col("tx_count"), F.lit(0)).alias("tx_count"),
+        F.coalesce(F.col("total_sales"), F.lit(0.0)).alias("total_sales"),
+        F.coalesce(F.col("avg_sales"), F.lit(0.0)).alias("avg_sales"),
+        F.coalesce(F.col("mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
+        F.coalesce(F.col("acctbal"), F.lit(0.0)).alias("acctbal"),
+        F.coalesce(F.col("nationkey"), F.lit(-1)).alias("nationkey"),
     )
-    return out
 
 
 CHURN_FEATURES_SQL = f"""
