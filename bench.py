@@ -51,11 +51,18 @@ def warmup(spark) -> None:
         .groupBy("k")
         .count()
     )
-    # Fork the Python worker pool + Arrow serialization path once, so the
-    # first mapInPandas query doesn't pay worker startup in its timing.
+    # Fork the Python worker pool + Arrow serialization path once, and
+    # trigger the heavy imports (numpy/pandas) inside every worker, so the
+    # first mapInPandas query measures compute, not 32x import cost.
+    def _warm_imports(batches):
+        import numpy  # noqa: F401  (worker-side import warmup)
+        import pandas  # noqa: F401
+
+        yield from batches
+
     materialize(
         spark.range(32, numPartitions=32).mapInPandas(
-            lambda it: it, schema="id long"
+            _warm_imports, schema="id long"
         )
     )
 

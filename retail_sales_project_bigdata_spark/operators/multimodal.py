@@ -139,20 +139,30 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_media(spark, sf_dir).filter(F.col("modality") == "video")
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["media_id", "frame_no", "width", "height"]
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                for frame_no in range(0, int(row["frames"]), 24):
-                    out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_no": frame_no,
-                            "width": row["width"],
-                            "height": row["height"],
-                        }
-                    )
+            # vectorized explode: row i emits ceil(frames/24) rows with
+            # frame_no 0, 24, 48, ... — no per-row Python loop
+            counts = (pdf["frames"].to_numpy(dtype="int64") + 23) // 24
+            counts = np.maximum(counts, 0)
+            total = int(counts.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols}
+                )
+                continue
+            row_idx = np.repeat(np.arange(len(pdf)), counts)
+            row_starts = np.cumsum(counts) - counts
+            frame_no = (np.arange(total) - row_starts[row_idx]) * 24
             yield pd.DataFrame(
-                out, columns=["media_id", "frame_no", "width", "height"]
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_idx],
+                    "frame_no": frame_no,
+                    "width": pdf["width"].to_numpy()[row_idx],
+                    "height": pdf["height"].to_numpy()[row_idx],
+                }
             )
 
     return decoded.mapInPandas(
