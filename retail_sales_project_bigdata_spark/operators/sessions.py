@@ -312,7 +312,76 @@ FROM ex
 """
 
 
+def customer_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value + a trailing ROWS frame, per
+    customer over the order history — the analytic window-frame surface
+    (beyond the reference's single row_number, SURVEY §2.5).
+
+    One row per customer (taken at the last order): first/second/latest
+    order value and the average of the trailing 3 orders.  One shuffle on
+    custkey; every window shares the partitioning.  Total order
+    (o_orderdate, o_orderkey) kills ties; the trailing average follows
+    the grid-sum discipline (o_totalprice is 2-decimal-grid)."""
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    trailing3 = wo.rowsBetween(-2, 0)
+    w_unordered = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w_unordered))
+        .withColumn("first_order_value", F.first("o_totalprice").over(wo))
+        .withColumn("second_order_value", F.nth_value("o_totalprice", 2).over(full))
+        .withColumn("last_order_value", F.last("o_totalprice").over(full))
+        .withColumn(
+            "trailing3_avg",
+            pround(
+                pround(F.sum("o_totalprice").over(trailing3), 4)
+                / F.least(F.col("rn"), F.lit(3)),
+                6,
+            ),
+        )
+        .filter(F.col("rn") == F.col("n_orders"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            "first_order_value",
+            "second_order_value",
+            "last_order_value",
+            "trailing3_avg",
+        )
+    )
+
+
+CUSTOMER_ORDER_LIFECYCLE_SQL = """
+WITH w AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER ord AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         FIRST_VALUE(o_totalprice) OVER ord AS first_order_value,
+         NTH_VALUE(o_totalprice, 2) OVER full_w AS second_order_value,
+         LAST_VALUE(o_totalprice) OVER full_w AS last_order_value,
+         ROUND(ROUND(SUM(o_totalprice) OVER trail3, 4)
+               / LEAST(ROW_NUMBER() OVER ord, 3), 6) AS trailing3_avg
+  FROM orders
+  WINDOW ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         full_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         trail3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, n_orders, first_order_value, second_order_value,
+       last_order_value, trailing3_avg
+FROM w WHERE rn = n_orders
+"""
+
+
 ORACLES: dict[str, str] = {
+    "customer_order_lifecycle": CUSTOMER_ORDER_LIFECYCLE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "session_stats": SESSION_STATS_SQL,
     "user_activity": USER_ACTIVITY_SQL,
@@ -322,6 +391,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "customer_order_lifecycle": customer_order_lifecycle,
     "sessionize": sessionize,
     "session_stats": session_stats,
     "user_activity": user_activity,

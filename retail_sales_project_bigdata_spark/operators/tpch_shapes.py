@@ -392,6 +392,88 @@ LIMIT {Q21_TOP_N}
 """
 
 
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two nations by (supplier nation,
+    customer nation, year) — the symmetric pair predicate
+    ``(n1=A AND n2=B) OR (n1=B AND n2=A)``.
+
+    Both nation lookups broadcast; the pair disjunction is evaluated on
+    broadcast-joined columns (never a cross product), and the year comes
+    from the shipdate so the groupBy stays fact-partitioned.  One big
+    shuffle: lineitem ⋈ orders on orderkey; the final (nation, nation,
+    year) aggregate is dimension-sized."""
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    pair = [Q7_NATION_A, Q7_NATION_B]
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            nation.filter(F.col("n_name").isin(pair)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            nation.filter(F.col("n_name").isin(pair)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("net_sales", net_sales())
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "net_sales")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(stable_sum("net_sales").alias("volume"))
+    )
+
+
+NATION_PAIR_VOLUME_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       {oracle_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+   OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+"""
+
+
 def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: per market segment, customers with above-average
     account balance and no orders after {Q22_CUTOFF}.
@@ -453,6 +535,7 @@ ORACLES: dict[str, str] = {
     "top_supplier": TOP_SUPPLIER_SQL,
     "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
     "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
+    "nation_pair_volume": NATION_PAIR_VOLUME_SQL,
     "waiting_suppliers": WAITING_SUPPLIERS_SQL,
     "idle_wealthy_customers": IDLE_WEALTHY_CUSTOMERS_SQL,
 }
@@ -463,6 +546,7 @@ QUERIES = {
     "top_supplier": top_supplier,
     "large_volume_customers": large_volume_customers,
     "disjunctive_revenue": disjunctive_revenue,
+    "nation_pair_volume": nation_pair_volume,
     "waiting_suppliers": waiting_suppliers,
     "idle_wealthy_customers": idle_wealthy_customers,
 }

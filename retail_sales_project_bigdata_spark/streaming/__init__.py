@@ -418,6 +418,101 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+def stream_cdc_upsert_parquet(
+    events: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """Streaming MERGE: maintain a per-user latest-state table (last event
+    + running event count) in versioned parquet via ``foreachBatch``.
+
+    Each micro-batch reduces to one row per user (``max_by`` on
+    ``(ts, event_id)`` — deterministic under ties) and full-outer merges
+    it with the previous snapshot, CDC-upsert style: counts add, the
+    newer of (previous last, batch last) wins by event time — correct
+    even when a later batch delivers older events.
+
+    Exactly-once without a lakehouse format: batch *k* ALWAYS reads
+    snapshot ``v=k`` and overwrites ``v=k+1``, then flips the
+    ``_CURRENT`` manifest.  A replayed batch recomputes the identical
+    merge from the still-intact previous version and clobbers only its
+    own output — the same idempotency argument as
+    :func:`write_stream_idempotent_parquet`, extended to stateful
+    accumulation.  Readers resolve ``_CURRENT`` and never see a torn
+    snapshot; old versions stay addressable for time travel.
+
+    Scale: the merge is a key-partitioned full-outer join of two
+    user-grained frames (micro-batch state × snapshot) — no fact-sized
+    shuffle, and the snapshot rewrite is the standard copy-on-write
+    trade lakehouse MERGE makes.  Returns the started StreamingQuery.
+    """
+    import os
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        batch_state = (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "event_type", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("last"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "user_id",
+                F.col("last.ts").alias("last_ts"),
+                F.col("last.event_id").alias("last_event_id"),
+                F.col("last.event_type").alias("last_event_type"),
+                F.col("last.value").alias("last_value"),
+                "n_events",
+            )
+        )
+        prev_path = os.path.join(target_dir, f"v={batch_id}")
+        if batch_id > 0 and os.path.exists(prev_path):
+            prev = spark.read.parquet(prev_path)
+            b, p = batch_state.alias("b"), prev.alias("p")
+            batch_wins = F.col("p.last_ts").isNull() | (
+                F.col("b.last_ts").isNotNull()
+                & (
+                    F.struct(F.col("b.last_ts"), F.col("b.last_event_id"))
+                    > F.struct(F.col("p.last_ts"), F.col("p.last_event_id"))
+                )
+            )
+            merged = b.join(p, "user_id", "full_outer").select(
+                "user_id",
+                *[
+                    F.when(batch_wins, F.col(f"b.{c}"))
+                    .otherwise(F.col(f"p.{c}"))
+                    .alias(c)
+                    for c in (
+                        "last_ts",
+                        "last_event_id",
+                        "last_event_type",
+                        "last_value",
+                    )
+                ],
+                (
+                    F.coalesce(F.col("b.n_events"), F.lit(0))
+                    + F.coalesce(F.col("p.n_events"), F.lit(0))
+                ).alias("n_events"),
+            )
+        else:
+            merged = batch_state
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"v={batch_id + 1}")
+        )
+        tmp = os.path.join(target_dir, "_CURRENT.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(batch_id + 1))
+        os.replace(tmp, os.path.join(target_dir, "_CURRENT"))
+
+    os.makedirs(target_dir, exist_ok=True)
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def write_stream_idempotent_parquet(
     agg_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):

@@ -52,3 +52,77 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == before
+
+
+def test_stream_cdc_upsert(spark, tmp_path):
+    """foreachBatch CDC upsert: the final versioned snapshot must equal the
+    batch keep-latest + count per user, regardless of micro-batch split."""
+    from pyspark.sql import types as T
+
+    from retail_sales_project_bigdata_spark.sources import (
+        read_events,
+        read_versioned,
+    )
+    from retail_sales_project_bigdata_spark.streaming import (
+        stream_cdc_upsert_parquet,
+    )
+
+    # split events into 4 files => 4 micro-batches at maxFilesPerTrigger=1
+    src_dir = str(tmp_path / "events_split")
+    ev = read_events(spark, SF_SMALL).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    target = str(tmp_path / "user_state")
+    q = stream_cdc_upsert_parquet(
+        stream, target, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_versioned(spark, target)
+    expected = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+            "n_events",
+        )
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # time travel: v=1 holds exactly the first micro-batch's users
+    v1 = read_versioned(spark, target, version=1)
+    assert 0 < v1.count() <= got.count()
+    assert int(
+        v1.agg(F.sum("n_events")).first()[0]
+    ) < int(got.agg(F.sum("n_events")).first()[0])
+
+    # a fresh run (new checkpoint, same target) converges to the same state
+    q2 = stream_cdc_upsert_parquet(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        target,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    again = read_versioned(spark, target)
+    assert again.exceptAll(expected).count() == 0
+    assert expected.exceptAll(again).count() == 0
