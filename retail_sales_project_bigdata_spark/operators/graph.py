@@ -64,6 +64,10 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PAGERANK_TOP_N} parts by PageRank over the co-purchase graph
     ({N_ITERATIONS} damped power iterations; deterministic tie-break on
     part key)."""
+    # No persist: the edge subtree repeats identically in every iteration,
+    # and ReuseExchange dedups identical exchanges — measured A/B, caching
+    # is ~2× SLOWER here (materialization + storage-read beat by exchange
+    # reuse).  See the shuffle_hash hint below for the join-side choice.
     edges = copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
@@ -72,12 +76,18 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = 1.0 - DAMPING
     for _ in range(N_ITERATIONS):
+        # Join strategy is part of the design: edges is the FACT side —
+        # never broadcast it.  The hint pins a shuffle-hash join building
+        # on the |V|-sized rank share, which also skips re-SORTING the
+        # edge side every iteration (the sort-merge default's cost here,
+        # ~2× the whole query).  Both sides hash-partition on src; the
+        # exchange is reused across iterations.
         contribs = (
             edges.join(
                 ranks.select(
                     F.col("node").alias("src"),
                     (F.col("rank") / F.col("deg")).alias("share"),
-                ),
+                ).hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
