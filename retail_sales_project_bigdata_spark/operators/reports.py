@@ -412,7 +412,84 @@ LIMIT {Q10_TOP_N}
 """
 
 
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region and
+    of the grand total.
+
+    The shares are windows OVER THE AGGREGATED frame (|nation| rows), so
+    the only fact-sized work is the initial rollup — the share windows
+    shuffle 25 rows.  Totals use the ordered-fold sum (sort + left fold)
+    so both engines add identical doubles in identical order; the
+    region-partitioned window is deterministic the same way."""
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("net_sales", net_sales())
+        .select("l_orderkey", "net_sales")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(stable_sum("net_sales").alias("revenue"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    ordered_total = lambda w: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list("revenue").over(w)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return rev.select(
+        "n_name",
+        "r_name",
+        "revenue",
+        pround(F.col("revenue") / ordered_total(w_region), 6).alias(
+            "region_share"
+        ),
+        pround(F.col("revenue") / ordered_total(w_all), 6).alias(
+            "global_share"
+        ),
+    )
+
+
+NATION_REVENUE_SHARE_SQL = f"""
+WITH rev AS (
+  SELECT n.n_name, r.r_name,
+         {oracle_sum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT n_name, r_name, revenue,
+       ROUND(revenue / list_aggregate(list_sort(list(revenue) OVER w_region), 'sum'), 6)
+         AS region_share,
+       ROUND(revenue / list_aggregate(list_sort(list(revenue) OVER w_all), 'sum'), 6)
+         AS global_share
+FROM rev
+WINDOW w_region AS (PARTITION BY r_name),
+       w_all AS ()
+"""
+
+
 ORACLES: dict[str, str] = {
+    "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
     "top_products": TOP_PRODUCTS_SQL,
     "top_parts_per_supplier": TOP_PARTS_PER_SUPPLIER_SQL,
     "sales_by_region": SALES_BY_REGION_SQL,
@@ -424,6 +501,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "nation_revenue_share": nation_revenue_share,
     "top_products": top_products,
     "top_parts_per_supplier": top_parts_per_supplier,
     "sales_by_region": sales_by_region,

@@ -201,12 +201,72 @@ GROUP BY b.l_returnflag
 """
 
 
+def quantity_central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median + deterministic mode of ``l_quantity`` per
+    return flag.
+
+    - Median: ``F.median`` (interpolated percentile-0.5).  On the
+      integer-valued quantity grid the midpoint average is exact in both
+      engines, so it oracle-matches DuckDB's ``median`` bit-for-bit.
+    - Mode: Spark's ``F.mode`` breaks frequency ties arbitrarily, so the
+      deterministic form is spelled as a two-phase aggregation — count
+      per (group, value), then keep the (count DESC, value ASC)-first
+      row.  Two shuffles, both on small (group, value) domains; the
+      second input is already value-grained, far below fact size.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode = counts.groupBy("l_returnflag").agg(
+        F.max_by(
+            F.col("l_quantity"),
+            F.struct(F.col("cnt"), -F.col("l_quantity")),
+        ).alias("mode_qty"),
+        F.max("cnt").alias("mode_count"),
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "n_rows", "median_qty", "mode_qty", "mode_count"
+    )
+
+
+QUANTITY_CENTRAL_TENDENCY_SQL = """
+WITH med AS (
+  SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+),
+counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+mode AS (
+  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT m.l_returnflag, m.n_rows, m.median_qty, mo.mode_qty, mo.mode_count
+FROM med m JOIN mode mo USING (l_returnflag)
+"""
+
+
 ORACLES: dict[str, str] = {
     "sales_stats_by_flag": SALES_STATS_BY_FLAG_SQL,
     "price_outliers_iqr": PRICE_OUTLIERS_IQR_SQL,
+    "quantity_central_tendency": QUANTITY_CENTRAL_TENDENCY_SQL,
 }
 
 QUERIES = {
     "sales_stats_by_flag": sales_stats_by_flag,
     "price_outliers_iqr": price_outliers_iqr,
+    "quantity_central_tendency": quantity_central_tendency,
 }
