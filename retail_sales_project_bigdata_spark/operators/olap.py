@@ -449,7 +449,125 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface in one oracle-checked query: COUNT(*) vs
+    COUNT(col) vs COUNT(DISTINCT col) on a nullable column, null-ignoring
+    MIN/MAX, an explicit IS NULL conditional count, and a NULL-SAFE
+    equality join (Spark ``eqNullSafe`` ↔ SQL ``IS NOT DISTINCT FROM``,
+    where NULL matches NULL).
+
+    The testdata has no physical nulls, so the nullable column is derived
+    (``NULLIF(l_discount, 0)``) — identically in both engines.  Scale:
+    one fact shuffle for the per-flag aggregate; the null-safe join runs
+    on the distinct (flag, value) frame, dimension-sized."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr("NULLIF(l_discount, 0.0)").alias("d")
+    )
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("d").alias("n_nonnull"),
+        F.countDistinct("d").alias("n_distinct"),
+        F.sum(F.when(F.col("d").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    vals = li.distinct()
+    a = vals.filter(F.col("l_returnflag") == "R").select(
+        F.col("d").alias("d_a")
+    )
+    b = vals.filter(F.col("l_returnflag") == "A").select(
+        F.col("d").alias("d_b")
+    )
+    ns = a.join(b, F.col("d_a").eqNullSafe(F.col("d_b"))).agg(
+        F.count(F.lit(1)).alias("nullsafe_pairs")
+    )
+    return per_flag.crossJoin(F.broadcast(ns))
+
+
+def part_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations as first-class queries: the parts sold on
+    weekends INTERSECT / EXCEPT the parts sold on weekdays.
+
+    Both inputs are distinct key sets (dimension-sized after the
+    DISTINCT), so INTERSECT/EXCEPT compile to hash semi/anti joins on
+    pre-shrunk frames — the fact table is scanned twice but aggregated
+    before any set op.  Spark ``dayofweek`` is 1=Sunday..7=Saturday;
+    the oracle's ``EXTRACT(dow)`` is 0=Sunday..6 — both derive weekend
+    from the same dates."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.dayofweek("l_shipdate").alias("dow")
+    )
+    weekend = li.filter(F.col("dow").isin(1, 7)).select("l_partkey").distinct()
+    weekday = (
+        li.filter(~F.col("dow").isin(1, 7)).select("l_partkey").distinct()
+    )
+    return (
+        weekend.intersect(weekday)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("both").alias("channel"), "n")
+        .unionByName(
+            weekend.exceptAll(weekday)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("weekend_only").alias("channel"), "n")
+        )
+        .unionByName(
+            weekday.exceptAll(weekend)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("weekday_only").alias("channel"), "n")
+        )
+    )
+
+
+PART_CHANNEL_OVERLAP_SQL = """
+WITH weekend AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE EXTRACT(dow FROM l_shipdate) IN (0, 6)
+),
+weekday AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE EXTRACT(dow FROM l_shipdate) NOT IN (0, 6)
+)
+SELECT 'both' AS channel,
+       (SELECT COUNT(*) FROM (SELECT * FROM weekend INTERSECT SELECT * FROM weekday)) AS n
+UNION ALL
+SELECT 'weekend_only',
+       (SELECT COUNT(*) FROM (SELECT * FROM weekend EXCEPT SELECT * FROM weekday))
+UNION ALL
+SELECT 'weekday_only',
+       (SELECT COUNT(*) FROM (SELECT * FROM weekday EXCEPT SELECT * FROM weekend))
+"""
+
+
+NULL_SEMANTICS_PROBE_SQL = """
+WITH base AS (
+  SELECT l_returnflag, NULLIF(l_discount, 0.0) AS d FROM lineitem
+),
+per_flag AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         COUNT(d) AS n_nonnull,
+         COUNT(DISTINCT d) AS n_distinct,
+         CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         MIN(d) AS min_d,
+         MAX(d) AS max_d
+  FROM base GROUP BY l_returnflag
+),
+vals AS (SELECT DISTINCT l_returnflag, d FROM base),
+ns AS (
+  SELECT COUNT(*) AS nullsafe_pairs
+  FROM (SELECT d FROM vals WHERE l_returnflag = 'R') a
+  JOIN (SELECT d FROM vals WHERE l_returnflag = 'A') b
+    ON a.d IS NOT DISTINCT FROM b.d
+)
+SELECT p.*, ns.nullsafe_pairs FROM per_flag p CROSS JOIN ns
+"""
+
+
 ORACLES: dict[str, str] = {
+    "null_semantics_probe": NULL_SEMANTICS_PROBE_SQL,
+    "part_channel_overlap": PART_CHANNEL_OVERLAP_SQL,
     "cube_sales": CUBE_SALES_SQL,
     "rollup_region_sales": ROLLUP_REGION_SALES_SQL,
     "pivot_status_qty": PIVOT_STATUS_QTY_SQL,
@@ -468,6 +586,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "null_semantics_probe": null_semantics_probe,
+    "part_channel_overlap": part_channel_overlap,
     "cube_sales": cube_sales,
     "rollup_region_sales": rollup_region_sales,
     "pivot_status_qty": pivot_status_qty,
