@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from retail_sales_project_bigdata_spark.functions import (
     DAY_EPOCH,
@@ -20,6 +21,7 @@ from retail_sales_project_bigdata_spark.functions import (
     oracle_ordered_avg,
     oracle_sum,
     ordered_avg,
+    pround,
     safe_div,
     stable_avg,
     stable_sum,
@@ -336,7 +338,100 @@ FROM spine s LEFT JOIN weekly w USING (store_id, week_no)
 """
 
 
+def weekly_sales_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION between the nearest present weeks
+    (vs :func:`weekly_sales_gapfill`'s 0-fill) — the regularization a
+    demand-forecast consumer actually wants for missing interior weeks.
+
+    Same dense per-store spine (sequence + explode, no driver calendar);
+    the neighbor lookups are ignore-nulls ``last``/``first`` over
+    running/reverse-running frames — all four share the ONE (store_id)
+    partitioning, so the whole interpolation is a single shuffle over the
+    weekly frame.  Boundary weeks are always present (the spine spans
+    min..max of observed weeks), so the interpolation is total; the
+    ratio is engine-portable because both ends are grid-rounded sums and
+    the week deltas are integers."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+        .withColumn("net_sales", net_sales())
+    )
+    weekly = li.groupBy(
+        F.col("l_suppkey").alias("store_id"), "week_no"
+    ).agg(stable_sum("net_sales").alias("sales"))
+    spine = (
+        weekly.groupBy("store_id")
+        .agg(F.min("week_no").alias("w0"), F.max("week_no").alias("w1"))
+        .select(
+            "store_id",
+            F.explode(F.sequence("w0", "w1")).alias("week_no"),
+        )
+    )
+    filled = spine.join(weekly, ["store_id", "week_no"], "left")
+    wo = Window.partitionBy("store_id").orderBy("week_no")
+    back = wo.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = wo.rowsBetween(0, Window.unboundedFollowing)
+    present_week = F.when(F.col("sales").isNotNull(), F.col("week_no"))
+    prev_val = F.last("sales", ignorenulls=True).over(back)
+    prev_week = F.last(present_week, ignorenulls=True).over(back)
+    next_val = F.first("sales", ignorenulls=True).over(fwd)
+    next_week = F.first(present_week, ignorenulls=True).over(fwd)
+    interp = prev_val + (next_val - prev_val) * (
+        (F.col("week_no") - prev_week) / (next_week - prev_week)
+    )
+    return filled.select(
+        "store_id",
+        "week_no",
+        F.when(F.col("sales").isNotNull(), F.col("sales"))
+        .otherwise(pround(interp, 6))
+        .alias("sales_filled"),
+        F.when(F.col("sales").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+WEEKLY_SALES_INTERPOLATED_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey AS store_id,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+         l_extendedprice * (1.0 - l_discount) AS net_sales
+  FROM lineitem
+),
+weekly AS (
+  SELECT store_id, week_no, {oracle_sum('net_sales')} AS sales
+  FROM li GROUP BY store_id, week_no
+),
+spine AS (
+  SELECT store_id, CAST(unnest(generate_series(w0, w1)) AS INT) AS week_no
+  FROM (SELECT store_id, MIN(week_no) AS w0, MAX(week_no) AS w1
+        FROM weekly GROUP BY store_id)
+),
+filled AS (
+  SELECT s.store_id, s.week_no, w.sales,
+         LAST_VALUE(w.sales IGNORE NULLS) OVER back AS prev_val,
+         LAST_VALUE(CASE WHEN w.sales IS NOT NULL THEN s.week_no END IGNORE NULLS)
+           OVER back AS prev_week,
+         FIRST_VALUE(w.sales IGNORE NULLS) OVER fwd AS next_val,
+         FIRST_VALUE(CASE WHEN w.sales IS NOT NULL THEN s.week_no END IGNORE NULLS)
+           OVER fwd AS next_week
+  FROM spine s LEFT JOIN weekly w USING (store_id, week_no)
+  WINDOW back AS (PARTITION BY s.store_id ORDER BY s.week_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY s.store_id ORDER BY s.week_no
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT store_id, week_no,
+       CASE WHEN sales IS NOT NULL THEN sales
+            ELSE ROUND(prev_val + (next_val - prev_val)
+                 * ((week_no - prev_week) / CAST(next_week - prev_week AS DOUBLE)), 6)
+       END AS sales_filled,
+       CASE WHEN sales IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM filled
+"""
+
+
 ORACLES: dict[str, str] = {
+    "weekly_sales_interpolated": WEEKLY_SALES_INTERPOLATED_SQL,
     "weekly_demand": WEEKLY_DEMAND_SQL,
     "union_weekly_halves": UNION_WEEKLY_HALVES_SQL,
     "rolling_7day_sales": ROLLING_7DAY_SALES_SQL,
@@ -345,6 +440,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "weekly_sales_interpolated": weekly_sales_interpolated,
     "weekly_demand": weekly_demand,
     "union_weekly_halves": union_weekly_halves,
     "rolling_7day_sales": rolling_7day_sales,
