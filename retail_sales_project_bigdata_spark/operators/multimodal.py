@@ -171,6 +171,57 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 224
+
+
+def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step (images only): fit into a {RESIZE_TARGET}² box
+    preserving aspect ratio, shrink-only — the standard training-data
+    normalization pass.
+
+    The geometry uses integer rational math (``new = old·T // max_dim``)
+    so the DuckDB oracle mirrors it exactly; the byte size scales by
+    pixel ratio as the stand-in for the re-encoded payload (a real
+    deployment swaps the batch body for PIL/ffmpeg — the mapInPandas
+    signature, Arrow batching, and schema stay as-is)."""
+    decoded = decode_media(spark, sf_dir).filter(F.col("modality") == "image")
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            m = np.maximum(w, h)
+            shrink = m > RESIZE_TARGET
+            nw = np.where(shrink, (w * RESIZE_TARGET) // m, w)
+            nh = np.where(shrink, (h * RESIZE_TARGET) // m, h)
+            px_old = np.maximum(w * h, 1)
+            out_bytes = (
+                pdf["payload_bytes"].to_numpy(dtype="int64") * (nw * nh)
+            ) // px_old
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "new_width": nw,
+                    "new_height": nh,
+                    "resized_bytes": out_bytes,
+                }
+            )
+
+    return decoded.mapInPandas(
+        resize_batches,
+        schema=(
+            "media_id long, width long, height long,"
+            " new_width long, new_height long, resized_bytes long"
+        ),
+    )
+
+
 def media_stats_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-decode rollup — metadata aggregation over the decoded frame
     (the query a curation pipeline runs to budget a training mix)."""
@@ -237,9 +288,30 @@ FROM decoded GROUP BY modality
 """
 
 
+RESIZE_MEDIA_SQL = f"""
+WITH {_DECODE_CTE},
+resized AS (
+  SELECT media_id, width, height,
+         CASE WHEN greatest(width, height) > {RESIZE_TARGET}
+              THEN (width * {RESIZE_TARGET}) // greatest(width, height)
+              ELSE width END AS new_width,
+         CASE WHEN greatest(width, height) > {RESIZE_TARGET}
+              THEN (height * {RESIZE_TARGET}) // greatest(width, height)
+              ELSE height END AS new_height,
+         payload_bytes
+  FROM decoded WHERE modality = 'image'
+)
+SELECT media_id, width, height, new_width, new_height,
+       (payload_bytes * (new_width * new_height))
+         // greatest(width * height, 1) AS resized_bytes
+FROM resized
+"""
+
+
 ORACLES: dict[str, str] = {
     "media_metadata": MEDIA_TABLE_METADATA_SQL,
     "decode_media": DECODE_MEDIA_SQL,
+    "resize_media": RESIZE_MEDIA_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "media_stats_by_modality": MEDIA_STATS_BY_MODALITY_SQL,
 }
@@ -247,6 +319,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "media_metadata": media_metadata,
     "decode_media": decode_media,
+    "resize_media": resize_media,
     "frame_sample": frame_sample,
     "media_stats_by_modality": media_stats_by_modality,
 }
