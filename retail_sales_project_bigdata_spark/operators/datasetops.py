@@ -451,7 +451,74 @@ FROM stages
 QUALITY_FUNNEL_SQL = _funnel_sql()
 
 
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: each doc explodes into
+    {CHUNK_WORDS}-word chunks at stride {CHUNK_STRIDE} (overlapping) —
+    the standard context-window preparation step for LLM training corpora
+    (vs :func:`pack_sequences`, which concatenates docs to fill windows).
+
+    Pure narrow ops: split → per-doc start grid (``sequence``) → explode
+    → slice/join.  No shuffle at all — the explode fans out within the
+    scan partition, so at 100 TB this runs as a map-only pass whose
+    output partitioning follows the input."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("words"),
+            F.size(words).alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "words",
+            "n_words",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n_words") - 1, F.lit(0)),
+                    F.lit(CHUNK_STRIDE),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("words"), F.col("start") + 1, CHUNK_WORDS), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.col("n_words") - F.col("start"), F.lit(CHUNK_WORDS)
+            ).alias("chunk_words"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, words, n_words,
+         CAST(unnest(generate_series(0, greatest(n_words - 1, 0), {CHUNK_STRIDE})) AS INT) AS start
+  FROM base
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_id,
+       array_to_string(list_slice(words, start + 1, start + {CHUNK_WORDS}), ' ') AS chunk_text,
+       CAST(least(n_words - start, {CHUNK_WORDS}) AS INT) AS chunk_words
+FROM starts
+"""
+
+
 ORACLES: dict[str, str] = {
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "quality_funnel": QUALITY_FUNNEL_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
@@ -462,6 +529,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "chunk_documents": chunk_documents,
     "contamination_check": contamination_check,
     "quality_funnel": quality_funnel,
     "dedup_groups": dedup_groups,
