@@ -288,6 +288,76 @@ FROM decoded GROUP BY modality
 """
 
 
+AUDIO_SR = 8000  # stub decoder's base sample rate (frames = samples)
+
+
+def audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction step for audio: one row per 1-second window
+    (``AUDIO_SR`` samples) with a deterministic energy stand-in — the
+    explode-shaped analog of :func:`frame_sample` for the audio modality
+    (a real deployment computes RMS from the decoded samples inside the
+    same batch function).
+
+    Energy stub = ``(payload_bytes * 31 + window_no * 17) % 1000 / 1000``
+    — integer math, mirrored exactly in the oracle."""
+    decoded = decode_media(spark, sf_dir).filter(F.col("modality") == "audio")
+
+    def window_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            frames = pdf["frames"].to_numpy(dtype="int64")
+            counts = (frames + AUDIO_SR - 1) // AUDIO_SR
+            total = int(counts.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {
+                        c: pd.Series([], dtype="int64")
+                        for c in ("media_id", "window_no", "n_samples")
+                    }
+                    | {"energy": pd.Series([], dtype="float64")}
+                )
+                continue
+            row_idx = np.repeat(np.arange(len(pdf)), counts)
+            row_starts = np.cumsum(counts) - counts
+            window_no = np.arange(total) - row_starts[row_idx]
+            f = frames[row_idx]
+            n_samples = np.minimum(f - window_no * AUDIO_SR, AUDIO_SR)
+            pb = pdf["payload_bytes"].to_numpy(dtype="int64")[row_idx]
+            energy = ((pb * 31 + window_no * 17) % 1000) / 1000.0
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_idx],
+                    "window_no": window_no,
+                    "n_samples": n_samples,
+                    "energy": energy,
+                }
+            )
+
+    return decoded.mapInPandas(
+        window_batches,
+        schema="media_id long, window_no long, n_samples long, energy double",
+    )
+
+
+AUDIO_WINDOWS_SQL = f"""
+WITH {_DECODE_CTE},
+wins AS (
+  SELECT media_id, frames, payload_bytes,
+         CAST(unnest(generate_series(
+             0, CAST(CEIL(frames / {AUDIO_SR}.0) AS BIGINT) - 1)) AS BIGINT)
+           AS window_no
+  FROM decoded WHERE modality = 'audio'
+)
+SELECT media_id, window_no,
+       least(frames - window_no * {AUDIO_SR}, {AUDIO_SR}) AS n_samples,
+       ((payload_bytes * 31 + window_no * 17) % 1000) / 1000.0 AS energy
+FROM wins
+"""
+
+
 RESIZE_MEDIA_SQL = f"""
 WITH {_DECODE_CTE},
 resized AS (
@@ -312,6 +382,7 @@ ORACLES: dict[str, str] = {
     "media_metadata": MEDIA_TABLE_METADATA_SQL,
     "decode_media": DECODE_MEDIA_SQL,
     "resize_media": RESIZE_MEDIA_SQL,
+    "audio_windows": AUDIO_WINDOWS_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "media_stats_by_modality": MEDIA_STATS_BY_MODALITY_SQL,
 }
@@ -320,6 +391,7 @@ QUERIES = {
     "media_metadata": media_metadata,
     "decode_media": decode_media,
     "resize_media": resize_media,
+    "audio_windows": audio_windows,
     "frame_sample": frame_sample,
     "media_stats_by_modality": media_stats_by_modality,
 }

@@ -115,3 +115,39 @@ def test_tpch_shapes_plans(spark):
     assert_read_schema_excludes(
         tq.order_count_distribution(spark, SF_SMALL), "o_totalprice"
     )
+
+
+def test_latest_additions_plans(spark):
+    """Plan audit for the newest operator batch."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        chunk_documents,
+    )
+    from retail_sales_project_bigdata_spark.operators.olap import (
+        null_semantics_probe,
+        part_channel_overlap,
+    )
+    from retail_sales_project_bigdata_spark.operators.reports import (
+        nation_revenue_share,
+    )
+    from retail_sales_project_bigdata_spark.operators.temporal import (
+        weekly_sales_interpolated,
+    )
+    from retail_sales_project_bigdata_spark.operators.tpch_shapes import (
+        nation_pair_volume,
+    )
+
+    for q in (
+        nation_pair_volume,
+        nation_revenue_share,
+        null_semantics_probe,
+        part_channel_overlap,
+        weekly_sales_interpolated,
+        chunk_documents,
+    ):
+        df = q(spark, SF_SMALL)
+        assert_no_cartesian(df)
+        assert_no_python_eval(df)
+
+    # Q7's four dim lookups must all broadcast
+    assert_broadcast_join(nation_pair_volume(spark, SF_SMALL), 3)
+    assert_broadcast_join(nation_revenue_share(spark, SF_SMALL), 3)
