@@ -565,9 +565,88 @@ SELECT p.*, ns.nullsafe_pairs FROM per_flag p CROSS JOIN ns
 """
 
 
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan counts for every foreign-key edge of the
+    star schema (lineitem→orders/part/supplier, orders→customer,
+    customer/supplier→nation, nation→region), one row per edge.
+
+    Each check is a LEFT ANTI join (fact side) against the referenced key
+    set — dims broadcast, the two fact-fact checks shuffle once each on
+    the join key.  The union of single-row aggregates is a driver-cheap
+    plan: each branch reduces before the union.  The expected result on
+    healthy testdata is all zeros — the point of the query is the shape
+    (the 100 TB ingest-validation pass), and the oracle proves each anti
+    join's count, not just emptiness."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders", broadcast_dims=False)
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    part = read_table(spark, sf_dir, "part")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+
+    def orphans(name, child, child_key, parent, parent_key):
+        return (
+            child.select(F.col(child_key).alias("k"))
+            .join(
+                parent.select(F.col(parent_key).alias("k")),
+                "k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk_edge"), "n_orphans")
+        )
+
+    checks = [
+        orphans("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        orphans("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        orphans("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        orphans("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        orphans("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        orphans("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+DQ_REFERENTIAL_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+UNION ALL
+SELECT 'nation->region',
+       (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+"""
+
+
 ORACLES: dict[str, str] = {
     "null_semantics_probe": NULL_SEMANTICS_PROBE_SQL,
     "part_channel_overlap": PART_CHANNEL_OVERLAP_SQL,
+    "dq_referential_audit": DQ_REFERENTIAL_AUDIT_SQL,
     "cube_sales": CUBE_SALES_SQL,
     "rollup_region_sales": ROLLUP_REGION_SALES_SQL,
     "pivot_status_qty": PIVOT_STATUS_QTY_SQL,
@@ -588,6 +667,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "null_semantics_probe": null_semantics_probe,
     "part_channel_overlap": part_channel_overlap,
+    "dq_referential_audit": dq_referential_audit,
     "cube_sales": cube_sales,
     "rollup_region_sales": rollup_region_sales,
     "pivot_status_qty": pivot_status_qty,
