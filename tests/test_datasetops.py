@@ -101,3 +101,33 @@ def test_vocab_table_ids_dense_and_frequency_ordered(spark):
     assert [r.token_id for r in rows] == list(range(len(rows)))
     counts = [r.n_occurrences for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Dropping each chunk's overlap prefix (except chunk 0) and
+    concatenating in chunk order must reconstruct every document."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    overlap = CHUNK_WORDS - CHUNK_STRIDE
+    chunks = datasetops.chunk_documents(spark, SF_SMALL).collect()
+    by_doc = defaultdict(list)
+    for r in chunks:
+        by_doc[r.doc_id].append(r)
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, SF_SMALL, "documents").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        words = []
+        for i, r in enumerate(rows):
+            w = r.chunk_text.split(" ") if r.chunk_text else []
+            words.extend(w if i == 0 else w[overlap:])
+            assert 1 <= r.chunk_words <= CHUNK_WORDS
+            assert r.chunk_words == len(w)
+        assert " ".join(words) == docs[doc_id], doc_id
