@@ -392,6 +392,106 @@ LIMIT {Q21_TOP_N}
 """
 
 
+Q6_YEAR_START = "1996-01-01"
+Q6_YEAR_END = "1997-01-01"
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue delta from hypothetically eliminating discounts
+    in a band — a pure single-table filtered aggregate.
+
+    The whole query is scan → pushed filters → map-side partial sum; the
+    plan's value is what it does NOT contain: no join, no wide shuffle,
+    and all three predicates (date range, discount band, quantity cap)
+    land in the parquet scan's PushedFilters."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_YEAR_END).cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = f"""
+SELECT {oracle_sum('l_extendedprice * l_discount')} AS revenue_delta,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_YEAR_END} 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+Q9_NAME_FRAGMENT = "red"
+Q9_COST_FACTOR = 0.6  # stand-in supply cost: 60% of part retail price
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (adapted): profit on '%{Q9_NAME_FRAGMENT}%' parts by
+    supplier nation and ship year.  The testdata has no partsupp, so
+    supply cost is modeled as {Q9_COST_FACTOR}·p_retailprice·quantity —
+    the join topology (LIKE-filtered part ⋈ lineitem ⋈ supplier ⋈
+    nation, fact agg by (nation, year)) is the point.
+
+    The LIKE filter prunes the broadcast part build side before the fact
+    join; profit arithmetic stays on the 4-decimal grid (prices
+    2-decimal, discount 2-decimal) so the grid-rounded sum is exact."""
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{Q9_NAME_FRAGMENT}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    profit = F.col("l_extendedprice") * (1.0 - F.col("l_discount")) - F.lit(
+        Q9_COST_FACTOR
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(stable_sum(profit).alias("profit"))
+    )
+
+
+PRODUCT_TYPE_PROFIT_SQL = f"""
+SELECT n.n_name,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       {oracle_sum(f'l.l_extendedprice * (1.0 - l.l_discount) - {Q9_COST_FACTOR} * p.p_retailprice * l.l_quantity')} AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+GROUP BY n.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+"""
+
+
 Q7_NATION_A = "NATION_3"
 Q7_NATION_B = "NATION_7"
 
@@ -530,6 +630,8 @@ ORDER BY c.c_mktsegment
 
 
 ORACLES: dict[str, str] = {
+    "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
+    "product_type_profit": PRODUCT_TYPE_PROFIT_SQL,
     "order_count_distribution": ORDER_COUNT_DISTRIBUTION_SQL,
     "promo_revenue_share": PROMO_REVENUE_SHARE_SQL,
     "top_supplier": TOP_SUPPLIER_SQL,
@@ -541,6 +643,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "forecast_revenue_change": forecast_revenue_change,
+    "product_type_profit": product_type_profit,
     "order_count_distribution": order_count_distribution,
     "promo_revenue_share": promo_revenue_share,
     "top_supplier": top_supplier,

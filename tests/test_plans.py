@@ -151,3 +151,22 @@ def test_latest_additions_plans(spark):
     # Q7's four dim lookups must all broadcast
     assert_broadcast_join(nation_pair_volume(spark, SF_SMALL), 3)
     assert_broadcast_join(nation_revenue_share(spark, SF_SMALL), 3)
+
+
+def test_q6_q9_plans(spark):
+    from retail_sales_project_bigdata_spark.operators.tpch_shapes import (
+        forecast_revenue_change,
+        product_type_profit,
+    )
+
+    q6 = forecast_revenue_change(spark, SF_SMALL)
+    # all three predicates must reach the scan
+    assert_pushed_filter(q6, "l_shipdate")
+    assert_pushed_filter(q6, "l_discount")
+    assert_pushed_filter(q6, "l_quantity")
+    assert_no_cartesian(q6)
+
+    q9 = product_type_profit(spark, SF_SMALL)
+    assert_broadcast_join(q9, 3)
+    assert_pushed_filter(q9, "p_name")  # LIKE '%red%' pushes as contains
+    assert_no_python_eval(q9)
