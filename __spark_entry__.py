@@ -46,6 +46,7 @@ from retail_sales_project_bigdata_spark.operators import (
     temporal,
     textstats,
     tpch_shapes,
+    tpch_shapes3,
 )
 
 _MODULES = [
@@ -72,6 +73,7 @@ _MODULES = [
     cdc,
     rangejoin,
     tpch_shapes,
+    tpch_shapes3,
     streaming_mod,
 ]
 

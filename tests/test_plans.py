@@ -117,6 +117,35 @@ def test_tpch_shapes_plans(spark):
     )
 
 
+def test_tpch_shapes3_plans(spark):
+    """Plan audit for the Q2/Q8/Q11/Q12/Q16/Q20 shape batch."""
+    from retail_sales_project_bigdata_spark.operators import tpch_shapes3 as t3
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+
+    for q in t3.QUERIES.values():
+        df = q(spark, SF_SMALL)
+        assert_no_cartesian(df)
+        assert_no_python_eval(df)
+
+    # Q8's role-playing dims (part, customer, 2x nation, region, supplier)
+    # must all broadcast; the only data-sized exchange is lineitem⋈orders
+    assert_broadcast_join(t3.nation_market_share(spark, SF_SMALL), 4)
+    # Q2/Q20: the dim lookups around the pair-grain frame broadcast
+    assert_broadcast_join(t3.min_cost_supplier(spark, SF_SMALL), 2)
+    assert_broadcast_join(t3.excess_quantity_suppliers(spark, SF_SMALL), 2)
+
+    # Q12's shipdate range bounds must reach the lineitem scan
+    q12 = t3.linestatus_priority_counts(spark, SF_SMALL)
+    assert_pushed_filter(q12, "l_shipdate")
+
+    # Q16: exclusion set compiles to an anti join, never a NOT-IN loop
+    assert "LeftAnti" in physical_plan(t3.part_supplier_counts(spark, SF_SMALL))
+    # Q20: qualifying keys semi-join the supplier dim
+    assert "LeftSemi" in physical_plan(
+        t3.excess_quantity_suppliers(spark, SF_SMALL)
+    )
+
+
 def test_latest_additions_plans(spark):
     """Plan audit for the newest operator batch."""
     from retail_sales_project_bigdata_spark.operators.datasetops import (
