@@ -20,6 +20,12 @@ dedup, each expressed Spark-first and each with an exact DuckDB oracle:
   packing; window assignment is pure prefix-sum arithmetic, no fold).
 - **vocab_table**: frequency-ranked token→id dictionary (count desc,
   token asc — fully deterministic ids).
+- **dataset_mixture**: downsample each language to hit target mix
+  proportions (the data-mixing step before training) — the feasible
+  corpus size is ``min(n_lang / weight_lang)`` (largest total that
+  honors every weight without upsampling), per-language quotas are
+  ``floor(t * weight)``, and selection inside a language is the
+  deterministic md5 order.
 
 Scale notes: every op here is one scan plus at most one shuffle (window
 partition or groupBy); dedup_groups adds O(component diameter) tiny
@@ -498,6 +504,68 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target language-mix proportions for dataset_mixture (sums to 1).
+MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+
+
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix downsampling: keep the largest corpus whose language
+    proportions match ``MIX_WEIGHTS`` without upsampling any language.
+
+    Feasible total ``t = min(n_lang / weight_lang)``; per-language quota
+    ``floor(t * weight)``; the kept docs are the quota-smallest by md5
+    order (deterministic "random").  Scale shape: one count aggregate
+    (lang-sized), quotas broadcast back, one window shuffle on ``lang``
+    for the rank — the corpus is scanned twice but shuffled once, and the
+    rank sort is per-language with AQE covering hot languages."""
+    docs = read_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        sorted(MIX_WEIGHTS.items()), "lang string, weight double"
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    feas = (
+        counts.join(F.broadcast(weights), "lang")
+        .agg(F.min(F.col("n_docs") / F.col("weight")).alias("t"))
+    )
+    quotas = weights.crossJoin(F.broadcast(feas)).select(
+        "lang",
+        F.floor(F.col("t") * F.col("weight")).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(_doc_hash(), "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("mix_rank")
+    )
+    return ranked.join(F.broadcast(quotas), "lang").filter(
+        F.col("mix_rank") <= F.col("quota")
+    ).select("doc_id", "lang", "mix_rank", "quota")
+
+
+_MIX_WEIGHTS_SQL = ", ".join(
+    f"('{lang}', {wt})" for lang, wt in sorted(MIX_WEIGHTS.items())
+)
+
+DATASET_MIXTURE_SQL = f"""
+WITH weights AS (
+  SELECT * FROM (VALUES {_MIX_WEIGHTS_SQL}) AS w(lang, weight)
+), counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), feas AS (
+  SELECT MIN(n_docs / weight) AS t FROM counts JOIN weights USING (lang)
+), quotas AS (
+  SELECT w.lang, CAST(FLOOR(f.t * w.weight) AS BIGINT) AS quota
+  FROM weights w, feas f
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_DOC_HASH_SQL}, doc_id) AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.mix_rank, q.quota
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.mix_rank <= q.quota
+"""
+
+
 CHUNK_DOCUMENTS_SQL = f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS words,
@@ -526,6 +594,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "vocab_table": VOCAB_TABLE_SQL,
+    "dataset_mixture": DATASET_MIXTURE_SQL,
 }
 
 QUERIES = {
@@ -537,4 +606,5 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "pack_sequences": pack_sequences,
     "vocab_table": vocab_table,
+    "dataset_mixture": dataset_mixture,
 }

@@ -131,3 +131,39 @@ def test_chunk_documents_reconstruction(spark):
             assert 1 <= r.chunk_words <= CHUNK_WORDS
             assert r.chunk_words == len(w)
         assert " ".join(words) == docs[doc_id], doc_id
+
+
+def test_dataset_mixture_hits_target_proportions(spark):
+    """The kept corpus must match MIX_WEIGHTS proportions to within one
+    document per language, never upsample, and be the LARGEST such corpus
+    (at least one language fully consumed)."""
+    from collections import Counter
+
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        MIX_WEIGHTS,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    rows = datasetops.dataset_mixture(spark, SF_SMALL).collect()
+    kept = Counter(r.lang for r in rows)
+    total = sum(kept.values())
+    avail = Counter(
+        r.lang
+        for r in read_table(spark, SF_SMALL, "documents")
+        .select("lang")
+        .collect()
+    )
+    assert set(kept) <= set(MIX_WEIGHTS)
+    exhausted = 0
+    for lang, n in kept.items():
+        assert n <= avail[lang], f"{lang} upsampled"
+        # quota = floor(t * w) and total = sum of quotas, so each language
+        # sits within one doc of its target share
+        assert abs(n - MIX_WEIGHTS[lang] * total) <= 1, (lang, n, total)
+        if n >= avail[lang] - 1:  # t = n_lang/w exactly for the argmin lang
+            exhausted += 1
+    assert exhausted >= 1, "not maximal: no language fully consumed"
+    # ranks are the selection order and unique per language
+    for lang in kept:
+        ranks = sorted(r.mix_rank for r in rows if r.lang == lang)
+        assert ranks == list(range(1, kept[lang] + 1))
