@@ -488,7 +488,74 @@ WINDOW w_region AS (PARTITION BY r_name),
 """
 
 
+def nation_extreme_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation argmax/argmin: the highest- and lowest-revenue customer
+    of each nation via ``max_by``/``min_by`` over a composite
+    (revenue, custkey) ordering struct — the deterministic-tie-break form
+    of SQL's ``arg_max`` (ties in revenue resolve to the higher/lower
+    custkey, so the answer is engine- and partitioning-independent).
+
+    Scale shape: one fact shuffle to the (nation, customer) revenue
+    grain, then the extremes aggregate a customer-sized frame; max_by
+    carries the winner through partial aggregation without a sort or a
+    join-back (vs the window row_number formulation the oracle uses)."""
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("net_sales", net_sales())
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(stable_sum("net_sales").alias("revenue"))
+    )
+    ordkey = F.struct(F.col("revenue"), F.col("c_custkey"))
+    return (
+        rev.groupBy("n_name")
+        .agg(
+            F.max_by("c_name", ordkey).alias("top_customer"),
+            F.max("revenue").alias("top_revenue"),
+            F.min_by("c_name", ordkey).alias("bottom_customer"),
+            F.min("revenue").alias("bottom_revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_EXTREME_CUSTOMERS_SQL = f"""
+WITH rev AS (
+  SELECT n_name, c.c_custkey, c.c_name,
+         {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT n_name, c_name, revenue,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, c_custkey DESC) AS rn_top,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY revenue ASC, c_custkey ASC) AS rn_bot
+  FROM rev
+)
+SELECT n_name,
+       MIN(CASE WHEN rn_top = 1 THEN c_name END) AS top_customer,
+       MAX(revenue) AS top_revenue,
+       MIN(CASE WHEN rn_bot = 1 THEN c_name END) AS bottom_customer,
+       MIN(revenue) AS bottom_revenue
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
+    "nation_extreme_customers": NATION_EXTREME_CUSTOMERS_SQL,
     "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
     "top_products": TOP_PRODUCTS_SQL,
     "top_parts_per_supplier": TOP_PARTS_PER_SUPPLIER_SQL,
@@ -501,6 +568,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "nation_extreme_customers": nation_extreme_customers,
     "nation_revenue_share": nation_revenue_share,
     "top_products": top_products,
     "top_parts_per_supplier": top_parts_per_supplier,

@@ -380,7 +380,65 @@ FROM w WHERE rn = n_orders
 """
 
 
+def event_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE events with
+    the same event_type, one row per run (start/end/length) — the
+    value-change analog of gap sessionization (change detection via lag,
+    island id via running sum of change flags; one shuffle on user_id,
+    same window reused for both passes)."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    df = ev.withColumn(
+        "is_change",
+        F.when(
+            prev_type.isNull() | (prev_type != F.col("event_type")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island_seq",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return (
+        df.groupBy("user_id", "island_seq")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "island_seq")
+    )
+
+
+EVENT_TYPE_ISLANDS_SQL = """
+WITH g AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), isl AS (
+  SELECT *,
+         CAST(SUM(is_change) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS island_seq
+  FROM g
+)
+SELECT user_id, island_seq, MIN(event_type) AS event_type,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       COUNT(*) AS n_events
+FROM isl
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 ORACLES: dict[str, str] = {
+    "event_type_islands": EVENT_TYPE_ISLANDS_SQL,
     "customer_order_lifecycle": CUSTOMER_ORDER_LIFECYCLE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "session_stats": SESSION_STATS_SQL,
@@ -391,6 +449,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "event_type_islands": event_type_islands,
     "customer_order_lifecycle": customer_order_lifecycle,
     "sessionize": sessionize,
     "session_stats": session_stats,
