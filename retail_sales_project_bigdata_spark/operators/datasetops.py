@@ -20,6 +20,9 @@ dedup, each expressed Spark-first and each with an exact DuckDB oracle:
   packing; window assignment is pure prefix-sum arithmetic, no fold).
 - **vocab_table**: frequency-ranked token→id dictionary (count desc,
   token asc — fully deterministic ids).
+- **token_budget_sample**: per-source cap measured in TOKENS (prefix-sum
+  cutoff in md5 order, cut at doc boundaries) — how training corpora are
+  actually budgeted.
 - **dataset_mixture**: downsample each language to hit target mix
   proportions (the data-mixing step before training) — the feasible
   corpus size is ``min(n_lang / weight_lang)`` (largest total that
@@ -504,6 +507,58 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source token budget for token_budget_sample.
+TOKEN_BUDGET = 2000
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: per ``source``, keep documents in
+    deterministic md5 order until the cumulative token count reaches
+    {TOKEN_BUDGET} tokens — the budget is measured in TOKENS, not docs
+    (how training corpora are actually capped).  The last kept doc may
+    straddle the budget (cut-at-doc-boundary semantics: a doc is kept iff
+    the budget wasn't already exhausted BEFORE it).
+
+    Scale shape: identical to pack_sequences — one shuffle on the source
+    key, the cutoff is an exclusive prefix sum compared to a constant, no
+    sequential fold and no second pass."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), "[ ]+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_doc_hash(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        toks.withColumn("tokens_before", cum - F.col("n_tokens"))
+        .filter(F.col("tokens_before") < TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "tokens_before")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY {_DOC_HASH_SQL}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS BIGINT) AS tokens_before
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, tokens_before
+FROM cum WHERE tokens_before < {TOKEN_BUDGET}
+"""
+
+
 # Target language-mix proportions for dataset_mixture (sums to 1).
 MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
 
@@ -595,6 +650,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "vocab_table": VOCAB_TABLE_SQL,
     "dataset_mixture": DATASET_MIXTURE_SQL,
+    "token_budget_sample": TOKEN_BUDGET_SAMPLE_SQL,
 }
 
 QUERIES = {
@@ -607,4 +663,5 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "vocab_table": vocab_table,
     "dataset_mixture": dataset_mixture,
+    "token_budget_sample": token_budget_sample,
 }

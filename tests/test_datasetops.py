@@ -167,3 +167,34 @@ def test_dataset_mixture_hits_target_proportions(spark):
     for lang in kept:
         ranks = sorted(r.mix_rank for r in rows if r.lang == lang)
         assert ranks == list(range(1, kept[lang] + 1))
+
+
+def test_token_budget_sample_is_a_budgeted_hash_prefix(spark):
+    """Kept docs per source must be exactly the md5-order prefix whose
+    exclusive token prefix-sum stays under the budget."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        TOKEN_BUDGET,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    kept = datasetops.token_budget_sample(spark, SF_SMALL).collect()
+    docs = read_table(spark, SF_SMALL, "documents").collect()
+    import hashlib
+
+    by_source = defaultdict(list)
+    for r in docs:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        by_source[r.source].append((h, r.doc_id, len(r.text.split(" "))))
+    expected = {}
+    for source, rows in by_source.items():
+        rows.sort()
+        cum = 0
+        for h, doc_id, n in rows:
+            if cum >= TOKEN_BUDGET:
+                break
+            expected[(doc_id, source)] = (n, cum)
+            cum += n
+    got = {(r.doc_id, r.source): (r.n_tokens, r.tokens_before) for r in kept}
+    assert got == expected
+    for r in kept:
+        assert r.tokens_before < TOKEN_BUDGET
