@@ -319,6 +319,122 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+REPETITION_FLAG_THRESHOLD = 0.2
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    most-frequent-token share, most-frequent-bigram share, duplicate-bigram
+    fraction, and a repetitiveness flag (top-bigram share > threshold).
+
+    Shape: explode → (doc, token) / (doc, bigram) term frequencies, then a
+    per-doc re-aggregate — two shuffles keyed by (doc_id, term) then
+    doc_id, both partial+final hash aggs.  State is per-document
+    vocabulary, never corpus-sized, so the plan is scan-bound at 100 TB
+    (the array-only alternative — ``array_max(transform(array_distinct
+    ...))`` — is O(len·distinct) per row and was rejected).
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks_df = docs.select("doc_id", _tokens().alias("toks"))
+    tok_tf = (
+        toks_df.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tok_stats = tok_tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("tf").alias("top_tf"),
+    )
+    bigrams = toks_df.select(
+        "doc_id",
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            " slice(toks, 2, size(toks) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ).alias("bigrams"),
+    )
+    big_tf = (
+        bigrams.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf2"))
+    )
+    big_stats = big_tf.groupBy("doc_id").agg(
+        F.sum("tf2").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("tf2").alias("top2_tf"),
+    )
+    joined = tok_stats.join(big_stats, "doc_id", "left")
+    top_bigram_frac = pround(
+        F.coalesce(F.col("top2_tf") / F.col("n_bigrams"), F.lit(0.0)), 6
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        pround(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "distinct_token_ratio"
+        ),
+        pround(F.col("top_tf") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        top_bigram_frac.alias("top_bigram_frac"),
+        pround(
+            F.coalesce(
+                1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.when(top_bigram_frac > REPETITION_FLAG_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("is_repetitive"),
+    )
+
+
+DOC_REPETITION_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '{_TOKENIZE}') AS t
+  FROM documents
+),
+tok_tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+  GROUP BY doc_id, token
+),
+tok_stats AS (
+  SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(tf) AS top_tf
+  FROM tok_tf GROUP BY doc_id
+),
+big_tf AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS tf2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks)
+  GROUP BY doc_id, bigram
+),
+big_stats AS (
+  SELECT doc_id, SUM(tf2) AS n_bigrams, COUNT(*) AS n_distinct_bigrams,
+         MAX(tf2) AS top2_tf
+  FROM big_tf GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+           AS distinct_token_ratio,
+       ROUND(CAST(t.top_tf AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+       ROUND(COALESCE(CAST(b.top2_tf AS DOUBLE) / b.n_bigrams, 0.0), 6)
+           AS top_bigram_frac,
+       ROUND(COALESCE(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams,
+                      0.0), 6) AS dup_bigram_frac,
+       CASE WHEN ROUND(COALESCE(CAST(b.top2_tf AS DOUBLE) / b.n_bigrams, 0.0), 6)
+                 > {REPETITION_FLAG_THRESHOLD}
+            THEN 1 ELSE 0 END AS is_repetitive
+FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
+"""
+
+
 ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
@@ -326,6 +442,7 @@ ORACLES: dict[str, str] = {
     "bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
 }
 
 QUERIES = {
@@ -335,4 +452,5 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "doc_fingerprints": doc_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
+    "doc_repetition_stats": doc_repetition_stats,
 }

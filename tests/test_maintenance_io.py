@@ -97,3 +97,42 @@ def test_publish_versioned_snapshot_swap_and_time_travel(spark, tmp_path):
     assert (v1, v2) == (1, 2)
     assert read_versioned(spark, table).count() == 25      # manifest → v2
     assert read_versioned(spark, table, 1).count() == 10   # time travel
+
+
+def test_zorder_cluster_prunes_both_dimensions(spark, tmp_path):
+    """Morton-curve clustering must bound per-file min/max spans on BOTH
+    dimensions; linear range clustering on x leaves every file spanning
+    the full y domain (a probe on y alone reads everything)."""
+    from retail_sales_project_bigdata_spark.sources import (
+        cluster_parquet,
+        file_minmax,
+        zorder_cluster_parquet,
+    )
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    zdir, lindir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_cluster_parquet(li, zdir, "l_partkey", "l_suppkey", n_files=8)
+    cluster_parquet(li, lindir, ["l_partkey"], n_files=8)
+
+    def coverage(out_dir: str, column: str, probe) -> int:
+        return sum(
+            1 for lo, hi in file_minmax(out_dir, column) if lo <= probe <= hi
+        )
+
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    x_mid = (bounds[0] + bounds[1]) // 2
+    y_mid = (bounds[2] + bounds[3]) // 2
+
+    # linear layout: x prunes, y does not (every file covers the y probe)
+    assert coverage(lindir, "l_partkey", x_mid) <= 2
+    assert coverage(lindir, "l_suppkey", y_mid) == 8
+    # z-order: BOTH probes skip files
+    assert coverage(zdir, "l_partkey", x_mid) < 8
+    assert coverage(zdir, "l_suppkey", y_mid) < 8
+    # rewrite is lossless
+    assert spark.read.parquet(zdir).count() == li.count()
