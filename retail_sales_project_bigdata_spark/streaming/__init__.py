@@ -543,6 +543,43 @@ def write_stream_idempotent_parquet(
     )
 
 
+def ingest_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental batch ingest with ``Trigger.AvailableNow`` — the
+    scheduled-ETL pattern that replaces hand-rolled "which files are new?"
+    bookkeeping at scale.
+
+    Each invocation starts a streaming query that processes exactly the
+    files not yet recorded in the checkpoint's source file log, commits
+    them to ``out_dir``, and terminates.  Re-running after new files land
+    picks up ONLY those files; re-running with nothing new is a no-op.
+    Unlike ``Trigger.Once`` it respects ``maxFilesPerTrigger`` and splits
+    the backlog into multiple micro-batches, so a first run over a huge
+    directory doesn't build one giant batch plan.  State (the file log +
+    sink commit log) lives entirely in ``checkpoint_dir`` — restarts are
+    exactly-once.
+    """
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 ORACLES: dict[str, str] = {
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,

@@ -126,3 +126,37 @@ def test_stream_cdc_upsert(spark, tmp_path):
     again = read_versioned(spark, target)
     assert again.exceptAll(expected).count() == 0
     assert expected.exceptAll(again).count() == 0
+
+
+def test_ingest_available_now_processes_only_new_files(spark, tmp_path):
+    """Each Trigger.AvailableNow run must consume exactly the files the
+    checkpoint has not seen: first run ingests the backlog, a rerun with
+    nothing new is a no-op, and a rerun after new files ingests only
+    those — no duplicates, no re-reads."""
+    from retail_sales_project_bigdata_spark.sources import read_table
+    from retail_sales_project_bigdata_spark.streaming import (
+        ingest_available_now,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    cust = read_table(spark, SF_SMALL, "customer")
+    n1 = 40
+    cust.limit(n1).repartition(2).write.mode("append").parquet(src)
+    ingest_available_now(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # no new files → no new rows
+    ingest_available_now(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # land more files → only the delta is ingested
+    extra = cust.limit(55).subtract(cust.limit(n1))
+    n2 = extra.count()
+    extra.repartition(3).write.mode("append").parquet(src)
+    ingest_available_now(spark, src, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + n2
+    assert got.select("c_custkey").distinct().count() == n1 + n2
