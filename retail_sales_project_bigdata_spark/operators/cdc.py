@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from retail_sales_project_bigdata_spark.functions import pround
+from retail_sales_project_bigdata_spark.functions import DAY_EPOCH, pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 
@@ -215,14 +215,97 @@ WHERE rn = 1
 """
 
 
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: turn a change feed into a
+    versioned history with ``valid_from`` / ``valid_to`` / ``is_current``.
+
+    The change feed here is each customer's order stream, with
+    ``o_orderpriority`` as the tracked attribute.  Standard SCD2
+    algebra, all window functions over ONE shuffle on the key:
+
+    1. total-order the feed per key (day, then orderkey — deterministic
+       under same-day ties);
+    2. drop consecutive duplicates with ``lag`` (only a VALUE CHANGE
+       opens a new version — reprocessing an unchanged snapshot must not
+       fork versions);
+    3. close each version at the next version's start with ``lead``
+       (``valid_to = next_from - 1``; open tail ⇒ NULL + is_current).
+
+    At 100 TB this is the merge path of every dimension table fed by CDC;
+    the alternative per-key sort on the driver is a non-starter.
+    Reference analog: the reference keeps only latest-state dimensions
+    (e.g. ``hh_demographic`` joins, ChurnPrediction.java:232-234) — SCD2
+    is the history-preserving upgrade of that surface.
+    """
+    from pyspark.sql.window import Window
+
+    from retail_sales_project_bigdata_spark.functions import day_index
+
+    feed = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        day_index("o_orderdate").alias("day"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    changes = (
+        feed.withColumn("prev_priority", F.lag("priority").over(w))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("priority") != F.col("prev_priority"))
+        )
+        .drop("prev_priority")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        "priority",
+        F.col("day").alias("valid_from"),
+        (F.lead("day").over(w2) - 1).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.when(F.lead("day").over(w2).isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    )
+
+
+SCD2_PRIORITY_HISTORY_SQL = f"""
+WITH feed AS (
+  SELECT o_custkey,
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(o_orderdate AS DATE)) + 1
+              AS INT) AS day,
+         o_orderkey, o_orderpriority AS priority
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, day, o_orderkey, priority
+  FROM (
+    SELECT *, LAG(priority) OVER (
+        PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_priority
+    FROM feed
+  )
+  WHERE prev_priority IS NULL OR priority <> prev_priority
+)
+SELECT o_custkey, priority,
+       day AS valid_from,
+       LEAD(day) OVER w - 1 AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       CASE WHEN LEAD(day) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+"""
+
+
 ORACLES: dict[str, str] = {
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,
     "latest_order_per_customer": LATEST_ORDER_PER_CUSTOMER_SQL,
+    "scd2_priority_history": SCD2_PRIORITY_HISTORY_SQL,
 }
 
 QUERIES = {
     "snapshot_diff": snapshot_diff,
     "merge_upsert": merge_upsert,
     "latest_order_per_customer": latest_order_per_customer,
+    "scd2_priority_history": scd2_priority_history,
 }

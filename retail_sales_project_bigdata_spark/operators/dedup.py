@@ -398,7 +398,53 @@ SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sig
 """
 
 
+FUZZY_MAX_DISTANCE = 4
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution shape): distinct part
+    names, blocked on the leading token, pairwise Levenshtein within each
+    block, keep pairs within edit distance 4.
+
+    The two scale levers every record-linkage pipeline uses, in order:
+    (1) dedupe to the DISTINCT value domain first — edit distance is a
+    property of the string, so at 100 TB you resolve the (much smaller)
+    name domain and join resolutions back; (2) a cheap blocking key
+    bounds the quadratic term to within-block pairs instead of all-pairs
+    (same role as the LSH bands above, for edit distance instead of
+    Jaccard).  ``levenshtein`` is JVM-side and exact in both engines, so
+    the whole pipeline has a value-exact oracle.
+    """
+    names = (
+        read_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.select(F.col("blk"), F.col("p_name").alias("name_a"))
+    b = names.select(F.col("blk"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= FUZZY_MAX_DISTANCE)
+        .select("name_a", "name_b", "distance")
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = f"""
+WITH names AS (
+  SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DISTANCE}
+"""
+
+
 ORACLES: dict[str, str] = {
+    "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
@@ -407,6 +453,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,

@@ -437,7 +437,76 @@ ORDER BY 1, 2
 """
 
 
+_US_PER_DAY = 86_400_000_000
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (the DAU/WAU query).
+
+    ``count(DISTINCT)`` over a sliding frame has no distributed window
+    form — the textbook ``size(collect_set() over (range ...))`` needs a
+    GLOBAL (unpartitioned) sort window: one task owns the whole table.
+    The scalable rewrite used here expands each distinct (day, user) pair
+    into the ≤7 window-ends it contributes to, re-distincts, and counts —
+    three hash shuffles, all partitioned by (day/user) keys, bounded 7×
+    amplification of the already-deduped daily-actives frame, and no
+    per-task state beyond a hash aggregate.  window-ends land on observed
+    days only (broadcast semi join against the day dimension).
+    """
+    ev = read_events(spark, sf_dir)
+    pairs = ev.select(
+        F.expr(f"ts_us DIV {_US_PER_DAY}").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    daily = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users_1d")
+    )
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(ROLLING_WINDOW_DAYS - 1)
+            )
+        ).alias("window_day"),
+        "user_id",
+    ).distinct()
+    rolling = (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "window_day")),
+            "window_day",
+        )
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+        .withColumnRenamed("window_day", "day")
+    )
+    return daily.join(rolling, "day")
+
+
+ROLLING_DISTINCT_USERS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT epoch_us(ts) // {_US_PER_DAY} AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users_1d
+  FROM pairs GROUP BY day
+),
+contrib AS (
+  SELECT DISTINCT p.day + t.g AS window_day, p.user_id
+  FROM pairs p CROSS JOIN range({ROLLING_WINDOW_DAYS}) t(g)
+),
+rolling AS (
+  SELECT c.window_day AS day, CAST(COUNT(*) AS BIGINT) AS active_users_7d
+  FROM contrib c JOIN days d ON c.window_day = d.day
+  GROUP BY c.window_day
+)
+SELECT day, active_users_1d, active_users_7d
+FROM daily JOIN rolling USING (day)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "rolling_distinct_users": ROLLING_DISTINCT_USERS_SQL,
     "event_type_islands": EVENT_TYPE_ISLANDS_SQL,
     "customer_order_lifecycle": CUSTOMER_ORDER_LIFECYCLE_SQL,
     "sessionize": SESSIONIZE_SQL,
@@ -449,6 +518,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "rolling_distinct_users": rolling_distinct_users,
     "event_type_islands": event_type_islands,
     "customer_order_lifecycle": customer_order_lifecycle,
     "sessionize": sessionize,
