@@ -1,8 +1,8 @@
 """Change-data-capture primitives: snapshot diff and MERGE-style upsert.
 
 Lakehouse write patterns expressed as plain DataFrame algebra (no Delta /
-Iceberg dependency — those arrive via the connector stubs in
-``sources.lakehouse``; these ops are the engine-side semantics):
+Iceberg dependency — ``sources.publish_versioned`` provides the
+snapshot/manifest layer; these ops are the engine-side semantics):
 
 - **snapshot_diff**: two versions of a keyed table → (key, status) with
   status ∈ {added, removed, changed}.  Full-outer join on the key,

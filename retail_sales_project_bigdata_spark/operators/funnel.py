@@ -165,12 +165,103 @@ FROM counts
 """
 
 
+ATTRIBUTION_LOOKBACK_US = 7 * 86_400_000_000  # 7-day touch window
+
+# Sortable string encoding of (ts_us, event_id): zero-padded fixed-width
+# concatenation, so lexicographic MIN/MAX == (ts, id) order in BOTH
+# engines (struct/row-value MIN is not portable across Spark and DuckDB).
+_TOUCH_KEY_SPARK = (
+    "concat(lpad(cast(ts_us as string), 20, '0'), ':',"
+    " lpad(cast(event_id as string), 12, '0'))"
+)
+
+
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: for every purchase, the
+    earliest and latest view/click by the same user within the trailing
+    7-day window, plus the touch count.
+
+    One shuffle (partition by user, order by exact µs), every measure a
+    conditional aggregate over the same RANGE frame — the frame bound is
+    VALUE-based (microseconds), so sparse and dense users get the same
+    semantics.  Touches are encoded as zero-padded sortable strings so
+    ``min``/``max`` pick the (ts, event_id)-ordered touch portably.  At
+    100 TB this is the window-join-free attribution shape: no
+    purchase×touch pair blowup, state bounded by the lookback.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts_us", "user_id", "event_type"
+    )
+    touch_key = F.when(
+        F.col("event_type").isin("view", "click"), F.expr(_TOUCH_KEY_SPARK)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ATTRIBUTION_LOOKBACK_US, 0)
+    )
+    enriched = ev.select(
+        "event_id",
+        "ts_us",
+        "user_id",
+        "event_type",
+        F.min(touch_key).over(w).alias("first_touch_key"),
+        F.max(touch_key).over(w).alias("last_touch_key"),
+        F.count(touch_key).over(w).cast("long").alias("n_touches"),
+    )
+
+    def _key_event_id(key_col: str) -> F.Column:
+        return F.substring(F.col(key_col), 22, 12).cast("long")
+
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        _key_event_id("first_touch_key").alias("first_touch_event_id"),
+        _key_event_id("last_touch_key").alias("last_touch_event_id"),
+        "n_touches",
+    )
+
+
+PURCHASE_TOUCH_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+),
+enriched AS (
+  SELECT event_id, ts_us, user_id, event_type,
+         MIN(CASE WHEN event_type IN ('view', 'click')
+                  THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || ':'
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')
+             END) OVER w AS first_touch_key,
+         MAX(CASE WHEN event_type IN ('view', 'click')
+                  THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || ':'
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')
+             END) OVER w AS last_touch_key,
+         CAST(COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
+              OVER w AS BIGINT) AS n_touches
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN {ATTRIBUTION_LOOKBACK_US} PRECEDING
+                         AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ts_us AS purchase_ts_us,
+       CAST(substring(first_touch_key, 22, 12) AS BIGINT)
+           AS first_touch_event_id,
+       CAST(substring(last_touch_key, 22, 12) AS BIGINT)
+           AS last_touch_event_id,
+       n_touches
+FROM enriched WHERE event_type = 'purchase'
+"""
+
+
 ORACLES: dict[str, str] = {
+    "purchase_touch_attribution": PURCHASE_TOUCH_ATTRIBUTION_SQL,
     "funnel_stages": FUNNEL_STAGES_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
 }
 
 QUERIES = {
+    "purchase_touch_attribution": purchase_touch_attribution,
     "funnel_stages": funnel_stages,
     "event_transition_matrix": event_transition_matrix,
 }

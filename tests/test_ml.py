@@ -76,3 +76,24 @@ def test_churn_model_metrics(spark):
     assert 0.0 <= row.auc <= 1.0
     assert row.n_pairs > 0
     assert 0 <= row.n_positive <= row.n_pairs
+
+
+def test_churn_cv_tuning_selects_from_grid(spark):
+    """3-fold CV over the 2x2 RF grid must produce a finite mean AUC per
+    grid point and select the best one."""
+    from retail_sales_project_bigdata_spark.ml.pipelines import (
+        CV_DEPTH_GRID,
+        CV_TREES_GRID,
+        tune_churn_cv,
+    )
+    from retail_sales_project_bigdata_spark.operators.churn import (
+        churn_features,
+    )
+
+    cv_model, results = tune_churn_cv(churn_features(spark, SF_SMALL))
+    assert len(results) == len(CV_DEPTH_GRID) * len(CV_TREES_GRID)
+    assert all(0.0 <= r["mean_auc"] <= 1.0 for r in results)
+    best = max(results, key=lambda r: r["mean_auc"])
+    rf_model = cv_model.bestModel.stages[-1]
+    assert rf_model.getMaxDepth() == best["maxDepth"]
+    assert rf_model.getNumTrees == best["numTrees"]
