@@ -311,6 +311,138 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SUBSPACES = 8  # 64-dim → 8 subvectors of 8 dims
+PQ_CODEBOOK = 16  # centroids per subquantizer (4-bit codes)
+PQ_RERANK = 50  # ADC shortlist size before exact rerank
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) and exact rerank — the memory-bound scale path: each 64-dim
+    float vector compresses to eight 4-bit codes (4 bytes vs 512), so at
+    100 TB the code table fits where the raw vectors cannot.
+
+    Pipeline (mirrors the FAISS IndexPQ design):
+    1. train 8 independent 16-centroid subquantizers driver-side on a
+       deterministic hash sample (same rationale as ``ann_ivf_topk``);
+    2. encode the corpus map-only: per-subspace argmin over 16 fold
+       distances, compiled into one codegen'd expression — no MLlib, no
+       shuffle, the codebook literals broadcast with the plan;
+    3. ADC scan: each query precomputes, per subspace, the 16 dot
+       products against that subquantizer's centroids; a corpus row's
+       approximate dot is then 8 table lookups instead of 64 multiplies;
+    4. exact rerank of the top-``PQ_RERANK`` ADC candidates per query, so
+       returned cosines are exact (recall vs brute force is what the
+       compression trades; property-tested).
+    Rows-only: codebooks are sample/seed-specific.
+    """
+    import numpy as np
+
+    vecs = _vectors(spark, sf_dir)
+    sample_target = 4096
+    n_vecs = vecs.count()
+    step = max(1, n_vecs // sample_target)
+    sample = (
+        vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(step)) == 0)
+        .select("v")
+        .collect()
+    )
+    train = np.array([r.v for r in sample])
+    dim = train.shape[1]
+    sub_dim = dim // PQ_SUBSPACES
+    rng = np.random.default_rng(42)
+
+    codebooks: list[list[list[float]]] = []
+    for j in range(PQ_SUBSPACES):
+        sub = train[:, j * sub_dim : (j + 1) * sub_dim]
+        k = min(PQ_CODEBOOK, len(sub))
+        cents = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        codebooks.append([list(map(float, c)) for c in cents])
+
+    def _code_expr(j: int) -> str:
+        start = j * sub_dim + 1  # slice() is 1-indexed
+        dists = ", ".join(
+            "aggregate(zip_with(slice(v, "
+            f"{start}, {sub_dim}), array("
+            + ", ".join(f"{x!r}D" for x in c)
+            + "), (x, y) -> (x - y) * (x - y)), cast(0 as double),"
+            " (acc, x) -> acc + x)"
+            for c in codebooks[j]
+        )
+        return (
+            f"cast(array_position(array({dists}),"
+            f" array_min(array({dists}))) - 1 as int)"
+        )
+
+    codes = F.expr(
+        "array(" + ", ".join(_code_expr(j) for j in range(PQ_SUBSPACES)) + ")"
+    )
+    encoded = vecs.select("vec_id", "v", "norm", codes.alias("codes"))
+
+    queries = encoded.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    probe_rows = []
+    for q in queries:
+        tables = [
+            [
+                float(sum(a * b for a, b in zip(q.v[j * sub_dim : (j + 1) * sub_dim], cent)))
+                for cent in codebooks[j]
+            ]
+            for j in range(PQ_SUBSPACES)
+        ]
+        probe_rows.append((q.vec_id, q.v, q.norm, tables))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "q_id long, q_v array<double>, q_norm double,"
+        " tables array<array<double>>",
+    )
+
+    adc = F.expr(
+        f"aggregate(sequence(1, {PQ_SUBSPACES}), cast(0 as double),"
+        " (acc, j) -> acc + element_at(element_at(tables, j),"
+        " element_at(codes, j) + 1))"
+    )
+    cand = (
+        encoded.alias("c")
+        .join(
+            F.broadcast(probes).alias("q"),
+            F.col("c.vec_id") != F.col("q.q_id"),
+        )
+        .withColumn(
+            "adc_score", adc / (F.col("q.q_norm") * F.col("c.norm"))
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_score"), F.asc("c.vec_id")
+    )
+    shortlist = cand.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= PQ_RERANK
+    )
+    rer = shortlist.withColumn(
+        "cosine",
+        pround(
+            _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")), 6
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q.q_id").alias("q_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
@@ -547,6 +679,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "ann_pq_topk": ann_pq_topk,
     "embedding_centroids": embedding_centroids,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_bruteforce_topk_numpy": ann_bruteforce_topk_numpy,

@@ -91,3 +91,31 @@ def test_ivf_ann_recall_and_score_parity(spark):
     # recall: with nprobe=4/16 on near-random vectors expect some overlap
     hits = sum(1 for r in ivf_rows if (r.q_id, r.neighbor_id) in bf)
     assert hits > 0
+
+
+def test_pq_ann_recall_and_score_parity(spark):
+    """PQ-ADC candidates that survive the exact rerank must carry exact
+    brute-force cosines, ranks must be dense, and the 4-byte-code path
+    must recover a nonzero share of the true top-k."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_pq_topk,
+    )
+
+    bf = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    pq_rows = ann_pq_topk(spark, SF_SMALL).collect()
+    assert pq_rows
+    for r in pq_rows:
+        if (r.q_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
+    per_q = {}
+    for r in pq_rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= TOP_K for v in per_q.values())
+    hits = sum(1 for r in pq_rows if (r.q_id, r.neighbor_id) in bf)
+    assert hits > 0
