@@ -398,6 +398,61 @@ SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sig
 """
 
 
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: classify a NEW batch of documents
+    against the fingerprint table of the already-ingested corpus —
+    ``novel`` (first occurrence anywhere), ``dup_in_batch`` (repeats an
+    earlier new doc), or ``dup_of_corpus`` (already ingested).
+
+    Split is simulated deterministically (doc_id % 5 == 0 is the new
+    batch).  The corpus side reduces to a DISTINCT md5 fingerprint set
+    before the join — at 100 TB that set (16 bytes/doc) is the only
+    state the incremental pass carries; history text is never rescanned.
+    One left join on the hash + one in-batch first-occurrence window.
+    """
+    from pyspark.sql.window import Window
+
+    docs = fan_out(read_table(spark, sf_dir, "documents")).withColumn(
+        "fp", F.md5(F.col("text").cast("binary"))
+    )
+    corpus_fps = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select("fp")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "fp")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        new_batch.withColumn("rn", F.row_number().over(w))
+        .join(corpus_fps, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("in_corpus") == 1, "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+
+
+INCREMENTAL_DEDUP_NEW_DOCS_SQL = """
+WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+corpus AS (SELECT DISTINCT fp, 1 AS in_corpus FROM fps WHERE doc_id % 5 <> 0),
+new_batch AS (
+  SELECT doc_id, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fps WHERE doc_id % 5 = 0
+)
+SELECT n.doc_id, n.fp,
+       CASE WHEN c.in_corpus = 1 THEN 'dup_of_corpus'
+            WHEN n.rn > 1 THEN 'dup_in_batch'
+            ELSE 'novel' END AS status
+FROM new_batch n LEFT JOIN corpus c USING (fp)
+"""
+
+
 FUZZY_MAX_DISTANCE = 4
 
 
@@ -445,6 +500,7 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DISTANCE}
 
 ORACLES: dict[str, str] = {
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
+    "incremental_dedup_new_docs": INCREMENTAL_DEDUP_NEW_DOCS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
@@ -454,6 +510,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "incremental_dedup_new_docs": incremental_dedup_new_docs,
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,

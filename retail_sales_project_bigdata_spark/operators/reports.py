@@ -554,7 +554,87 @@ ORDER BY 1
 """
 
 
+TOP_TYPES_PER_NATION = 3
+
+
+def nation_top_types_with_others(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-N-with-OTHERS report: per supplier nation, the 3 highest-revenue
+    part types plus one OTHER row lumping the tail — the standard
+    dashboard shape (bounded output per group, nothing dropped).
+
+    Two aggregations: fact-side rollup to (nation, type) — the only
+    fact-sized shuffle — then a rank window and a re-aggregate over the
+    tiny (|nations|×|types|) frame.  Re-rounding applies at each sum of
+    grid values (stable_sum discipline)."""
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", net_sales().alias("net_sales")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("n_name", "p_type")
+        .agg(stable_sum("net_sales").alias("type_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("type_rev"), F.asc("p_type")
+    )
+    labeled = rev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "type_label",
+        F.when(F.col("rk") <= TOP_TYPES_PER_NATION, F.col("p_type")).otherwise(
+            F.lit("OTHER")
+        ),
+    )
+    return labeled.groupBy("n_name", "type_label").agg(
+        pround(F.sum("type_rev"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.min("rk").alias("best_rank"),
+    )
+
+
+NATION_TOP_TYPES_WITH_OTHERS_SQL = f"""
+WITH rev AS (
+  SELECT n.n_name, p.p_type,
+         {oracle_sum("l.l_extendedprice * (1.0 - l.l_discount)")} AS type_rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY n.n_name, p.p_type
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY n_name ORDER BY type_rev DESC, p_type ASC) AS rk
+  FROM rev
+),
+labeled AS (
+  SELECT n_name,
+         CASE WHEN rk <= {TOP_TYPES_PER_NATION} THEN p_type
+              ELSE 'OTHER' END AS type_label,
+         type_rev, rk
+  FROM ranked
+)
+SELECT n_name, type_label,
+       ROUND(SUM(type_rev), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(MIN(rk) AS INT) AS best_rank
+FROM labeled GROUP BY n_name, type_label
+"""
+
+
 ORACLES: dict[str, str] = {
+    "nation_top_types_with_others": NATION_TOP_TYPES_WITH_OTHERS_SQL,
     "nation_extreme_customers": NATION_EXTREME_CUSTOMERS_SQL,
     "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
     "top_products": TOP_PRODUCTS_SQL,
@@ -568,6 +648,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "nation_top_types_with_others": nation_top_types_with_others,
     "nation_extreme_customers": nation_extreme_customers,
     "nation_revenue_share": nation_revenue_share,
     "top_products": top_products,

@@ -430,7 +430,61 @@ FROM filled
 """
 
 
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: weekly net-sales totals with the
+    prior week's value, absolute delta, and percent change.
+
+    The lag window is unpartitioned, which is fine HERE and only here:
+    it runs over the already-aggregated weekly frame (|weeks| rows — a
+    few hundred at any corpus size), not the fact table.  Revenue is
+    grid-rounded (stable_sum) before the window, so both engines lag
+    bit-identical doubles and the delta/pct arithmetic matches exactly.
+    """
+    from pyspark.sql.window import Window
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+        .withColumn("net_sales", net_sales())
+    )
+    weekly = li.groupBy("week_no").agg(
+        stable_sum("net_sales").alias("revenue")
+    )
+    w = Window.orderBy("week_no")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_no",
+        "revenue",
+        prev.alias("prev_revenue"),
+        pround(F.col("revenue") - prev, 4).alias("wow_delta"),
+        F.when(
+            prev != 0, pround((F.col("revenue") - prev) / prev, 6)
+        ).alias("wow_pct"),
+    )
+
+
+WEEKLY_REVENUE_GROWTH_SQL = f"""
+WITH weekly AS (
+  SELECT CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}',
+                             CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT)
+             AS week_no,
+         {oracle_sum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT week_no, revenue,
+       LAG(revenue) OVER w AS prev_revenue,
+       ROUND(revenue - LAG(revenue) OVER w, 4) AS wow_delta,
+       CASE WHEN LAG(revenue) OVER w <> 0
+            THEN ROUND((revenue - LAG(revenue) OVER w)
+                       / LAG(revenue) OVER w, 6) END AS wow_pct
+FROM weekly
+WINDOW w AS (ORDER BY week_no)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "weekly_revenue_growth": WEEKLY_REVENUE_GROWTH_SQL,
     "weekly_sales_interpolated": WEEKLY_SALES_INTERPOLATED_SQL,
     "weekly_demand": WEEKLY_DEMAND_SQL,
     "union_weekly_halves": UNION_WEEKLY_HALVES_SQL,
@@ -440,6 +494,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "weekly_revenue_growth": weekly_revenue_growth,
     "weekly_sales_interpolated": weekly_sales_interpolated,
     "weekly_demand": weekly_demand,
     "union_weekly_halves": union_weekly_halves,
