@@ -42,6 +42,7 @@ from retail_sales_project_bigdata_spark.operators import (
     segmentation,
     sessions,
     similarity,
+    skew,
     stats,
     temporal,
     textstats,
@@ -70,6 +71,7 @@ _MODULES = [
     stats,
     calendar_mod,
     asof,
+    skew,
     cdc,
     rangejoin,
     tpch_shapes,

@@ -458,10 +458,12 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         F.expr(f"ts_us DIV {_US_PER_DAY}").alias("day"), "user_id"
     ).distinct()
-    days = pairs.select("day").distinct()
     daily = pairs.groupBy("day").agg(
         F.count(F.lit(1)).alias("active_users_1d")
     )
+    # day dimension rides on the daily aggregate (already unique per day)
+    # instead of a second full-distinct pass over the pairs frame.
+    days = daily.select("day")
     contrib = pairs.select(
         F.explode(
             F.sequence(

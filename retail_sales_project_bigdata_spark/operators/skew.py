@@ -17,10 +17,81 @@ Both are semantics-preserving (property-tested against unsalted plans).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.sources import read_table
+
 DEFAULT_SALTS = 8
+
+_PROFILE_KEYS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the fact table's join keys — the numbers that
+    decide whether a join needs salting / AQE skew splitting BEFORE it
+    runs at scale: distinct key count, max and mean per-key row count,
+    the hottest key's share of all rows, and the max/mean skew ratio.
+
+    One groupBy per profiled key (each a partial+final hash agg over one
+    column) and a 3-row union — this is the cheap pre-flight a pipeline
+    runs against a sample or footer statistics, not a per-query cost.
+    All measures derive from integer counts, so the ratios are exact
+    IEEE divisions on both engines.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    profiles = []
+    for key in _PROFILE_KEYS:
+        counts = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        profiles.append(
+            counts.agg(
+                F.lit(key).alias("join_key"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cnt").alias("n_rows"),
+                F.max("cnt").alias("max_per_key"),
+                (
+                    F.sum("cnt").cast("double") / F.count(F.lit(1))
+                ).alias("mean_per_key"),
+                (F.max("cnt").cast("double") / F.sum("cnt")).alias(
+                    "top1_share"
+                ),
+                (
+                    F.max("cnt")
+                    * F.count(F.lit(1)).cast("double")
+                    / F.sum("cnt")
+                ).alias("skew_ratio"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _skew_profile_sql(key: str) -> str:
+    return f"""
+SELECT '{key}' AS join_key,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_per_key,
+       CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_per_key,
+       CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top1_share,
+       MAX(cnt) * CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS skew_ratio
+FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY {key})"""
+
+
+JOIN_KEY_SKEW_PROFILE_SQL = "\nUNION ALL\n".join(
+    _skew_profile_sql(k) for k in _PROFILE_KEYS
+)
+
+ORACLES: dict[str, str] = {
+    "join_key_skew_profile": JOIN_KEY_SKEW_PROFILE_SQL,
+}
+
+QUERIES = {
+    "join_key_skew_profile": join_key_skew_profile,
+}
 
 
 def salted_aggregate(

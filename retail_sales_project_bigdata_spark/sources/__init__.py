@@ -198,6 +198,23 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     return path
 
 
+def with_provenance(df: DataFrame) -> DataFrame:
+    """Attach row-level provenance: the source file path each row came
+    from (``input_file_name()`` — resolved per split at scan time, free)
+    and its position within that file's scan partition.  The (file, pos)
+    pair is a durable row address for audit/replay in pipelines whose
+    inputs carry no natural key — standard practice before ingesting
+    keyless corpus files at scale."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.input_file_name()).orderBy(
+        F.monotonically_increasing_id()
+    )
+    return df.withColumn("_source_file", F.input_file_name()).withColumn(
+        "_file_row_pos", F.row_number().over(w)
+    )
+
+
 def read_parquet_merged(spark: SparkSession, *paths: str) -> DataFrame:
     """Schema-evolution read: union parquet directories whose schemas
     drifted (columns added/dropped between pipeline versions).

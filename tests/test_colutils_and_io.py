@@ -151,3 +151,23 @@ def test_csv_malformed_row_policies(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_csv(spark, p, table="transaction_data", mode="FAILFAST").collect()
+
+
+def test_with_provenance_addresses_every_row(spark, tmp_path):
+    """(_source_file, _file_row_pos) must uniquely address each row and
+    name the real file it came from."""
+    from retail_sales_project_bigdata_spark.sources import (
+        read_table,
+        with_provenance,
+    )
+
+    src = str(tmp_path / "multi")
+    from tests.conftest import SF_SMALL
+
+    read_table(spark, SF_SMALL, "customer").repartition(3).write.parquet(src)
+    df = with_provenance(spark.read.parquet(src))
+    rows = df.select("_source_file", "_file_row_pos", "c_custkey").collect()
+    assert rows
+    assert all(r._source_file.endswith(".parquet") for r in rows)
+    assert len(rows) == len({(r._source_file, r._file_row_pos) for r in rows})
+    assert len({r._source_file for r in rows}) == 3
