@@ -88,3 +88,40 @@ def test_runtime_bloom_filter_injected(spark, bloom_filter_confs):
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
         )
     assert n_bloom == n_plain
+
+
+def test_analyze_table_statistics_feed_the_optimizer(spark, tmp_path):
+    """ANALYZE TABLE must record table row counts and per-column
+    min/max/NDV — the inputs cost-based optimization and join sizing use
+    when footer estimates aren't enough at scale."""
+    tbl = "cust_stats_probe"
+    (
+        read_table(spark, SF_SMALL, "customer")
+        .write.option("path", str(tmp_path / "tbl"))
+        .saveAsTable(tbl)
+    )
+    try:
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        det = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        }
+        n_rows = spark.table(tbl).count()
+        assert f"{n_rows} rows" in det["Statistics"]
+
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} c_custkey").collect()
+        }
+        true_min, true_max = (
+            spark.table(tbl)
+            .agg(F.min("c_custkey"), F.max("c_custkey"))
+            .first()
+        )
+        assert int(col["min"]) == true_min
+        assert int(col["max"]) == true_max
+        # NDV is HLL-estimated; exact keys here, allow 5% error
+        true_ndv = spark.table(tbl).select("c_custkey").distinct().count()
+        assert abs(int(col["distinct_count"]) - true_ndv) <= true_ndv * 0.05
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
