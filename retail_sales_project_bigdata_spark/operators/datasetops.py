@@ -145,6 +145,43 @@ GROUP BY a
 """
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keep/drop manifest — the artifact a dedup stage actually
+    ships: every document with its canonical id (its near-dup
+    component's minimum, or itself when unique) and a keep flag (a doc
+    survives iff it IS the canonical).
+
+    Shape: the connected-components labels (computed over the near-dup
+    EDGE set only — ≪ corpus) broadcast-join back onto the full document
+    list; docs outside any component pass through untouched.  This is
+    the join every 100 TB dedup ends with: tiny label table × full
+    corpus, map-side."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = dedup_groups(spark, sf_dir).withColumnRenamed(
+        "canonical_id", "comp_min"
+    )
+    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("comp_min", "doc_id").alias("canonical_id"),
+        F.when(
+            F.coalesce("comp_min", "doc_id") == F.col("doc_id"), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH labels AS ({DEDUP_GROUPS_SQL})
+SELECT d.doc_id, d.source,
+       COALESCE(l.canonical_id, d.doc_id) AS canonical_id,
+       CASE WHEN COALESCE(l.canonical_id, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+"""
+
+
 def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: md5(doc_id) mod 100 buckets —
     {TRAIN_PCT}/{VAL_PCT}/rest.  Map-only at any scale; the assignment is
@@ -645,6 +682,7 @@ ORACLES: dict[str, str] = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "quality_funnel": QUALITY_FUNNEL_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
+    "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "hash_split": HASH_SPLIT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
@@ -658,6 +696,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "quality_funnel": quality_funnel,
     "dedup_groups": dedup_groups,
+    "dedup_survivors": dedup_survivors,
     "hash_split": hash_split,
     "stratified_sample": stratified_sample,
     "pack_sequences": pack_sequences,
