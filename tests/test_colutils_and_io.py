@@ -171,3 +171,34 @@ def test_with_provenance_addresses_every_row(spark, tmp_path):
     assert all(r._source_file.endswith(".parquet") for r in rows)
     assert len(rows) == len({(r._source_file, r._file_row_pos) for r in rows})
     assert len({r._source_file for r in rows}) == 3
+
+
+def test_observed_write_collects_metrics_without_extra_scan(spark, tmp_path):
+    """Metrics observed on the write job must equal separately-computed
+    aggregates — row counts and sums ride the write's own pass."""
+    from tests.conftest import SF_SMALL
+
+    from retail_sales_project_bigdata_spark.sources import (
+        observed_write,
+        read_table,
+    )
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        li,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "total_qty": F.round(F.sum("l_quantity"), 4),
+        },
+    )
+    want = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    ).first()
+    assert got["n_rows"] == want.n_rows
+    assert abs(got["total_qty"] - want.total_qty) < 1e-6
+    assert spark.read.parquet(out).count() == want.n_rows
