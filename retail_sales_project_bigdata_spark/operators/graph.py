@@ -116,3 +116,104 @@ ORACLES: dict[str, str] = {}
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
 }
+
+
+MAX_STAR_ROUNDS = 30
+
+
+def _star_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Cheap multiset fingerprint of an edge set for convergence checks:
+    (row count, sum of per-edge xxhash64) — one aggregate job."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # 32-bit per-edge hash summed into a long — overflow-free (ANSI
+        # mode) up to 2^32 edges, order-independent.
+        F.sum(F.hash("u", "v").cast("long")).alias("h"),
+    ).first()
+    return (row.n, row.h)
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the WEB-SCALE path the plain min-label propagation in
+    ``datasetops.dedup_groups`` documents as its upgrade: each round
+    halves component diameter (O(log d) rounds on chains, where label
+    propagation needs O(d)), and every round is two groupBy shuffles
+    over the current edge set.
+
+    - large-star: each node links its LARGER neighbors to its minimum
+      neighborhood member;
+    - small-star: edges oriented high→low; each node links its smaller
+      neighbors (and itself) to that minimum.
+
+    Converges when the edge multiset is stable (fingerprint aggregate);
+    ``localCheckpoint`` truncates lineage per round.  Returns
+    (node, component) with component = the component's minimum node id.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        nbrs = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        oriented = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_link = m.select("u", F.col("m").alias("v"))
+        return (
+            linked.unionByName(self_link)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    fp = _star_fingerprint(e)
+    for _ in range(MAX_STAR_ROUNDS):
+        e = small_star(large_star(e)).localCheckpoint()
+        new_fp = _star_fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {MAX_STAR_ROUNDS} rounds"
+        )
+
+    # At the fixed point every edge points node → component minimum; nodes
+    # that appear only as a minimum map to themselves.
+    nodes = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    labels = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

@@ -49,3 +49,55 @@ def test_pagerank_matches_dense_oracle_and_conserves_mass(spark):
     # mass conservation over the full ranks: sum == N (no dangling nodes)
     full_sum = sum(expected.values())
     assert abs(full_sum - len(expected)) < 1e-6 * len(expected)
+
+
+def test_star_contraction_on_synthetic_graphs(spark):
+    """Chains, cycles, isolated pairs — star contraction must label every
+    node with its component minimum in O(log d) rounds."""
+    from retail_sales_project_bigdata_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # chain 0-1-...-9, cycle 20-21-22-20, pair (30, 31)
+    edges = (
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (21, 22), (22, 20)]
+        + [(30, 31)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(df).collect()
+    }
+    want = {i: 0 for i in range(10)}
+    want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    assert got == want
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """On the real LSH near-dup pair graph the star labels must equal the
+    plain min-label-propagation labels (same components, same minima)."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        dedup_groups,
+    )
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from retail_sales_project_bigdata_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = minhash_lsh_pairs(spark, SF_SMALL).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    star = {
+        r.node: r.component
+        for r in connected_components_star(edges).collect()
+    }
+    prop = {
+        r.doc_id: r.canonical_id
+        for r in dedup_groups(spark, SF_SMALL).collect()
+    }
+    assert star == prop
