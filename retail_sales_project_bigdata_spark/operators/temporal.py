@@ -296,9 +296,17 @@ def weekly_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("week_no", week_no("day"))
         .withColumn("net_sales", net_sales())
     )
-    weekly = li.groupBy(
-        F.col("l_suppkey").alias("store_id"), "week_no"
-    ).agg(stable_sum("net_sales").alias("sales"))
+    # Persisted: the weekly frame feeds BOTH the spine (per-store
+    # min/max) and the fill join, and the two consumers need different
+    # hash partitionings, so ReuseExchange cannot share the
+    # scan+aggregate — without the cache boundary the full rollup runs
+    # twice (measured ~2x this query).  The frame is post-aggregation
+    # (store x week rows), so the cache stays small at any input scale.
+    weekly = (
+        li.groupBy(F.col("l_suppkey").alias("store_id"), "week_no")
+        .agg(stable_sum("net_sales").alias("sales"))
+        .persist()
+    )
     spine = (
         weekly.groupBy("store_id")
         .agg(F.min("week_no").alias("w0"), F.max("week_no").alias("w1"))
@@ -357,9 +365,17 @@ def weekly_sales_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("week_no", week_no("day"))
         .withColumn("net_sales", net_sales())
     )
-    weekly = li.groupBy(
-        F.col("l_suppkey").alias("store_id"), "week_no"
-    ).agg(stable_sum("net_sales").alias("sales"))
+    # Persisted: the weekly frame feeds BOTH the spine (per-store
+    # min/max) and the fill join, and the two consumers need different
+    # hash partitionings, so ReuseExchange cannot share the
+    # scan+aggregate — without the cache boundary the full rollup runs
+    # twice (measured ~2x this query).  The frame is post-aggregation
+    # (store x week rows), so the cache stays small at any input scale.
+    weekly = (
+        li.groupBy(F.col("l_suppkey").alias("store_id"), "week_no")
+        .agg(stable_sum("net_sales").alias("sales"))
+        .persist()
+    )
     spine = (
         weekly.groupBy("store_id")
         .agg(F.min("week_no").alias("w0"), F.max("week_no").alias("w1"))
