@@ -435,6 +435,108 @@ FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
 """
 
 
+PHRASE_DISCOUNT = 5  # word2phrase delta: suppresses rare-bigram noise
+PHRASE_SCORE_MIN = 0.5
+PHRASE_TOP_K = 50
+
+
+def phrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase-style collocation mining: score each corpus bigram by
+    ``(count(ab) - delta) * N / (count(a) * count(b))`` — the discounted
+    PMI ratio WITHOUT the log (monotone in PMI, so ranking/thresholding
+    is identical, and the integer-derived arithmetic is bit-exact across
+    engines where libm ``log`` is not).  Top-K candidates above the
+    score floor become merge candidates for a tokenizer pass.
+
+    Shapes: one (doc, position)-free unigram count and one bigram count
+    (each a partial+final hash agg), two equi-joins of the bigram frame
+    against the unigram counts, a broadcast total, and a global top-K
+    (TakeOrderedAndProject — no full sort).  Nothing here holds
+    corpus-sized state outside hash aggregates.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks_df = docs.select(_tokens().alias("toks"))
+    unigrams = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = unigrams.agg(F.sum("cnt").alias("n_tokens"))
+    bigrams = (
+        toks_df.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (a, b) -> struct(a as w1, b as w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+    )
+    scored = (
+        bigrams.join(
+            unigrams.select(
+                F.col("w").alias("w1"), F.col("cnt").alias("cnt_a")
+            ),
+            "w1",
+        )
+        .join(
+            unigrams.select(
+                F.col("w").alias("w2"), F.col("cnt").alias("cnt_b")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            (F.col("cnt_ab") - F.lit(PHRASE_DISCOUNT))
+            * F.col("n_tokens").cast("double")
+            / (F.col("cnt_a") * F.col("cnt_b")),
+        )
+        .filter(F.col("score") > PHRASE_SCORE_MIN)
+    )
+    return (
+        scored.select("w1", "w2", "cnt_ab", "cnt_a", "cnt_b", "score")
+        .orderBy(F.desc("score"), F.asc("w1"), F.asc("w2"))
+        .limit(PHRASE_TOP_K)
+    )
+
+
+PHRASE_CANDIDATES_SQL = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), '{_TOKENIZE}') AS t FROM documents
+),
+unigrams AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM unigrams),
+bigrams AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_ab
+  FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        FROM toks)
+  GROUP BY w1, w2
+),
+scored AS (
+  SELECT b.w1, b.w2, b.cnt_ab, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+         (b.cnt_ab - {PHRASE_DISCOUNT}) * CAST(t.n_tokens AS DOUBLE)
+             / (ua.cnt * ub.cnt) AS score
+  FROM bigrams b
+  JOIN unigrams ua ON b.w1 = ua.w
+  JOIN unigrams ub ON b.w2 = ub.w
+  CROSS JOIN total t
+)
+SELECT w1, w2, cnt_ab, cnt_a, cnt_b, score
+FROM scored WHERE score > {PHRASE_SCORE_MIN}
+ORDER BY score DESC, w1 ASC, w2 ASC
+LIMIT {PHRASE_TOP_K}
+"""
+
+
 ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
@@ -443,6 +545,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
+    "phrase_candidates": PHRASE_CANDIDATES_SQL,
 }
 
 QUERIES = {
@@ -453,4 +556,5 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_repetition_stats": doc_repetition_stats,
+    "phrase_candidates": phrase_candidates,
 }
