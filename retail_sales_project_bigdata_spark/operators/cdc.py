@@ -296,11 +296,76 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
 """
 
 
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the consumer side of the SCD2
+    build: each order resolves the priority VERSION that was valid on
+    its order day (equi join on the key + a validity-range predicate,
+    open current version matched via NULL ``valid_to``).
+
+    The fact keeps exactly one match by construction (versions partition
+    each key's timeline), so there is no row amplification.  Physical
+    shape: one shuffle on the key for the history build, then an equi
+    join on the key with the range predicate evaluated post-match — at
+    100 TB the history side is dimension-sized and broadcasts.  Joining
+    a RANDOM sample of facts would test the same path; joining all
+    orders doubles as a self-consistency proof (every order must land in
+    the version its own change opened).
+    """
+    from retail_sales_project_bigdata_spark.functions import day_index
+
+    hist = scd2_priority_history(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        day_index("o_orderdate").alias("order_day"),
+        F.col("o_orderpriority").alias("actual_priority"),
+    )
+    joined = orders.join(
+        hist,
+        (orders.o_custkey == hist.o_custkey)
+        & (F.col("order_day") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("order_day") <= F.col("valid_to"))
+        ),
+    )
+    return joined.select(
+        "o_orderkey",
+        orders.o_custkey.alias("custkey"),
+        "order_day",
+        F.col("priority").alias("pit_priority"),
+        "version",
+        (F.col("priority") == F.col("actual_priority")).cast("int").alias(
+            "self_consistent"
+        ),
+    )
+
+
+SCD2_POINT_IN_TIME_LOOKUP_SQL = f"""
+WITH hist AS ({SCD2_PRIORITY_HISTORY_SQL}),
+ord AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(o_orderdate AS DATE)) + 1
+              AS INT) AS order_day,
+         o_orderpriority AS actual_priority
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_custkey AS custkey, o.order_day,
+       h.priority AS pit_priority, h.version,
+       CAST(h.priority = o.actual_priority AS INT) AS self_consistent
+FROM ord o JOIN hist h
+  ON o.o_custkey = h.o_custkey
+ AND o.order_day >= h.valid_from
+ AND (h.valid_to IS NULL OR o.order_day <= h.valid_to)
+"""
+
+
 ORACLES: dict[str, str] = {
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "merge_upsert": MERGE_UPSERT_SQL,
     "latest_order_per_customer": LATEST_ORDER_PER_CUSTOMER_SQL,
     "scd2_priority_history": SCD2_PRIORITY_HISTORY_SQL,
+    "scd2_point_in_time_lookup": SCD2_POINT_IN_TIME_LOOKUP_SQL,
 }
 
 QUERIES = {
@@ -308,4 +373,5 @@ QUERIES = {
     "merge_upsert": merge_upsert,
     "latest_order_per_customer": latest_order_per_customer,
     "scd2_priority_history": scd2_priority_history,
+    "scd2_point_in_time_lookup": scd2_point_in_time_lookup,
 }
