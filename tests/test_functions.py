@@ -50,3 +50,37 @@ def test_stable_sum_ignores_partitioning(spark):
     a = spark.createDataFrame(data, ["x"]).repartition(1)
     b = spark.createDataFrame(data, ["x"]).repartition(16)
     assert a.agg(stable_sum("x")).first()[0] == b.agg(stable_sum("x")).first()[0]
+
+
+def test_doc_repetition_stats_single_token_docs(spark, tmp_path):
+    """A one-token document has no bigrams — the left-join null path must
+    produce 0.0 fractions, not nulls or division errors."""
+    import os
+
+    from retail_sales_project_bigdata_spark.operators.textstats import (
+        doc_repetition_stats,
+    )
+
+    rows = [
+        (1, "hello", "en", "web", 5),
+        (2, "a a a a", "en", "web", 7),
+        (3, "x y x y", "en", "web", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {
+        r.doc_id: r for r in doc_repetition_stats(spark, sf_dir).collect()
+    }
+    assert got[1].n_tokens == 1
+    assert got[1].top_bigram_frac == 0.0
+    assert got[1].dup_bigram_frac == 0.0
+    assert got[1].is_repetitive == 0
+    # "a a a a": one distinct token, one distinct bigram repeated 3x
+    assert got[2].distinct_token_ratio == 0.25
+    assert got[2].top_bigram_frac == 1.0
+    assert got[2].is_repetitive == 1
+    # "x y x y": bigrams x_y, y_x, x_y -> top share 2/3
+    assert abs(got[3].top_bigram_frac - round(2 / 3, 6)) < 1e-9
