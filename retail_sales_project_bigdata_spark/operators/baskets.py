@@ -180,7 +180,95 @@ def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def association_rules_2item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-itemset association rules with the full metric set —
+    support, confidence, and lift — for both rule directions (a→b and
+    b→a) of every frequent pair.
+
+    The metrics are pure integer-count ratios (``lift = conf(a→b) /
+    supp(b)`` computed as ``freq_ab * n_baskets / (freq_a * freq_b)``),
+    so the whole rule table is oracle-exact — the relational complement
+    of FP-Growth's ``associationRules`` (engine-internal ordering, no
+    cross-engine hash).  Physical shape: the frequent-pair frame (tiny
+    after the support threshold) joins the 1-item counts twice —
+    both broadcast-sized — then one union mirrors the directions.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = pairs.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    freq1 = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
+    freq2 = itemset_support_2(spark, sf_dir)
+
+    both = freq2.unionByName(
+        freq2.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "freq",
+        )
+    )
+    rules = (
+        both.join(
+            F.broadcast(
+                freq1.select(
+                    F.col("l_partkey").alias("item_a"),
+                    F.col("freq").alias("freq_a"),
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                freq1.select(
+                    F.col("l_partkey").alias("item_b"),
+                    F.col("freq").alias("freq_b"),
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return rules.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("freq").alias("freq_pair"),
+        "freq_a",
+        "freq_b",
+        (F.col("freq").cast("double") / F.col("n_baskets")).alias("support"),
+        (F.col("freq").cast("double") / F.col("freq_a")).alias("confidence"),
+        (
+            F.col("freq") * F.col("n_baskets").cast("double")
+            / (F.col("freq_a") * F.col("freq_b"))
+        ).alias("lift"),
+    )
+
+
+ASSOCIATION_RULES_2ITEM_SQL = f"""
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM pairs),
+freq1 AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM pairs GROUP BY l_partkey
+),
+freq2 AS ({ITEMSET_SUPPORT_2_SQL}),
+both_dirs AS (
+  SELECT item_a, item_b, freq FROM freq2
+  UNION ALL
+  SELECT item_b, item_a, freq FROM freq2
+)
+SELECT b.item_a AS antecedent, b.item_b AS consequent,
+       b.freq AS freq_pair, fa.freq AS freq_a, fb.freq AS freq_b,
+       CAST(b.freq AS DOUBLE) / n.n_baskets AS support,
+       CAST(b.freq AS DOUBLE) / fa.freq AS confidence,
+       b.freq * CAST(n.n_baskets AS DOUBLE) / (fa.freq * fb.freq) AS lift
+FROM both_dirs b
+JOIN freq1 fa ON b.item_a = fa.l_partkey
+JOIN freq1 fb ON b.item_b = fb.l_partkey
+CROSS JOIN n
+"""
+
+
 ORACLES: dict[str, str] = {
+    "association_rules_2item": ASSOCIATION_RULES_2ITEM_SQL,
     "baskets_flat": BASKETS_FLAT_SQL,
     "itemset_support_1": ITEMSET_SUPPORT_1_SQL,
     "itemset_support_2": ITEMSET_SUPPORT_2_SQL,
@@ -188,6 +276,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "association_rules_2item": association_rules_2item,
     "baskets_flat": baskets_flat,
     "itemset_support_1": itemset_support_1,
     "itemset_support_2": itemset_support_2,
