@@ -259,13 +259,90 @@ FROM med m JOIN mode mo USING (l_returnflag)
 """
 
 
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per nation: for each customer the gaps (in
+    days) between consecutive orders, rolled up to nation-level count /
+    exact median / mean / min / max — the purchase-frequency profile a
+    replenishment or churn model consumes.
+
+    One fact shuffle: the lag window partitions by customer; gap rows
+    then aggregate by (broadcast-joined) nation.  Gaps are integers, so
+    ``median`` (midpoint interpolation on the int grid) and ``sum/count``
+    are bit-exact across engines with no rounding discipline needed
+    beyond the final display round.
+    """
+    from pyspark.sql.window import Window
+
+    from retail_sales_project_bigdata_spark.functions import day_index, pround
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", day_index("o_orderdate").alias("day"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        orders.withColumn("gap", F.col("day") - F.lag("day").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("o_custkey", "gap")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.median("gap").alias("median_gap_days"),
+            pround(F.sum("gap") / F.count(F.lit(1)), 6).alias(
+                "mean_gap_days"
+            ),
+            F.min("gap").alias("min_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+    )
+
+
+ORDER_GAP_STATS_SQL = """
+WITH ord AS (
+  SELECT o_custkey,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 1
+              AS INT) AS day,
+         o_orderkey
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         day - LAG(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap
+  FROM ord
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       MEDIAN(g.gap) AS median_gap_days,
+       ROUND(CAST(SUM(g.gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days,
+       MIN(g.gap) AS min_gap_days,
+       MAX(g.gap) AS max_gap_days
+FROM gaps g
+JOIN customer c ON g.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE g.gap IS NOT NULL
+GROUP BY n.n_name
+"""
+
+
 ORACLES: dict[str, str] = {
+    "order_gap_stats": ORDER_GAP_STATS_SQL,
     "sales_stats_by_flag": SALES_STATS_BY_FLAG_SQL,
     "price_outliers_iqr": PRICE_OUTLIERS_IQR_SQL,
     "quantity_central_tendency": QUANTITY_CENTRAL_TENDENCY_SQL,
 }
 
 QUERIES = {
+    "order_gap_stats": order_gap_stats,
     "sales_stats_by_flag": sales_stats_by_flag,
     "price_outliers_iqr": price_outliers_iqr,
     "quantity_central_tendency": quantity_central_tendency,
