@@ -80,7 +80,13 @@ def train_and_evaluate_churn(features: DataFrame) -> tuple[object, float]:
     evaluator = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
     )
-    auc = float(evaluator.evaluate(model.transform(test)))
+    # Score with a summary-free copy: the fitted RF's trainingSummary
+    # holds a SparkSession reference, and serializing that session into
+    # the scoring closure fails once ANY Observation has been used on it
+    # (Spark 4.1: SparkSession.observationManager is lazily materialized
+    # and not serializable).  Model.copy() drops the summary — scoring
+    # must never depend on driver-side training state anyway.
+    auc = float(evaluator.evaluate(model.copy().transform(test)))
     return model, auc
 
 
