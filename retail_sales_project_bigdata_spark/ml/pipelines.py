@@ -69,12 +69,20 @@ def build_churn_pipeline():
     return Pipeline(stages=[*indexers, encoder, assembler, scaler, rf])
 
 
+def _prepare_features(features: DataFrame) -> DataFrame:
+    """Cast every numeric feature to double — the single place the
+    'ML-ready frame' invariant lives (shared by the fixed fit and the CV
+    sweep so the two can never train on differently-typed frames)."""
+    for c in NUMERIC_COLS:
+        features = features.withColumn(c, F.col(c).cast("double"))
+    return features
+
+
 def train_and_evaluate_churn(features: DataFrame) -> tuple[object, float]:
     """M4: 80/20 split + AUC — ChurnPrediction.java:321-337."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    for c in NUMERIC_COLS:
-        features = features.withColumn(c, F.col(c).cast("double"))
+    features = _prepare_features(features)
     train, test = features.randomSplit([0.8, 0.2], seed=SPLIT_SEED)
     model = build_churn_pipeline().fit(train)
     evaluator = BinaryClassificationEvaluator(
@@ -129,8 +137,7 @@ def tune_churn_cv(features: DataFrame):
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
-    for c in NUMERIC_COLS:
-        features = features.withColumn(c, F.col(c).cast("double"))
+    features = _prepare_features(features)
     pipeline = build_churn_pipeline()
     rf = pipeline.getStages()[-1]
     grid = (

@@ -94,13 +94,17 @@ HAVING COUNT(*) >= (SELECT CAST(CEIL(n_baskets * {MIN_SUPPORT}) AS BIGINT) FROM 
 """
 
 
-def itemset_support_2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent 2-itemsets via distinct-pair self-join with a-priori
-    pruning: only items that are themselves frequent enter the pair join
-    (prunes the quadratic blow-up — the scale-critical step)."""
+def _distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (basket, item) distinct-pair frame every itemset query starts
+    from — factored out so multi-consumer queries can persist ONE copy
+    instead of rebuilding the fact-sized distinct per subtree."""
     li = read_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
-    n_baskets = pairs.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    return li.select("l_orderkey", "l_partkey").distinct()
+
+
+def _frequent_pairs(pairs: DataFrame, n_baskets: DataFrame) -> DataFrame:
+    """Frequent 2-itemsets from a prebuilt pair frame (a-priori pruning:
+    only frequent single items enter the pair self-join)."""
     freq1 = (
         pairs.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -130,6 +134,15 @@ def itemset_support_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") >= F.ceil(F.col("n_baskets") * MIN_SUPPORT))
         .select("item_a", "item_b", "freq")
     )
+
+
+def itemset_support_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets via distinct-pair self-join with a-priori
+    pruning: only items that are themselves frequent enter the pair join
+    (prunes the quadratic blow-up — the scale-critical step)."""
+    pairs = _distinct_pairs(spark, sf_dir)
+    n_baskets = pairs.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    return _frequent_pairs(pairs, n_baskets)
 
 
 ITEMSET_SUPPORT_2_SQL = f"""
@@ -193,11 +206,14 @@ def association_rules_2item(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the support threshold) joins the 1-item counts twice —
     both broadcast-sized — then one union mirrors the directions.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    # ONE persisted pair frame feeds n_baskets, the 1-item counts, and
+    # the 2-itemset self-join — without the cache boundary the dominant
+    # fact-sized distinct would run once per consumer subtree (the SQL
+    # oracle shares a single pairs CTE; this is the DataFrame analog).
+    pairs = _distinct_pairs(spark, sf_dir).persist()
     n_baskets = pairs.select(F.countDistinct("l_orderkey").alias("n_baskets"))
     freq1 = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
-    freq2 = itemset_support_2(spark, sf_dir)
+    freq2 = _frequent_pairs(pairs, n_baskets)
 
     both = freq2.unionByName(
         freq2.select(

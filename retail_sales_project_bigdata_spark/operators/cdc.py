@@ -223,8 +223,10 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``o_orderpriority`` as the tracked attribute.  Standard SCD2
     algebra, all window functions over ONE shuffle on the key:
 
-    1. total-order the feed per key (day, then orderkey — deterministic
-       under same-day ties);
+    1. compact to DAY grain, last change wins (keep the max-orderkey row
+       per (key, day) — validity is measured in whole days, so two
+       same-day changes would otherwise mint an inverted
+       ``valid_to = valid_from - 1`` version no lookup can ever match);
     2. drop consecutive duplicates with ``lag`` (only a VALUE CHANGE
        opens a new version — reprocessing an unchanged snapshot must not
        fork versions);
@@ -241,11 +243,19 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from retail_sales_project_bigdata_spark.functions import day_index
 
-    feed = read_table(spark, sf_dir, "orders").select(
+    raw = read_table(spark, sf_dir, "orders").select(
         "o_custkey",
         day_index("o_orderdate").alias("day"),
         "o_orderkey",
         F.col("o_orderpriority").alias("priority"),
+    )
+    wd = Window.partitionBy("o_custkey", "day").orderBy(
+        F.desc("o_orderkey")
+    )
+    feed = (
+        raw.withColumn("rn_day", F.row_number().over(wd))
+        .filter(F.col("rn_day") == 1)
+        .drop("rn_day")
     )
     w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
     changes = (
@@ -270,12 +280,21 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCD2_PRIORITY_HISTORY_SQL = f"""
-WITH feed AS (
+WITH raw AS (
   SELECT o_custkey,
          CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(o_orderdate AS DATE)) + 1
               AS INT) AS day,
          o_orderkey, o_orderpriority AS priority
   FROM orders
+),
+feed AS (
+  SELECT o_custkey, day, o_orderkey, priority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey, day ORDER BY o_orderkey DESC) AS rn_day
+    FROM raw
+  )
+  WHERE rn_day = 1
 ),
 changes AS (
   SELECT o_custkey, day, o_orderkey, priority
@@ -303,13 +322,15 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     open current version matched via NULL ``valid_to``).
 
     The fact keeps exactly one match by construction (versions partition
-    each key's timeline), so there is no row amplification.  Physical
-    shape: one shuffle on the key for the history build, then an equi
-    join on the key with the range predicate evaluated post-match — at
-    100 TB the history side is dimension-sized and broadcasts.  Joining
-    a RANDOM sample of facts would test the same path; joining all
-    orders doubles as a self-consistency proof (every order must land in
-    the version its own change opened).
+    each key's timeline — guaranteed by the day-grain last-change-wins
+    compaction in the SCD2 build), so there is no row amplification.
+    Physical shape: one shuffle on the key for the history build, then
+    an equi join on the key with the range predicate evaluated
+    post-match — at 100 TB the history side is dimension-sized and
+    broadcasts.  ``self_consistent`` is 1 when the order carries the
+    priority its day's version records; same-day transient changes that
+    day-grain SCD2 deliberately collapses (an earlier order superseded
+    the same day) read the day's final version and flag 0.
     """
     from retail_sales_project_bigdata_spark.functions import day_index
 

@@ -170,9 +170,13 @@ ATTRIBUTION_LOOKBACK_US = 7 * 86_400_000_000  # 7-day touch window
 # Sortable string encoding of (ts_us, event_id): zero-padded fixed-width
 # concatenation, so lexicographic MIN/MAX == (ts, id) order in BOTH
 # engines (struct/row-value MIN is not portable across Spark and DuckDB).
+# Pad widths cover the full non-negative int64 domain (19 decimal digits;
+# lpad TRUNCATES overlong inputs in both engines, which would corrupt the
+# ordering silently — 12 was enough for the testdata but not for 64-bit
+# production ids).
 _TOUCH_KEY_SPARK = (
     "concat(lpad(cast(ts_us as string), 20, '0'), ':',"
-    " lpad(cast(event_id as string), 12, '0'))"
+    " lpad(cast(event_id as string), 19, '0'))"
 )
 
 
@@ -211,7 +215,7 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _key_event_id(key_col: str) -> F.Column:
-        return F.substring(F.col(key_col), 22, 12).cast("long")
+        return F.substring(F.col(key_col), 22, 19).cast("long")
 
     return enriched.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_event_id"),
@@ -231,11 +235,11 @@ enriched AS (
   SELECT event_id, ts_us, user_id, event_type,
          MIN(CASE WHEN event_type IN ('view', 'click')
                   THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || ':'
-                       || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 19, '0')
              END) OVER w AS first_touch_key,
          MAX(CASE WHEN event_type IN ('view', 'click')
                   THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || ':'
-                       || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 19, '0')
              END) OVER w AS last_touch_key,
          CAST(COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
               OVER w AS BIGINT) AS n_touches
@@ -245,9 +249,9 @@ enriched AS (
                          AND CURRENT ROW)
 )
 SELECT event_id AS purchase_event_id, user_id, ts_us AS purchase_ts_us,
-       CAST(substring(first_touch_key, 22, 12) AS BIGINT)
+       CAST(substring(first_touch_key, 22, 19) AS BIGINT)
            AS first_touch_event_id,
-       CAST(substring(last_touch_key, 22, 12) AS BIGINT)
+       CAST(substring(last_touch_key, 22, 19) AS BIGINT)
            AS last_touch_event_id,
        n_touches
 FROM enriched WHERE event_type = 'purchase'

@@ -121,16 +121,16 @@ QUERIES = {
 MAX_STAR_ROUNDS = 30
 
 
-def _star_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """Cheap multiset fingerprint of an edge set for convergence checks:
-    (row count, sum of per-edge xxhash64) — one aggregate job."""
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        # 32-bit per-edge hash summed into a long — overflow-free (ANSI
-        # mode) up to 2^32 edges, order-independent.
-        F.sum(F.hash("u", "v").cast("long")).alias("h"),
-    ).first()
-    return (row.n, row.h)
+def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """EXACT distinct-edge-set equality for the convergence check: count
+    parity plus an empty one-sided difference (both sets are distinct by
+    construction, so A⊆B ∧ |A|=|B| ⇒ A=B).  Two small jobs per round —
+    a hash-sum fingerprint would be one job but can collide and
+    terminate contraction before the fixed point, silently returning
+    non-minimum labels."""
+    if a.count() != b.count():
+        return False
+    return b.subtract(a).limit(1).count() == 0
 
 
 def connected_components_star(
@@ -149,7 +149,8 @@ def connected_components_star(
     - small-star: edges oriented high→low; each node links its smaller
       neighbors (and itself) to that minimum.
 
-    Converges when the edge multiset is stable (fingerprint aggregate);
+    Converges when the distinct edge set is stable (exact set-equality
+    check — see ``_edge_sets_equal``);
     ``localCheckpoint`` truncates lineage per round.  Returns
     (node, component) with component = the component's minimum node id.
     """
@@ -194,13 +195,11 @@ def connected_components_star(
             .distinct()
         )
 
-    fp = _star_fingerprint(e)
     for _ in range(MAX_STAR_ROUNDS):
+        prev = e
         e = small_star(large_star(e)).localCheckpoint()
-        new_fp = _star_fingerprint(e)
-        if new_fp == fp:
+        if _edge_sets_equal(prev, e):
             break
-        fp = new_fp
     else:
         raise RuntimeError(
             f"star contraction did not converge in {MAX_STAR_ROUNDS} rounds"

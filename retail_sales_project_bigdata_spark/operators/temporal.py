@@ -301,7 +301,10 @@ def weekly_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash partitionings, so ReuseExchange cannot share the
     # scan+aggregate — without the cache boundary the full rollup runs
     # twice (measured ~2x this query).  The frame is post-aggregation
-    # (store x week rows), so the cache stays small at any input scale.
+    # (store x week rows), so the cache stays small at any input scale;
+    # no unpersist by design — CacheManager dedupes identical plans, so
+    # repeated calls (and the gapfill/interpolated siblings, which share
+    # this subtree) pin ONE entry per sf_dir, not one per call.
     weekly = (
         li.groupBy(F.col("l_suppkey").alias("store_id"), "week_no")
         .agg(stable_sum("net_sales").alias("sales"))
@@ -370,7 +373,10 @@ def weekly_sales_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash partitionings, so ReuseExchange cannot share the
     # scan+aggregate — without the cache boundary the full rollup runs
     # twice (measured ~2x this query).  The frame is post-aggregation
-    # (store x week rows), so the cache stays small at any input scale.
+    # (store x week rows), so the cache stays small at any input scale;
+    # no unpersist by design — CacheManager dedupes identical plans, so
+    # repeated calls (and the gapfill/interpolated siblings, which share
+    # this subtree) pin ONE entry per sf_dir, not one per call.
     weekly = (
         li.groupBy(F.col("l_suppkey").alias("store_id"), "week_no")
         .agg(stable_sum("net_sales").alias("sales"))

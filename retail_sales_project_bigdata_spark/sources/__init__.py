@@ -226,10 +226,18 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
 def with_provenance(df: DataFrame) -> DataFrame:
     """Attach row-level provenance: the source file path each row came
     from (``input_file_name()`` — resolved per split at scan time, free)
-    and its position within that file's scan partition.  The (file, pos)
-    pair is a durable row address for audit/replay in pipelines whose
-    inputs carry no natural key — standard practice before ingesting
-    keyless corpus files at scale."""
+    and a position within that file's scan.
+
+    Scope of the address: (file, pos) is unique within one read and
+    stable across re-reads ONLY while the scan configuration is fixed —
+    a file large enough to split into multiple partitions gets its
+    positions assigned per split, and changing ``maxPartitionBytes`` /
+    parallelism re-buckets them.  Apply at INGEST (immutable landing
+    files, one read configuration), persist the columns, and treat the
+    persisted values as the durable key — do not recompute them later.
+    Must be called directly on a scan: after a shuffle
+    ``input_file_name()`` returns '' and the window degenerates to one
+    global partition."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.input_file_name()).orderBy(

@@ -142,7 +142,7 @@ def test_ingest_available_now_processes_only_new_files(spark, tmp_path):
     out = str(tmp_path / "bronze")
     ckpt = str(tmp_path / "ckpt")
 
-    cust = read_table(spark, SF_SMALL, "customer")
+    cust = read_table(spark, SF_SMALL, "customer").orderBy("c_custkey")
     n1 = 40
     cust.limit(n1).repartition(2).write.mode("append").parquet(src)
     ingest_available_now(spark, src, out, ckpt)
