@@ -145,6 +145,26 @@ GROUP BY a
 """
 
 
+def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment via large-star/small-star
+    contraction (``graph.connected_components_star``) — identical output
+    contract to :func:`dedup_groups`, O(log diameter) rounds instead of
+    O(diameter), the variant to reach for when near-dup chains get long
+    (template/boilerplate families).  Shares ``dedup_groups``' exact
+    recursive-CTE oracle, so the star algorithm itself is value-checked
+    against DuckDB's transitive closure."""
+    from retail_sales_project_bigdata_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components_star(edges, src="d1", dst="d2")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+    )
+
+
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus keep/drop manifest — the artifact a dedup stage actually
     ships: every document with its canonical id (its near-dup
@@ -682,6 +702,7 @@ ORACLES: dict[str, str] = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "quality_funnel": QUALITY_FUNNEL_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
+    "dedup_groups_star": DEDUP_GROUPS_SQL,
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "hash_split": HASH_SPLIT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
@@ -696,6 +717,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "quality_funnel": quality_funnel,
     "dedup_groups": dedup_groups,
+    "dedup_groups_star": dedup_groups_star,
     "dedup_survivors": dedup_survivors,
     "hash_split": hash_split,
     "stratified_sample": stratified_sample,
