@@ -507,7 +507,62 @@ FROM daily JOIN rolling USING (day)
 """
 
 
+TOP_PATHS_K = 25
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the ordered event-type sequence of each
+    session, counted across the corpus, top-25 by frequency — the
+    behavioral query behind "what do users actually do?".
+
+    Determinism: the per-session path sorts by the (ts_us, event_id)
+    total order via ``array_sort`` over structs (Spark) / ordered
+    ``string_agg`` (DuckDB) — the same total order the sessionizer uses,
+    so ties cannot reorder.  Shape: the sessionizer's one user-shuffle,
+    a per-session collect (bounded by session length, never
+    corpus-sized), and a path-count hash agg; the final top-K is a
+    TakeOrderedAndProject.
+    """
+    s = sessionize(spark, sf_dir)
+    paths = s.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts_us", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(TOP_PATHS_K)
+    )
+
+
+TOP_SESSION_PATHS_SQL = f"""
+WITH {_SESSION_CTE},
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path,
+         CAST(COUNT(*) AS BIGINT) AS path_len
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT path, path_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path, path_len
+ORDER BY n_sessions DESC, path ASC
+LIMIT {TOP_PATHS_K}
+"""
+
+
 ORACLES: dict[str, str] = {
+    "top_session_paths": TOP_SESSION_PATHS_SQL,
     "rolling_distinct_users": ROLLING_DISTINCT_USERS_SQL,
     "event_type_islands": EVENT_TYPE_ISLANDS_SQL,
     "customer_order_lifecycle": CUSTOMER_ORDER_LIFECYCLE_SQL,
@@ -520,6 +575,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "top_session_paths": top_session_paths,
     "rolling_distinct_users": rolling_distinct_users,
     "event_type_islands": event_type_islands,
     "customer_order_lifecycle": customer_order_lifecycle,
