@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("top-products", help="top products report")
     st.add_argument("--limit", type=int, default=20)
 
+    sd = sub.add_parser(
+        "build-dataset",
+        help="end-to-end training-corpus build (quality -> dedup -> split -> versioned publish)",
+    )
+    sd.add_argument("out_dir")
+
     sq = sub.add_parser("query", help="run any queries() entry by name")
     sq.add_argument("name")
     sq.add_argument("--limit", type=int, default=20)
@@ -88,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
             churn_model_metrics(spark, sf).show()
         else:
             churn_mod.cohort_rates(spark, sf).show()
+    elif args.job == "build-dataset":
+        from retail_sales_project_bigdata_spark.operators.datasetops import (
+            build_training_dataset,
+        )
+
+        print(json.dumps(build_training_dataset(spark, sf, args.out_dir)))
     elif args.job == "baskets":
         import retail_sales_project_bigdata_spark.operators.baskets as bk
 

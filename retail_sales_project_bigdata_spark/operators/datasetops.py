@@ -726,3 +726,76 @@ QUERIES = {
     "dataset_mixture": dataset_mixture,
     "token_budget_sample": token_budget_sample,
 }
+
+
+def build_training_dataset(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, object]:
+    """End-to-end training-corpus build — the composition the individual
+    oracle-checked stages exist FOR, as one callable artifact:
+
+    1. quality gate (``textstats.text_quality``'s is_quality rule);
+    2. exact + near-dup removal (``dedup_survivors`` keep manifest);
+    3. deterministic train/val/test assignment (``hash_split`` buckets);
+    4. per-split partitioned parquet publish as a VERSIONED snapshot
+       (atomic manifest swap — reruns never tear readers), with stage
+       metrics collected via ``observe`` on the write jobs themselves
+       (zero extra scans).
+
+    Returns the run manifest: version, per-stage row counts, split
+    sizes, and total kept tokens.  Unit-tested invariants: stages only
+    shrink, splits partition the kept set, rerun bumps the version
+    without disturbing v1.
+    """
+    import os
+
+    from pyspark.sql import Observation
+
+    from retail_sales_project_bigdata_spark.operators.textstats import (
+        text_quality,
+    )
+    from retail_sales_project_bigdata_spark.sources import publish_versioned
+
+    docs = read_table(spark, sf_dir, "documents")
+    quality = text_quality(spark, sf_dir).select("doc_id", "n_tokens", "is_quality")
+    keep = dedup_survivors(spark, sf_dir).select("doc_id", "canonical_id", "keep")
+    split = hash_split(spark, sf_dir).select("doc_id", "split")
+
+    assembled = (
+        docs.join(quality, "doc_id")
+        .join(keep, "doc_id")
+        .join(split, "doc_id")
+        .filter((F.col("is_quality") == 1) & (F.col("keep") == 1))
+        .select("doc_id", "text", "lang", "source", "n_tokens", "split")
+    )
+
+    obs = Observation()
+    observed = assembled.observe(
+        obs,
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    staging = os.path.join(out_dir, "_staging")
+    observed.write.mode("overwrite").partitionBy("split").parquet(staging)
+    version = publish_versioned(
+        spark.read.parquet(staging), os.path.join(out_dir, "corpus")
+    )
+
+    metrics = dict(obs.get)
+    n_total = docs.count()
+    n_quality = quality.filter(F.col("is_quality") == 1).count()
+    splits = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(staging)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "version": version,
+        "n_total_docs": n_total,
+        "n_quality_docs": n_quality,
+        "n_kept_docs": metrics["kept_docs"],
+        "kept_tokens": metrics["kept_tokens"],
+        "splits": splits,
+    }

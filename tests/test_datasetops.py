@@ -198,3 +198,31 @@ def test_token_budget_sample_is_a_budgeted_hash_prefix(spark):
     assert got == expected
     for r in kept:
         assert r.tokens_before < TOKEN_BUDGET
+
+
+def test_build_training_dataset_end_to_end(spark, tmp_path):
+    """The composed corpus build must shrink monotonically per stage,
+    partition the kept set across splits, and publish atomically
+    versioned snapshots."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        build_training_dataset,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_versioned
+
+    out = str(tmp_path / "corpus_build")
+    m = build_training_dataset(spark, SF_SMALL, out)
+    assert m["version"] == 1
+    assert m["n_kept_docs"] <= m["n_quality_docs"] <= m["n_total_docs"]
+    assert sum(m["splits"].values()) == m["n_kept_docs"]
+    assert set(m["splits"]) <= {"train", "val", "test"}
+    assert m["kept_tokens"] > 0
+
+    published = read_versioned(spark, out + "/corpus")
+    assert published.count() == m["n_kept_docs"]
+    # no duplicate canonical content survives: exact texts are unique
+    assert published.select("text").distinct().count() == m["n_kept_docs"]
+
+    # rerun: new version, v1 untouched
+    m2 = build_training_dataset(spark, SF_SMALL, out)
+    assert m2["version"] == 2
+    assert read_versioned(spark, out + "/corpus", 1).count() == m["n_kept_docs"]
