@@ -735,21 +735,28 @@ def build_training_dataset(
     oracle-checked stages exist FOR, as one callable artifact:
 
     1. quality gate (``textstats.text_quality``'s is_quality rule);
-    2. exact + near-dup removal (``dedup_survivors`` keep manifest);
+    2. dedup WITHIN the quality set: near-dup component labels come from
+       the corpus-wide LSH components, and the kept representative is
+       the minimum QUALITY doc of each component — a component whose
+       canonical happens to fail the gate still keeps its best quality
+       member (the sequential quality→dedup semantics, not an
+       intersection of independent flags);
     3. deterministic train/val/test assignment (``hash_split`` buckets);
-    4. per-split partitioned parquet publish as a VERSIONED snapshot
-       (atomic manifest swap — reruns never tear readers), with stage
-       metrics collected via ``observe`` on the write jobs themselves
-       (zero extra scans).
+    4. split-partitioned VERSIONED snapshot publish (atomic manifest
+       swap — reruns never tear readers; consumers reading one split
+       get partition pruning).
 
-    Returns the run manifest: version, per-stage row counts, split
-    sizes, and total kept tokens.  Unit-tested invariants: stages only
-    shrink, splits partition the kept set, rerun bumps the version
-    without disturbing v1.
+    Every stage metric rides the single publish job via one Observation
+    attached BELOW the filters (conditional aggregates see the
+    unfiltered flow) — no extra scans, no staging copy.  Returns the
+    run manifest.  Unit-tested invariants: stages only shrink, splits
+    partition the kept set, published layout is split-partitioned,
+    rerun bumps the version without disturbing v1.
     """
     import os
 
     from pyspark.sql import Observation
+    from pyspark.sql.window import Window as W
 
     from retail_sales_project_bigdata_spark.operators.textstats import (
         text_quality,
@@ -757,45 +764,57 @@ def build_training_dataset(
     from retail_sales_project_bigdata_spark.sources import publish_versioned
 
     docs = read_table(spark, sf_dir, "documents")
-    quality = text_quality(spark, sf_dir).select("doc_id", "n_tokens", "is_quality")
-    keep = dedup_survivors(spark, sf_dir).select("doc_id", "canonical_id", "keep")
+    quality = text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "is_quality"
+    )
+    labels = dedup_survivors(spark, sf_dir).select("doc_id", "canonical_id")
     split = hash_split(spark, sf_dir).select("doc_id", "split")
 
-    assembled = (
+    joined = (
         docs.join(quality, "doc_id")
-        .join(keep, "doc_id")
+        .join(labels, "doc_id")
         .join(split, "doc_id")
-        .filter((F.col("is_quality") == 1) & (F.col("keep") == 1))
-        .select("doc_id", "text", "lang", "source", "n_tokens", "split")
+    )
+    # Kept = minimum-doc_id QUALITY member of each near-dup component
+    # (unique docs are their own component).  The window partitions by
+    # component over the quality subset only.
+    quality_docs = joined.filter(F.col("is_quality") == 1)
+    w = W.partitionBy("canonical_id")
+    flagged = quality_docs.withColumn(
+        "keep",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"),
     )
 
     obs = Observation()
-    observed = assembled.observe(
+    observed = flagged.observe(
         obs,
-        F.count(F.lit(1)).alias("kept_docs"),
-        F.sum("n_tokens").alias("kept_tokens"),
+        F.count(F.lit(1)).alias("quality_docs"),
+        F.sum("keep").alias("kept_docs"),
+        F.sum(F.col("keep") * F.col("n_tokens")).alias("kept_tokens"),
+        *[
+            F.sum(
+                F.when((F.col("split") == sp) & (F.col("keep") == 1), 1)
+                .otherwise(0)
+            ).alias(f"split_{sp}")
+            for sp in ("train", "val", "test")
+        ],
     )
-    staging = os.path.join(out_dir, "_staging")
-    observed.write.mode("overwrite").partitionBy("split").parquet(staging)
+    assembled = observed.filter(F.col("keep") == 1).select(
+        "doc_id", "text", "lang", "source", "n_tokens", "canonical_id", "split"
+    )
     version = publish_versioned(
-        spark.read.parquet(staging), os.path.join(out_dir, "corpus")
+        assembled, os.path.join(out_dir, "corpus"), partition_by="split"
     )
 
-    metrics = dict(obs.get)
-    n_total = docs.count()
-    n_quality = quality.filter(F.col("is_quality") == 1).count()
+    m = dict(obs.get)
     splits = {
-        r["split"]: r["n"]
-        for r in spark.read.parquet(staging)
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        sp: int(m[f"split_{sp}"] or 0) for sp in ("train", "val", "test")
     }
     return {
         "version": version,
-        "n_total_docs": n_total,
-        "n_quality_docs": n_quality,
-        "n_kept_docs": metrics["kept_docs"],
-        "kept_tokens": metrics["kept_tokens"],
-        "splits": splits,
+        "n_total_docs": docs.count(),
+        "n_quality_docs": int(m["quality_docs"] or 0),
+        "n_kept_docs": int(m["kept_docs"] or 0),
+        "kept_tokens": int(m["kept_tokens"] or 0),
+        "splits": {k: v for k, v in splits.items() if v},
     }

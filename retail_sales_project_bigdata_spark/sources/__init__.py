@@ -396,7 +396,11 @@ def file_minmax(out_dir: str, column: str) -> list[tuple[object, object]]:
     return spans
 
 
-def publish_versioned(df: DataFrame, table_dir: str) -> int:
+def publish_versioned(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: str | list[str] | None = None,
+) -> int:
     """Versioned snapshot publish — atomic-swap table updates without a
     lakehouse format: each publish writes a fresh ``v=N`` directory and
     then flips a tiny ``_CURRENT`` manifest to point at it.  Readers that
@@ -413,9 +417,11 @@ def publish_versioned(df: DataFrame, table_dir: str) -> int:
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
     version = max(existing, default=0) + 1
-    df.write.mode("errorifexists").parquet(
-        os.path.join(table_dir, f"v={version}")
-    )
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.parquet(os.path.join(table_dir, f"v={version}"))
     tmp = os.path.join(table_dir, "_CURRENT.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(str(version))

@@ -221,6 +221,16 @@ def test_build_training_dataset_end_to_end(spark, tmp_path):
     assert published.count() == m["n_kept_docs"]
     # no duplicate canonical content survives: exact texts are unique
     assert published.select("text").distinct().count() == m["n_kept_docs"]
+    # published layout is split-partitioned (hive dirs under v=1)
+    import os
+
+    v1 = os.path.join(out, "corpus", "v=1")
+    assert any(d.startswith("split=") for d in os.listdir(v1))
+    # exactly one kept representative per near-dup component
+    assert (
+        published.select("canonical_id").distinct().count()
+        == m["n_kept_docs"]
+    )
 
     # rerun: new version, v1 untouched
     m2 = build_training_dataset(spark, SF_SMALL, out)
