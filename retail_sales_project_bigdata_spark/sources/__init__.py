@@ -183,6 +183,65 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (Spark's second first-class columnar format; some warehouses land
+    ORC)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally hive-partitioned."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan with explicit read-parallelism controls.
+
+    Without ``partition_column``/bounds, Spark reads a JDBC table on ONE
+    task — the classic accidental bottleneck; this wrapper makes the
+    parallel form the obvious path.  No JDBC driver ships in this
+    environment, so the call will fail at connect time — the plan-side
+    contract (options, partitioning math) is what the engine owns.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound, "
+                "and num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def write_csv(
     df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite"
 ) -> None:

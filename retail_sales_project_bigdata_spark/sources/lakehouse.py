@@ -1,77 +1,72 @@
-"""Lakehouse connectors (Delta / Iceberg / Hudi) — gated stubs.
+"""Lakehouse-format connectors (Delta / Iceberg), import-gated.
 
-The table-format jars are not on this image's classpath (guide: "Delta/
-Iceberg/Hudi need their jars — stub connectors behind an import-try").
-Each reader/writer probes for its integration at call time and raises an
-actionable error otherwise; when the jar+package are present the same
-call works unchanged, so downstream code can target these today.
+Neither format's jars ship in this environment, so these wrappers probe
+for the integration at call time and fail with an actionable message
+instead of a JVM ClassNotFound stack.  The engine-side SEMANTICS the
+formats provide are implemented natively elsewhere and tested:
+
+- snapshot/version isolation + time travel → ``sources.publish_versioned``
+  / ``read_versioned`` (atomic manifest swap);
+- MERGE INTO → ``operators.cdc.merge_upsert`` (full-outer + coalesce);
+- CDC compaction → ``operators.cdc.latest_order_per_customer``;
+- Z-ORDER data layout → ``sources.zorder_cluster_parquet``;
+- exactly-once streaming upsert → ``streaming.stream_cdc_upsert_parquet``.
+
+So adopting a real lakehouse format is a sink swap, not an engine
+rewrite.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+_DELTA_HINT = (
+    "Delta Lake support requires the delta-spark package and its jars "
+    "(spark.jars.packages=io.delta:delta-spark_2.13:<ver>, plus the "
+    "DeltaCatalog session extensions). Install them and re-run; the "
+    "native fallback is sources.publish_versioned."
+)
 
-class ConnectorUnavailable(NotImplementedError):
-    """The table-format integration is not installed on this cluster."""
+_ICEBERG_HINT = (
+    "Apache Iceberg support requires the iceberg-spark-runtime jar and a "
+    "catalog config (spark.sql.catalog.<name>=org.apache.iceberg.spark."
+    "SparkCatalog). Install them and re-run; the native fallback is "
+    "sources.publish_versioned."
+)
 
 
-def _require(module: str, fmt: str, hint: str) -> None:
-    import importlib
-
+def delta_available() -> bool:
     try:
-        importlib.import_module(module)
-    except ImportError as e:  # pragma: no cover - format jars not in image
-        raise ConnectorUnavailable(
-            f"{fmt} support is not installed: {e}. {hint}"
-        ) from e
+        import delta  # noqa: F401
 
-
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    _require(
-        "delta",
-        "Delta Lake",
-        "Add delta-spark to requirements and io.delta:delta-spark jars via "
-        "spark.jars.packages.",
-    )
-    return spark.read.format("delta").load(path)  # pragma: no cover
+        return True
+    except ImportError:
+        return False
 
 
 def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    _require(
-        "delta",
-        "Delta Lake",
-        "Add delta-spark to requirements and io.delta:delta-spark jars via "
-        "spark.jars.packages.",
-    )
-    df.write.format("delta").mode(mode).save(path)  # pragma: no cover
+    """Delta sink (needs delta-spark on the classpath)."""
+    if not delta_available():
+        raise NotImplementedError(_DELTA_HINT)
+    df.write.format("delta").mode(mode).save(path)
 
 
-def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    if not delta_available():
+        raise NotImplementedError(_DELTA_HINT)
+    return spark.read.format("delta").load(path)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
     try:
-        return spark.read.format("iceberg").load(table)
-    except Exception as e:  # pragma: no cover - catalog not configured
-        raise ConnectorUnavailable(
-            f"Iceberg support is not configured: {e}. Add "
-            "org.apache.iceberg:iceberg-spark-runtime via spark.jars.packages "
-            "and a spark.sql.catalog.<name> configuration."
-        ) from e
+        spark._jvm.org.apache.iceberg.Schema  # noqa: B018
+        return True
+    except Exception:
+        return False
 
 
-def read_jdbc(
-    spark: SparkSession, url: str, dbtable: str, **options: str
-) -> DataFrame:
-    """JDBC source (works out of the box given a driver jar) — predicate
-    pushdown and partitioned reads via the standard options
-    (partitionColumn/lowerBound/upperBound/numPartitions)."""
-    reader = spark.read.format("jdbc").option("url", url).option(
-        "dbtable", dbtable
-    )
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    try:
-        return reader.load()
-    except Exception as e:
-        raise ConnectorUnavailable(
-            f"JDBC load failed (driver jar on classpath?): {e}"
-        ) from e
+def write_iceberg(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """Iceberg sink (needs the runtime jar + a configured catalog)."""
+    if not iceberg_available(df.sparkSession):
+        raise NotImplementedError(_ICEBERG_HINT)
+    df.writeTo(table).using("iceberg").createOrReplace()

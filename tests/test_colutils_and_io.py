@@ -202,3 +202,55 @@ def test_observed_write_collects_metrics_without_extra_scan(spark, tmp_path):
     assert got["n_rows"] == want.n_rows
     assert abs(got["total_qty"] - want.total_qty) < 1e-6
     assert spark.read.parquet(out).count() == want.n_rows
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    from tests.conftest import SF_SMALL
+
+    from retail_sales_project_bigdata_spark.sources import (
+        read_orc,
+        read_table,
+        write_orc,
+    )
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "orc")
+    write_orc(li, out, partition_by="l_returnflag")
+    back = read_orc(spark, out)
+    a = li.agg(F.count(F.lit(1)), F.round(F.sum("l_quantity"), 4)).first()
+    b = back.agg(F.count(F.lit(1)), F.round(F.sum("l_quantity"), 4)).first()
+    assert (a[0], a[1]) == (b[0], b[1])
+    import os
+
+    assert any(d.startswith("l_returnflag=") for d in os.listdir(out))
+
+
+def test_lakehouse_stubs_fail_actionably(spark):
+    import pytest
+
+    from retail_sales_project_bigdata_spark.sources import lakehouse, read_table
+    from tests.conftest import SF_SMALL
+
+    df = read_table(spark, SF_SMALL, "region")
+    if not lakehouse.delta_available():
+        with pytest.raises(NotImplementedError, match="delta-spark"):
+            lakehouse.write_delta(df, "/tmp/never")
+    if not lakehouse.iceberg_available(spark):
+        with pytest.raises(NotImplementedError, match="Iceberg"):
+            lakehouse.write_iceberg(df, "cat.db.t")
+
+
+def test_read_jdbc_validates_partition_contract(spark):
+    import pytest
+
+    from retail_sales_project_bigdata_spark.sources import read_jdbc
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost/x",
+            "t",
+            partition_column="id",
+        )
