@@ -69,12 +69,22 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     use for ordering/gap arithmetic; µs matches what DuckDB's parquet
     reader keeps, ``epoch_us(ts)``) and ``ts`` (microsecond TimestampType
     for window functions; session tz is UTC so the instant is identical)."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
+        # genuinely nanos-encoded: the conf must STAY set (execution
+        # captures SQLConf at action time) — scoped side effect, noted.
         ts_us = F.expr("ts DIV 1000")
     else:
+        # normal microsecond timestamps: restore the session so an
+        # unrelated read of a true nanos column elsewhere still surfaces
+        # as TimestampType, not a silent bigint.
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return df.select(
         "event_id",
@@ -118,6 +128,11 @@ def read_csv(
       retain the raw malformed line in ``_corrupt_record`` for a
       quarantine sink instead of silently null-filling.
     """
+    if keep_corrupt and mode != "PERMISSIVE":
+        raise ValueError(
+            "keep_corrupt requires mode='PERMISSIVE' (other modes drop or "
+            "reject malformed rows before the corrupt-record column exists)"
+        )
     reader = spark.read.option("header", True).option("mode", mode)
     if table is not None:
         schema = DUNNHUMBY_SCHEMAS[table]
@@ -134,6 +149,18 @@ def read_csv(
     return reader.csv(path)
 
 
+def _partitioned_writer(
+    df: DataFrame, mode: str, partition_by: str | list[str] | None
+):
+    """Shared writer setup: mode + str-or-list partitionBy normalization
+    (one copy — parquet/ORC/versioned sinks all use it)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    return writer
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -146,11 +173,7 @@ def write_parquet(
     (``FullPreprocessingPipeline.java:175,209,223`` partitions by
     week_no / income_desc / department for downstream partition pruning).
     """
-    writer = df.write.mode(mode)
-    if partition_by:
-        cols = [partition_by] if isinstance(partition_by, str) else partition_by
-        writer = writer.partitionBy(*cols)
-    writer.parquet(path)
+    _partitioned_writer(df, mode, partition_by).parquet(path)
 
 
 def observed_write(
@@ -197,11 +220,7 @@ def write_orc(
     mode: str = "overwrite",
 ) -> None:
     """ORC sink, optionally hive-partitioned."""
-    writer = df.write.mode(mode)
-    if partition_by:
-        cols = [partition_by] if isinstance(partition_by, str) else partition_by
-        writer = writer.partitionBy(*cols)
-    writer.orc(path)
+    _partitioned_writer(df, mode, partition_by).orc(path)
 
 
 def read_jdbc(
@@ -260,11 +279,19 @@ def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     """Single-file emit (S9) — ProductRecommendation.java:79-108.
 
-    The reference coalesces to one partition then renames the part file via
-    the Hadoop FileSystem API.  Same approach here through py4j, with a
-    local-FS fallback.  Deliberate anti-parallelism for report UX — never
-    use on large outputs.
+    The reference coalesces to one partition then renames the part file
+    via the Hadoop FileSystem API; this implementation does the same
+    rename with local-filesystem operations (glob + move) — sufficient
+    for local/NFS targets; an object-store target needs the Hadoop FS
+    API instead.  Deliberate anti-parallelism for report UX — never use
+    on large outputs.
     """
+    if os.path.isdir(path):
+        raise ValueError(
+            f"{path} exists as a directory (a multi-file dataset?) — "
+            "write_single_file targets a single FILE path; remove the "
+            "directory or pick another name"
+        )
     tmp = path + "._tmp"
     writer = df.coalesce(1).write.mode("overwrite")
     getattr(writer, fmt)(tmp)
@@ -403,6 +430,11 @@ def zorder_cluster_parquet(
     lo_hi = df.agg(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
     ).first()
+    if any(v is None for v in lo_hi):
+        # empty input or an all-null clustering column: no curve to
+        # build — emit the data as-is rather than crash on float(None)
+        df.write.mode("overwrite").parquet(out_dir)
+        return
     xmin, xmax, ymin, ymax = (float(v) for v in lo_hi)
     scale = (1 << bits) - 1
 
@@ -476,16 +508,21 @@ def publish_versioned(
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
     version = max(existing, default=0) + 1
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        cols = [partition_by] if isinstance(partition_by, str) else partition_by
-        writer = writer.partitionBy(*cols)
-    writer.parquet(os.path.join(table_dir, f"v={version}"))
+    _partitioned_writer(df, "errorifexists", partition_by).parquet(
+        os.path.join(table_dir, f"v={version}")
+    )
+    flip_manifest(table_dir, version)
+    return version
+
+
+def flip_manifest(table_dir: str, version: int) -> None:
+    """Atomically point ``table_dir/_CURRENT`` at snapshot ``version``
+    (tmp write + rename) — shared by the batch publish and the streaming
+    CDC sink so the manifest format has exactly one owner."""
     tmp = os.path.join(table_dir, "_CURRENT.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
-    return version
 
 
 def read_versioned(

@@ -58,15 +58,25 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # py4j returns a JavaPackage (no exception) for missing classes —
+    # probe through Class.forName, which genuinely throws when the jar
+    # is absent.
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
         return True
     except Exception:
         return False
 
 
 def write_iceberg(df: DataFrame, table: str, mode: str = "overwrite") -> None:
-    """Iceberg sink (needs the runtime jar + a configured catalog)."""
+    """Iceberg sink (needs the runtime jar + a configured catalog).
+    ``mode``: 'overwrite' → createOrReplace, 'append' → append."""
     if not iceberg_available(df.sparkSession):
         raise NotImplementedError(_ICEBERG_HINT)
-    df.writeTo(table).using("iceberg").createOrReplace()
+    writer = df.writeTo(table).using("iceberg")
+    if mode == "overwrite":
+        writer.createOrReplace()
+    elif mode == "append":
+        writer.append()
+    else:
+        raise ValueError(f"unsupported iceberg write mode: {mode!r}")

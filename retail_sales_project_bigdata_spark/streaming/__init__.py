@@ -88,6 +88,7 @@ def _run_to_memory(agg: DataFrame, mode: str) -> tuple[str, object]:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
+    q = None
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -96,8 +97,9 @@ def _run_to_memory(agg: DataFrame, mode: str) -> tuple[str, object]:
             .start()
         )
         q.processAllAvailable()
-        q.stop()
     finally:
+        if q is not None:
+            q.stop()  # always release stream state, even on failure
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name, q
 
@@ -202,15 +204,22 @@ def streaming_stateful_user_sessions(
         n, total, sessions, last_us = (
             state.get if state.exists else (0, 0.0, 0, -1)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts in pdf["ts"]:
+        # Concatenate the batch's chunks BEFORE sorting: chunks arrive in
+        # shuffle order (and Arrow-batch-size slices), so sorting each
+        # chunk independently would fold events out of time order —
+        # negative gaps never open sessions and drag last_us backward.
+        # State still carries across BATCHES; within a batch one global
+        # sort restores event-time order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts in batch["ts"]:
                 ts_us = int(ts.value // 1000)  # pandas Timestamp ns → µs
                 if last_us < 0 or ts_us - last_us > 30 * 60 * 1_000_000:
                     sessions += 1
                 last_us = ts_us
-            n += len(pdf)
-            total += float(pdf["value"].sum())
+            n += len(batch)
+            total += float(batch["value"].sum())
         state.update((n, total, sessions, last_us))
         yield pd.DataFrame(
             {
@@ -500,10 +509,9 @@ def stream_cdc_upsert_parquet(
         merged.write.mode("overwrite").parquet(
             os.path.join(target_dir, f"v={batch_id + 1}")
         )
-        tmp = os.path.join(target_dir, "_CURRENT.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(batch_id + 1))
-        os.replace(tmp, os.path.join(target_dir, "_CURRENT"))
+        from retail_sales_project_bigdata_spark.sources import flip_manifest
+
+        flip_manifest(target_dir, batch_id + 1)
 
     os.makedirs(target_dir, exist_ok=True)
     return (
