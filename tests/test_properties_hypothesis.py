@@ -151,3 +151,53 @@ def test_asof_join_matches_reference_with_nulls(spark, left_rows, right_rows):
             continue
         expect = at_max[0]
         assert got[lid] == (expect[2], expect[3], expect[4]), lid
+
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_contraction_matches_union_find(spark, edges):
+    """connected_components_star on random graphs must equal a Python
+    union-find reference (component = minimum member)."""
+    from retail_sales_project_bigdata_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(real, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
