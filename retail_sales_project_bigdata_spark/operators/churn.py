@@ -127,7 +127,8 @@ def promo_day_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity with the coupon-redemption-day join ``ChurnPrediction.java:91-117``:
     the right side is a DISTINCT (household, day) set (``:91-94``), the join
     is left, and the output flags matches.  "Promo day" = the household had
-    a deep-discount (>5%) line that day.
+    any discounted line (l_discount > 0) that day — the same
+    is_discounted rule the preprocessing flags use.
     """
     tx = transactions(spark, sf_dir).alias("t")
     promo_days = (
@@ -239,8 +240,10 @@ def repurchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REPURCHASE_LABELS_SQL = f"""
-WITH {_FACTS_CTE},
+# Shared oracle fragment: first-purchase ranking + repurchase-window
+# hits (superset of the columns each consumer needs — ONE owner for the
+# window-join semantics, so a bound change cannot drift across oracles).
+_REPURCHASE_CTE = f"""
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY custkey, partkey ORDER BY day, orderkey, linenumber) AS rn
@@ -260,7 +263,12 @@ window_hits AS (
     ON fp.custkey = f.custkey AND fp.partkey = f.partkey
    AND f.day > fp.first_day AND f.day <= fp.first_day + {REPURCHASE_WINDOW_DAYS}
   GROUP BY fp.custkey, fp.partkey
-)
+)"""
+
+
+REPURCHASE_LABELS_SQL = f"""
+WITH {_FACTS_CTE},
+{_REPURCHASE_CTE}
 SELECT fp.custkey, fp.partkey, fp.first_day, fp.first_dow, fp.first_with_discount,
        COALESCE(w.first_repurchase_day, -1) AS first_repurchase_day,
        COALESCE(w.n_repurchases, 0) AS n_repurchases,
@@ -348,26 +356,7 @@ def churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHURN_FEATURES_SQL = f"""
 WITH {_FACTS_CTE},
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY custkey, partkey ORDER BY day, orderkey, linenumber) AS rn
-  FROM facts
-),
-fp AS (
-  SELECT custkey, partkey, day AS first_day,
-         CAST(((day - 1) % 7) + 1 AS INT) AS first_dow,
-         is_discounted AS first_with_discount
-  FROM ranked WHERE rn = 1
-),
-window_hits AS (
-  SELECT fp.custkey, fp.partkey,
-         MIN(f.day) AS first_repurchase_day,
-         COUNT(f.day) AS n_repurchases
-  FROM fp JOIN facts f
-    ON fp.custkey = f.custkey AND fp.partkey = f.partkey
-   AND f.day > fp.first_day AND f.day <= fp.first_day + {REPURCHASE_WINDOW_DAYS}
-  GROUP BY fp.custkey, fp.partkey
-),
+{_REPURCHASE_CTE},
 labels AS (
   SELECT fp.custkey, fp.partkey, fp.first_day, fp.first_dow, fp.first_with_discount,
          COALESCE(w.n_repurchases, 0) AS n_repurchases,
@@ -409,22 +398,7 @@ def cohort_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COHORT_RATES_SQL = f"""
 WITH {_FACTS_CTE},
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY custkey, partkey ORDER BY day, orderkey, linenumber) AS rn
-  FROM facts
-),
-fp AS (
-  SELECT custkey, partkey, day AS first_day, is_discounted AS first_with_discount
-  FROM ranked WHERE rn = 1
-),
-window_hits AS (
-  SELECT fp.custkey, fp.partkey, COUNT(f.day) AS n_repurchases
-  FROM fp JOIN facts f
-    ON fp.custkey = f.custkey AND fp.partkey = f.partkey
-   AND f.day > fp.first_day AND f.day <= fp.first_day + {REPURCHASE_WINDOW_DAYS}
-  GROUP BY fp.custkey, fp.partkey
-),
+{_REPURCHASE_CTE},
 labels AS (
   SELECT fp.first_with_discount,
          CASE WHEN w.n_repurchases IS NOT NULL THEN 1 ELSE 0 END AS label

@@ -10,9 +10,9 @@ Four families, all DataFrame-native:
   4 buckets of 4 → candidate pairs from band-bucket joins → exact-Jaccard
   verification of candidates only.  md5 makes the signatures
   engine-portable, so even the LSH pipeline has an exact DuckDB oracle.
-- **SimHash**: 32-bit signature from per-token md5 bits, Hamming-adjacent
-  buckets — rows-only (property-tested), the scale path for near-dup at
-  lower precision.
+- **SimHash**: 32-bit signature from per-token md5 bits, bucketed by
+  the top bits — the scale path for near-dup at lower precision.  Also
+  oracle-exact: the bit sums are mirrored column-per-bit in SQL.
 
 Scale notes: the shingle join's fan-out is bounded by shingle frequency —
 a stopword-only shingle would explode, so shingles are distinct-per-doc
@@ -340,7 +340,8 @@ WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
 
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash from per-token md5 nibbles (sign-sum per bit),
-    bucketed by the top 16 bits.  Rows-only: property tests assert that
+    bucketed by the top 16 bits.  Oracle-exact (the per-bit majority
+    sums are mirrored in SQL); property tests additionally assert that
     exact-duplicate shingle sets collide and bucket sizes are sane."""
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks_df = docs.select(

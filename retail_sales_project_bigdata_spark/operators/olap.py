@@ -1,6 +1,9 @@
 """Extended OLAP surface (SURVEY §2.7/§7.5 — absent from the reference,
 "the rebuild gets them for free"): cube/rollup, pivot, semi/anti joins,
-exact percentiles, and the SQL-API entry path.  All oracle-checked.
+exact percentiles, and the SQL-API entry path.  Oracle-checked except
+the three approximate/sketch queries (percentile_approx, freqItems,
+HLL rollup), which are property-tested against their exact anchors —
+see the ORACLES note at the bottom.
 
 Scale notes: cube/rollup compile to Catalyst's Expand (one shuffle, k×
 row expansion where k = #grouping sets) — fine when the grouping keys are
@@ -578,7 +581,7 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB ingest-validation pass), and the oracle proves each anti
     join's count, not just emptiness."""
     li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders", broadcast_dims=False)
+    orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     supp = read_table(spark, sf_dir, "supplier")
     part = read_table(spark, sf_dir, "part")

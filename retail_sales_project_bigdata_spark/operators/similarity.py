@@ -205,6 +205,43 @@ IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
 
+
+def _hash_sample_train(vecs: DataFrame, target: int = 4096):
+    """Deterministic, scale-invariant driver-side training sample: keep
+    vec_ids whose xxhash64 lands in 1/step of the space, where step grows
+    with the corpus — the sample THINS as data grows instead of
+    ballooning.  Returns a numpy matrix (shared by the IVF and PQ
+    quantizer trainers — the FAISS design: a small quantizer needs a few
+    thousand vectors and in-memory Lloyd iterations, not a distributed
+    fit that costs one full-corpus pass per iteration)."""
+    import numpy as np
+
+    n_vecs = vecs.count()
+    step = max(1, n_vecs // target)
+    sample = (
+        vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(step)) == 0)
+        .select("v")
+        .collect()
+    )
+    return np.array([r.v for r in sample])
+
+
+def _lloyd(train, k: int, rng, iters: int = 8):
+    """In-memory Lloyd k-means on the training sample: O(sample × k) per
+    iteration, deterministic under the caller's rng; empty clusters keep
+    their previous centroid."""
+    k = min(k, len(train))
+    cents = train[rng.choice(len(train), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = train[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
     inverted lists; each query probes its ``IVF_NPROBE`` nearest centroids
@@ -220,32 +257,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     vecs = _vectors(spark, sf_dir)
-    # Train the coarse quantizer on a DRIVER-SIDE SAMPLE with in-memory
-    # Lloyd iterations — the FAISS design: a 16-centroid quantizer needs a
-    # few thousand training vectors and a handful of iterations, not a
-    # distributed fit (MLlib KMeans costs one full-corpus pass PER
-    # iteration at scale, and per-iteration job overhead locally; it was
-    # 80% of this query's wall clock).  The hash-based sample is
-    # deterministic and scale-invariant: it thins as the corpus grows.
-    sample_target = 4096
-    n_vecs = vecs.count()
-    step = max(1, n_vecs // sample_target)
-    sample = (
-        vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(step)) == 0)
-        .select("vec_id", "v")
-        .collect()
-    )
-    train = np.array([r.v for r in sample])
-    rng = np.random.default_rng(42)
-    k = min(IVF_CLUSTERS, len(train))
-    cents = train[rng.choice(len(train), size=k, replace=False)]
-    for _ in range(8):  # Lloyd on the sample: O(sample × k) driver-side
-        d2 = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = train[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
+    train = _hash_sample_train(vecs)
+    cents = _lloyd(train, IVF_CLUSTERS, np.random.default_rng(42))
     centroids = [list(map(float, c)) for c in cents]
 
     # Cluster assignment as ONE codegen-able SQL expression: argmin over
@@ -339,15 +352,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     vecs = _vectors(spark, sf_dir)
-    sample_target = 4096
-    n_vecs = vecs.count()
-    step = max(1, n_vecs // sample_target)
-    sample = (
-        vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(step)) == 0)
-        .select("v")
-        .collect()
-    )
-    train = np.array([r.v for r in sample])
+    train = _hash_sample_train(vecs)
     dim = train.shape[1]
     sub_dim = dim // PQ_SUBSPACES
     rng = np.random.default_rng(42)
@@ -355,15 +360,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks: list[list[list[float]]] = []
     for j in range(PQ_SUBSPACES):
         sub = train[:, j * sub_dim : (j + 1) * sub_dim]
-        k = min(PQ_CODEBOOK, len(sub))
-        cents = sub[rng.choice(len(sub), size=k, replace=False)]
-        for _ in range(8):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+        cents = _lloyd(sub, PQ_CODEBOOK, rng)
         codebooks.append([list(map(float, c)) for c in cents])
 
     def _code_expr(j: int) -> str:
@@ -505,6 +502,7 @@ def ann_bruteforce_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([r.v for r in q_rows])
     q_norm = np.array([r.norm for r in q_rows])
+    # (see the broadcast-lifecycle note in embedding_near_dup_pairs_numpy)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -557,6 +555,11 @@ def embedding_near_dup_pairs_numpy(
     ids = np.array([r.vec_id for r in all_rows])
     mat = np.array([r.v for r in all_rows])
     mat = mat / np.array([r.norm for r in all_rows])[:, None]
+    # Broadcast lifecycle: the Python Broadcast object is captured only
+    # by the returned DataFrame's closure — when the caller releases the
+    # frame, driver GC drops the last reference and Spark's
+    # ContextCleaner removes the blocks from executors (weak-ref based).
+    # Bounded accumulation per live result, not a permanent leak.
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
