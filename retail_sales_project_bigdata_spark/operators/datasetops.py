@@ -452,29 +452,37 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_alpha"
         ),
     )
+    # ONE aggregate emits every stage's conditional (docs, tokens) pair
+    # as columns; inline(array(struct...)) pivots the single row to one
+    # row per stage — genuinely one scan (a per-stage agg + union would
+    # re-run the regex-heavy feature projection once per stage).
     cumulative = []
-    rows = []
-    for stage, pred in FUNNEL_STAGES:
+    agg_cols = []
+    for i, (stage, pred) in enumerate(FUNNEL_STAGES):
         cumulative.append(f"({pred})")
         keep = F.expr(" AND ".join(cumulative))
-        rows.append(
-            feats.agg(
-                F.lit(stage).alias("stage"),
-                F.sum(keep.cast("long")).alias("n_docs"),
-                F.sum(
-                    F.when(keep, F.col("n_tokens")).otherwise(0)
-                ).alias("n_tokens"),
+        agg_cols.append(F.sum(keep.cast("long")).alias(f"d{i}"))
+        agg_cols.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias(
+                f"t{i}"
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    total = out.filter(F.col("stage") == "ingested").select(
-        F.col("n_docs").alias("total_docs")
+    one_row = feats.agg(*agg_cols)
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(stage).alias("stage"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, (stage, _) in enumerate(FUNNEL_STAGES)
+        ]
     )
     from retail_sales_project_bigdata_spark.functions import pround
 
-    return out.crossJoin(F.broadcast(total)).select(
+    return one_row.select(
+        F.col("d0").alias("total_docs"), F.inline(stage_structs)
+    ).select(
         "stage",
         "n_docs",
         "n_tokens",
@@ -601,7 +609,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_SAMPLE_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_split_to_array(text, '[ ]+')) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (
   SELECT doc_id, source, n_tokens,
@@ -635,8 +643,14 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(MIX_WEIGHTS.items()), "lang string, weight double"
     )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # LEFT join FROM weights: a weighted language absent from the corpus
+    # must zero the feasible total (t = min includes 0/weight = 0), not
+    # silently drop out of the min — "honors every weight" is the
+    # contract; with a missing language the only mixture that does is
+    # the empty one.
     feas = (
-        counts.join(F.broadcast(weights), "lang")
+        weights.join(counts, "lang", "left")
+        .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
         .agg(F.min(F.col("n_docs") / F.col("weight")).alias("t"))
     )
     quotas = weights.crossJoin(F.broadcast(feas)).select(
@@ -662,7 +676,8 @@ WITH weights AS (
 ), counts AS (
   SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
 ), feas AS (
-  SELECT MIN(n_docs / weight) AS t FROM counts JOIN weights USING (lang)
+  SELECT MIN(COALESCE(n_docs, 0) / weight) AS t
+  FROM weights LEFT JOIN counts USING (lang)
 ), quotas AS (
   SELECT w.lang, CAST(FLOOR(f.t * w.weight) AS BIGINT) AS quota
   FROM weights w, feas f

@@ -32,10 +32,22 @@ from pyspark.sql import functions as F
 from retail_sales_project_bigdata_spark.functions import pround
 from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 
-# Arrow batch sizing for wide binary rows — set small enough that
-# (rows_per_batch × payload_size) fits executor memory at production media
-# sizes.  Applied by media_pipeline() per-session.
-ARROW_BATCH_ROWS = 256
+# Arrow batch sizing for wide binary rows: target bytes per JVM→Python
+# Arrow batch, converted to a row count from the table's MEASURED average
+# payload size (clamped).  At production media sizes (MBs/row) this
+# lands near tens of rows; on the synthetic ~100-byte payloads it stays
+# near Spark's default, so narrow-row queries in the same session are
+# not punished.  NOTE: maxRecordsPerBatch is session-scoped and read at
+# each query's execution — queries that run after a media query inherit
+# the last value; _arrow_rows_for() re-derives it per media query.
+ARROW_TARGET_BATCH_BYTES = 32 << 20
+ARROW_ROWS_MIN, ARROW_ROWS_MAX = 64, 10_000
+
+
+def _arrow_rows_for(media: DataFrame) -> int:
+    avg = media.agg(F.avg("payload_bytes")).first()[0] or 1.0
+    rows = int(ARROW_TARGET_BATCH_BYTES / max(avg, 1.0))
+    return max(ARROW_ROWS_MIN, min(ARROW_ROWS_MAX, rows))
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,10 +113,11 @@ def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the real production shape: per-partition, Arrow-batched, zero JVM
     deserialization of payloads.
     """
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
-    )
     media = media_table(spark, sf_dir)
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(_arrow_rows_for(media)),
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

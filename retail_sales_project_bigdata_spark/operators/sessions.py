@@ -152,7 +152,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_WINDOW_STATS_SQL = f"""
 WITH g AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, value,
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
          epoch_us(ts) - LAG(epoch_us(ts)) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
   FROM events
@@ -164,7 +164,7 @@ f AS (
 ),
 s AS (
   SELECT *, SUM(is_new) OVER (
-      PARTITION BY user_id ORDER BY ts_us
+      PARTITION BY user_id ORDER BY ts_us, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
   FROM f
 )
@@ -194,7 +194,7 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
         ).alias("running_value"),
         pround(
-            F.sum("value").over(w.rowsBetween(-2, 0))
+            pround(F.sum("value").over(w.rowsBetween(-2, 0)), 4)
             / F.count("value").over(w.rowsBetween(-2, 0)),
             6,
         ).alias("moving_avg_3"),
@@ -209,8 +209,8 @@ SELECT event_id, user_id, event_type, value,
        COALESCE(LEAD(value) OVER w, 0.0) AS next_value,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       ROUND(ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
              / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3
 FROM w_ord

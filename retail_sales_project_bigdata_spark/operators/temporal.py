@@ -155,8 +155,6 @@ def rolling_7day_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_sales_e4",
         F.floor(F.col("day_sales") * 10000 + 0.5).cast("long"),
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("store_id").orderBy("day").rangeBetween(-6, 0)
     return scaled.select(
         "store_id",
@@ -278,17 +276,21 @@ GROUP BY store_id, product_id, week_no
 """
 
 
-def weekly_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series regularization: per-store weekly sales re-gridded onto a
-    DENSE week spine (every week between the store's first and last sale),
-    missing weeks filled with 0 and flagged — the gap-fill step before any
-    rolling/EWMA/forecast consumer that assumes a regular grid.
+def _weekly_spine(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared by both gap-fill variants: the persisted per-(store, week)
+    sales rollup and its dense per-store week spine.
 
-    The spine is generated per store with ``sequence`` + ``explode`` —
-    distributed with the store rows, never a driver-side calendar nor a
-    store × all-weeks cartesian; the fill join is equi on (store, week)
-    against the pre-aggregated weekly frame (both sides shuffle once on
-    the same key).
+    Persisted because the weekly frame feeds BOTH the spine (per-store
+    min/max) and the fill join, whose consumers need different hash
+    partitionings — ReuseExchange cannot share the scan+aggregate, so
+    without the cache boundary the full rollup runs twice (measured ~2x
+    per query).  Post-aggregation rows keep the cache small at any input
+    scale; no unpersist by design — CacheManager dedupes identical
+    plans, so both variants and repeated calls pin ONE entry per sf_dir.
+    Sharing ONE helper also guarantees the sibling plans stay identical,
+    which is what makes that dedup apply.
     """
     li = (
         read_table(spark, sf_dir, "lineitem")
@@ -296,15 +298,6 @@ def weekly_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("week_no", week_no("day"))
         .withColumn("net_sales", net_sales())
     )
-    # Persisted: the weekly frame feeds BOTH the spine (per-store
-    # min/max) and the fill join, and the two consumers need different
-    # hash partitionings, so ReuseExchange cannot share the
-    # scan+aggregate — without the cache boundary the full rollup runs
-    # twice (measured ~2x this query).  The frame is post-aggregation
-    # (store x week rows), so the cache stays small at any input scale;
-    # no unpersist by design — CacheManager dedupes identical plans, so
-    # repeated calls (and the gapfill/interpolated siblings, which share
-    # this subtree) pin ONE entry per sf_dir, not one per call.
     weekly = (
         li.groupBy(F.col("l_suppkey").alias("store_id"), "week_no")
         .agg(stable_sum("net_sales").alias("sales"))
@@ -318,6 +311,22 @@ def weekly_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence("w0", "w1")).alias("week_no"),
         )
     )
+    return weekly, spine
+
+
+def weekly_sales_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-store weekly sales re-gridded onto a
+    DENSE week spine (every week between the store's first and last sale),
+    missing weeks filled with 0 and flagged — the gap-fill step before any
+    rolling/EWMA/forecast consumer that assumes a regular grid.
+
+    The spine is generated per store with ``sequence`` + ``explode`` —
+    distributed with the store rows, never a driver-side calendar nor a
+    store × all-weeks cartesian; the fill join is equi on (store, week)
+    against the pre-aggregated weekly frame (both sides shuffle once on
+    the same key).
+    """
+    weekly, spine = _weekly_spine(spark, sf_dir)
     return spine.join(weekly, ["store_id", "week_no"], "left").select(
         "store_id",
         "week_no",
@@ -362,34 +371,7 @@ def weekly_sales_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     min..max of observed weeks), so the interpolation is total; the
     ratio is engine-portable because both ends are grid-rounded sums and
     the week deltas are integers."""
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .withColumn("day", day_index("l_shipdate"))
-        .withColumn("week_no", week_no("day"))
-        .withColumn("net_sales", net_sales())
-    )
-    # Persisted: the weekly frame feeds BOTH the spine (per-store
-    # min/max) and the fill join, and the two consumers need different
-    # hash partitionings, so ReuseExchange cannot share the
-    # scan+aggregate — without the cache boundary the full rollup runs
-    # twice (measured ~2x this query).  The frame is post-aggregation
-    # (store x week rows), so the cache stays small at any input scale;
-    # no unpersist by design — CacheManager dedupes identical plans, so
-    # repeated calls (and the gapfill/interpolated siblings, which share
-    # this subtree) pin ONE entry per sf_dir, not one per call.
-    weekly = (
-        li.groupBy(F.col("l_suppkey").alias("store_id"), "week_no")
-        .agg(stable_sum("net_sales").alias("sales"))
-        .persist()
-    )
-    spine = (
-        weekly.groupBy("store_id")
-        .agg(F.min("week_no").alias("w0"), F.max("week_no").alias("w1"))
-        .select(
-            "store_id",
-            F.explode(F.sequence("w0", "w1")).alias("week_no"),
-        )
-    )
+    weekly, spine = _weekly_spine(spark, sf_dir)
     filled = spine.join(weekly, ["store_id", "week_no"], "left")
     wo = Window.partitionBy("store_id").orderBy("week_no")
     back = wo.rowsBetween(Window.unboundedPreceding, 0)
@@ -462,8 +444,6 @@ def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-rounded (stable_sum) before the window, so both engines lag
     bit-identical doubles and the delta/pct arithmetic matches exactly.
     """
-    from pyspark.sql.window import Window
-
     li = (
         read_table(spark, sf_dir, "lineitem")
         .withColumn("day", day_index("l_shipdate"))
