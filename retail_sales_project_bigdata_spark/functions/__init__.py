@@ -51,22 +51,32 @@ def pround(col: Column | str, scale: int) -> Column:
 def pround_py(x: float, scale: int) -> float:
     """Scalar Python mirror of :func:`pround` / DuckDB ROUND(double):
     half-away-from-zero on the scaled double.  (Python's round and
-    numpy's round tie to even and diverge on representable ties.)"""
+    numpy's round tie to even; naive trunc(s + 0.5) rounds UP for
+    values like 0.49999999999999994 because the add itself rounds to
+    1.0 in FP.  ``a - floor(a)`` is EXACT for doubles — floor shares
+    the exponent range, Sterbenz — so comparing the true fraction
+    against 0.5 reproduces std::round bit-for-bit.)"""
     import math
 
     factor = float(10 ** scale)
     s = x * factor
-    return math.trunc(s + math.copysign(0.5, s)) / factor
+    a = abs(s)
+    f = math.floor(a)
+    r = f + 1.0 if (a - f) >= 0.5 else f
+    return math.copysign(r, s) / factor
 
 
 def pround_np(x, scale: int):
-    """NumPy (vectorized) mirror of :func:`pround` — same scaled
-    half-away sequence, element-wise."""
+    """NumPy (vectorized) mirror of :func:`pround` — same exact-fraction
+    half-away comparison as :func:`pround_py`, element-wise."""
     import numpy as np
 
     factor = float(10 ** scale)
     s = x * factor
-    return np.trunc(s + np.copysign(0.5, s)) / factor
+    a = np.abs(s)
+    f = np.floor(a)
+    r = np.where(a - f >= 0.5, f + 1.0, f)
+    return np.copysign(r, s) / factor
 
 
 def stable_sum(col: Column | str, scale: int = 4) -> Column:
@@ -87,6 +97,21 @@ def stable_avg(col: Column | str, scale: int = 6, grid: int = 4) -> Column:
     return pround(pround(F.sum(c), grid) / F.count(c), scale)
 
 
+def ordered_sum(col: Column | str, window=None) -> Column:
+    """Canonical-order sum (sort, then left-fold) — the engine-portable
+    recipe behind :func:`ordered_avg`, exposed for aggregate AND window
+    use (pass ``window`` for the windowed form).  DuckDB mirror:
+    ``list_aggregate(list_sort(list(x)), 'sum')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    collected = (
+        F.collect_list(c).over(window) if window is not None
+        else F.collect_list(c)
+    )
+    return F.aggregate(
+        F.array_sort(collected), F.lit(0.0), lambda a, x: a + x
+    )
+
+
 def ordered_avg(col: Column | str, scale: int = 6) -> Column:
     """Engine-portable average for RATIO-VALUED inputs: canonicalize the
     summation order (sort, then left-fold) so both engines add the exact
@@ -96,10 +121,7 @@ def ordered_avg(col: Column | str, scale: int = 6) -> Column:
     for bounded groups (the rollup grains here); grid-valued inputs should
     prefer :func:`stable_avg` (no per-group array)."""
     c = F.col(col) if isinstance(col, str) else col
-    total = F.aggregate(
-        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
-    )
-    return pround(total / F.count(c), scale)
+    return pround(ordered_sum(c) / F.count(c), scale)
 
 
 def oracle_sum(expr: str, scale: int = 4) -> str:

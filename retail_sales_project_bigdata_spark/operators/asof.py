@@ -52,7 +52,14 @@ def asof_join(
     semantics, but a null would sort FIRST under Spark's asc ordering and
     become a phantom earliest match."""
     on = list(on)
-    tagged_right = right.filter(F.col(right_ts).isNotNull()).select(
+    # Null JOIN KEYS must not match: Window.partitionBy groups nulls into
+    # one partition (null == null), but SQL/ASOF equality says a null key
+    # matches nothing.  Dropping null-key RIGHT rows makes null-key left
+    # rows fall through with null fills (left-join semantics preserved).
+    right_nonnull = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        right_nonnull = right_nonnull.filter(F.col(k).isNotNull())
+    tagged_right = right_nonnull.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),

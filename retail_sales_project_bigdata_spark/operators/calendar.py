@@ -101,7 +101,7 @@ def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_start")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            pround(F.sum("o_totalprice"), 4).alias("total_value"),
+            stable_sum("o_totalprice").alias("total_value"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )

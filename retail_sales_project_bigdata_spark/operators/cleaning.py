@@ -34,7 +34,7 @@ def clean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     FullPreprocessingPipeline.java:214-225).
 
     Scale note: pure narrow transforms — no shuffle; filters and the
-    11-column projection push into the parquet scan.
+    14-column projection push into the parquet scan.
     """
     li = read_table(spark, sf_dir, "lineitem")
     return (

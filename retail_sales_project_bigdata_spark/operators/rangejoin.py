@@ -70,17 +70,24 @@ def interval_join(
     Works for ANY interval table size: the bucket explode keeps the join
     equi (hash-partitionable on ``bucket``) instead of nested-loop.
     """
-    b = F.lit(int(bucket_us))
+    # Integer floor-div, not double division: at int64 timestamp
+    # magnitudes (nanos ~1.7e18) x/b computed in doubles carries a
+    # ~2^8-unit error and can misbucket a boundary point, silently
+    # dropping a true match.  DIV truncates toward zero == floor for the
+    # non-negative timestamp domain this operator contracts.
+    bu = int(bucket_us)
     ivals = intervals.withColumn(
         "bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col) / b).cast("long"),
-                F.floor((F.col(end_col) - 1) / b).cast("long"),
+                F.expr(f"CAST({start_col} AS BIGINT) DIV {bu}"),
+                F.expr(f"CAST(({end_col}) - 1 AS BIGINT) DIV {bu}"),
             )
         ),
     )
-    pts = points.withColumn("bucket", F.floor(F.col(ts_col) / b).cast("long"))
+    pts = points.withColumn(
+        "bucket", F.expr(f"CAST({ts_col} AS BIGINT) DIV {bu}")
+    )
     return (
         pts.join(ivals, "bucket")
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))

@@ -22,9 +22,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from retail_sales_project_bigdata_spark.functions import (
-    pround,
     net_sales,
     oracle_sum,
+    ordered_sum,
+    pround,
     stable_sum,
 )
 from retail_sales_project_bigdata_spark.sources import read_table
@@ -147,10 +148,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_sum("l_quantity").alias("sum_qty"),
             stable_sum("l_extendedprice").alias("sum_base_price"),
             stable_sum(net_sales()).alias("sum_disc_price"),
+            # charge sits on a SIX-decimal grid (2-dec price x 2-dec
+            # disc x 2-dec tax) — round AT that grid; scale 4 would sit
+            # below it and hit exact .xxxx5 ties (functions docstring).
             stable_sum(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+                * (1 + F.col("l_tax")),
+                scale=6,
             ).alias("sum_charge"),
             pround(pround(F.sum("l_quantity"), 4) / F.count(F.lit(1)), 6).alias(
                 "avg_qty"
@@ -171,7 +176,7 @@ SELECT l_returnflag, l_linestatus,
        {oracle_sum('l_quantity')} AS sum_qty,
        {oracle_sum('l_extendedprice')} AS sum_base_price,
        {oracle_sum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
-       {oracle_sum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+       {oracle_sum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 6)} AS sum_charge,
        ROUND(ROUND(SUM(l_quantity), 4) / COUNT(*), 6) AS avg_qty,
        ROUND(ROUND(SUM(l_extendedprice), 4) / COUNT(*), 6) AS avg_price,
        ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 6) AS avg_disc,
@@ -448,21 +453,16 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_region = Window.partitionBy("r_name")
     w_all = Window.partitionBy()
-    ordered_total = lambda w: F.aggregate(  # noqa: E731
-        F.array_sort(F.collect_list("revenue").over(w)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     return rev.select(
         "n_name",
         "r_name",
         "revenue",
-        pround(F.col("revenue") / ordered_total(w_region), 6).alias(
-            "region_share"
-        ),
-        pround(F.col("revenue") / ordered_total(w_all), 6).alias(
-            "global_share"
-        ),
+        pround(
+            F.col("revenue") / ordered_sum("revenue", w_region), 6
+        ).alias("region_share"),
+        pround(
+            F.col("revenue") / ordered_sum("revenue", w_all), 6
+        ).alias("global_share"),
     )
 
 
@@ -568,8 +568,6 @@ def nation_top_types_with_others(
     fact-sized shuffle — then a rank window and a re-aggregate over the
     tiny (|nations|×|types|) frame.  Re-rounding applies at each sum of
     grid values (stable_sum discipline)."""
-    from pyspark.sql.window import Window
-
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_partkey", net_sales().alias("net_sales")
     )
