@@ -55,7 +55,7 @@ def drop_all_null_columns(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     counts = df.agg(
-        *[F.count(F.col(c)).alias(c) for c in df.columns]
+        *[F.count(F.col(f"`{c}`")).alias(c) for c in df.columns]
     ).first()
     dead = [c for c in df.columns if counts[c] == 0]
     return df.drop(*dead) if dead else df

@@ -112,8 +112,13 @@ def clean_transactions(raw: DataFrame) -> DataFrame:
     if "campaign" in df.columns:
         df = df.withColumn(
             "campaign_flag",
+            # campaign arrives as VARCHAR from inferred CSVs but as INT
+            # from the declared COUPON_REDEMPT schema; compare through a
+            # string cast so the UNKNOWN sentinel check cannot throw
+            # CAST_INVALID_INPUT under ANSI mode on the numeric form.
             F.when(
-                F.col("campaign").isNotNull() & (F.col("campaign") != "UNKNOWN"),
+                F.col("campaign").isNotNull()
+                & (F.col("campaign").cast("string") != "UNKNOWN"),
                 1,
             ).otherwise(0),
         )

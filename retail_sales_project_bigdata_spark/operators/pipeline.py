@@ -30,7 +30,7 @@ from pyspark.storagelevel import StorageLevel
 from retail_sales_project_bigdata_spark.operators.cleaning import clean_lineitem
 from retail_sales_project_bigdata_spark.operators.rfm import rfm_demographics
 from retail_sales_project_bigdata_spark.functions import (
-    stable_avg,
+    ordered_avg,
     stable_sum,
 )
 from retail_sales_project_bigdata_spark.sources import read_table, write_parquet
@@ -69,7 +69,9 @@ def run_preprocessing_pipeline(
         ).agg(
             stable_sum("net_sales").alias("sum_net_sales"),
             stable_sum("quantity").alias("sum_quantity"),
-            stable_avg("unit_price").alias("avg_unit_price"),
+            # ratio-valued input: canonical-order fold, NOT stable_avg
+            # (functions docstring — ratios are not on a decimal grid)
+            ordered_avg("unit_price").alias("avg_unit_price"),
             F.max("is_discounted").alias("any_discounted"),
         )
         p = os.path.join(out_dir, "temporal")

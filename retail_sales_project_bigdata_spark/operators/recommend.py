@@ -60,7 +60,22 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.recommendation import ALS
 
-    r = ratings(spark, sf_dir).select(
+    base = ratings(spark, sf_dir)
+    # ALS requires int32 ids.  A raw cast past 2^31 either throws under
+    # ANSI mode or silently WRAPS (merging different customers' ratings)
+    # without it — fail loudly with the remediation instead: key spaces
+    # that outgrow int32 need a contiguous index mapping
+    # (zipWithIndex / dense rank) built once and joined back after
+    # recommendation.
+    max_key = base.agg(
+        F.greatest(F.max("custkey"), F.max("partkey"))
+    ).first()[0]
+    if max_key is not None and max_key > 2**31 - 1:
+        raise ValueError(
+            f"ALS ids must fit int32; max key {max_key} exceeds 2^31-1 — "
+            "build a contiguous index mapping for custkey/partkey first"
+        )
+    r = base.select(
         F.col("custkey").cast("int").alias("user"),
         F.col("partkey").cast("int").alias("item"),
         F.col("rating").cast("float").alias("rating"),

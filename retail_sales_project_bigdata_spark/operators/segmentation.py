@@ -164,7 +164,18 @@ def segment_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fit(assembled)
         .transform(assembled)
     )
-    model = KMeans(k=4, seed=KMEANS_SEED, featuresCol="features").fit(scaled)
+    # Score with the k the sweep actually selected (M5 -> M6 contract:
+    # the published metrics and the assignments must describe the SAME
+    # segmentation, not a hardcoded k).
+    best_k = (
+        kmeans_sweep(spark, sf_dir)
+        .filter(F.col("is_best") == 1)
+        .select("k")
+        .first()[0]
+    )
+    model = KMeans(
+        k=int(best_k), seed=KMEANS_SEED, featuresCol="features"
+    ).fit(scaled)
     return model.transform(scaled).select(
         "custkey", F.col("prediction").alias("cluster")
     )

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.functions import (
+    stable_avg,
     net_sales,
     oracle_sum,
     pround,
@@ -587,7 +588,7 @@ def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        pround(pround(F.sum("c_acctbal"), 4) / F.count("c_acctbal"), 6).alias(
+        stable_avg("c_acctbal").alias(
             "avg_bal"
         )
     )

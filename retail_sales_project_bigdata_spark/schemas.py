@@ -132,9 +132,15 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
 
 # Tables small enough to broadcast at ANY scale factor (dimension tables
 # whose cardinality does not grow with fact data — TPC-H keeps nation/region
-# constant, supplier/part/customer sublinear).  Used by sources.read_table
-# to attach broadcast hints automatically.
+# constant; supplier/part/customer grow LINEARLY with scale factor but
+# stay 1-2 orders of magnitude smaller than the fact tables).  Used by
+# sources.read_table, which attaches the broadcast hint ONLY while the
+# table's on-disk size is under BROADCAST_MAX_BYTES — at a scale where
+# customer/part are multi-GB the hint silently drops off and Catalyst
+# falls back to shuffle joins (a forced broadcast of a TB dimension
+# would exceed Spark's broadcast limit and OOM executors).
 BROADCASTABLE_TABLES = {"region", "nation", "supplier", "part", "customer"}
+BROADCAST_MAX_BYTES = 256 << 20
 
 # ---------------------------------------------------------------------------
 # Reference-native Dunnhumby logical model (FIXTURES.md §A)

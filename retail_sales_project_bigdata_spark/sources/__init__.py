@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.schemas import (
+    BROADCAST_MAX_BYTES,
     BROADCASTABLE_TABLES,
     DUNNHUMBY_SCHEMAS,
     TESTDATA_SCHEMAS,
@@ -52,10 +53,31 @@ def read_table(
     terabytes if a dim join degrades to sort-merge, so the hint is part of
     the physical design, not an afterthought (SURVEY §2.3 physical note).
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if broadcast_dims and name in BROADCASTABLE_TABLES:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if (
+        broadcast_dims
+        and name in BROADCASTABLE_TABLES
+        and _on_disk_bytes(path) < BROADCAST_MAX_BYTES
+    ):
         df = F.broadcast(df)
     return df
+
+
+def _on_disk_bytes(path: str) -> int:
+    """Cheap size probe for the broadcast-hint guard (local paths only;
+    non-local/missing paths return 0 so the hint stays on and Spark's own
+    size estimation takes over at join planning)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(path)
+            for f in files
+        )
+    except OSError:
+        return 0
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
