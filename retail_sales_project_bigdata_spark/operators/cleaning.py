@@ -29,9 +29,16 @@ from retail_sales_project_bigdata_spark.functions import (
 from retail_sales_project_bigdata_spark.sources import read_table
 
 
-def clean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clean_lineitem(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The cleaned transaction-line fact ("item" table analog,
     FullPreprocessingPipeline.java:214-225).
+
+    ``extra_cols`` carries additional source columns through the
+    projection (the pipeline keeps ``l_returnflag`` for its partitioned
+    sink this way — re-joining the fact to itself to recover a dropped
+    column would cost a second full scan plus a fact×fact shuffle).
 
     Scale note: pure narrow transforms — no shuffle; filters and the
     14-column projection push into the parquet scan.
@@ -41,6 +48,7 @@ def clean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") >= 0))
         .withColumn("day", day_index("l_shipdate"))
         .select(
+            *extra_cols,
             "l_orderkey",
             "l_partkey",
             "l_suppkey",

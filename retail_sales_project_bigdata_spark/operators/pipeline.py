@@ -48,11 +48,10 @@ def run_preprocessing_pipeline(
     (FullPreprocessingPipeline.java:48,228-231) as extra count() jobs —
     off by default per §4.3.5.
     """
-    item = clean_lineitem(spark, sf_dir)
-    li_flags = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_returnflag"
-    )
-    item = item.join(li_flags, ["l_orderkey", "l_linenumber"], "inner")
+    # l_returnflag rides the cleaning projection — re-joining the fact
+    # to itself to recover it would re-scan lineitem and shuffle both
+    # sides on the composite key before anything is written.
+    item = clean_lineitem(spark, sf_dir, extra_cols=("l_returnflag",))
     item.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         outputs: dict[str, str] = {}
