@@ -253,7 +253,10 @@ def association_rules_2item(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("freq").cast("double") / F.col("freq_a")).alias("confidence"),
         (
             F.col("freq") * F.col("n_baskets").cast("double")
-            / (F.col("freq_a") * F.col("freq_b"))
+            # double multiply in the denominator: int64 freq_a * freq_b
+            # overflows under ANSI once both counts pass ~3e9 (cast
+            # mirrored in the SQL oracle; exact below 2^53).
+            / (F.col("freq_a").cast("double") * F.col("freq_b"))
         ).alias("lift"),
     )
 
@@ -275,7 +278,8 @@ SELECT b.item_a AS antecedent, b.item_b AS consequent,
        b.freq AS freq_pair, fa.freq AS freq_a, fb.freq AS freq_b,
        CAST(b.freq AS DOUBLE) / n.n_baskets AS support,
        CAST(b.freq AS DOUBLE) / fa.freq AS confidence,
-       b.freq * CAST(n.n_baskets AS DOUBLE) / (fa.freq * fb.freq) AS lift
+       b.freq * CAST(n.n_baskets AS DOUBLE)
+           / (CAST(fa.freq AS DOUBLE) * fb.freq) AS lift
 FROM both_dirs b
 JOIN freq1 fa ON b.item_a = fa.l_partkey
 JOIN freq1 fb ON b.item_b = fb.l_partkey

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.functions import DAY_EPOCH
 from retail_sales_project_bigdata_spark.sources import read_table
 
 _D38 = "decimal(38,0)"
@@ -306,10 +307,10 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORDER_GAP_STATS_SQL = """
+ORDER_GAP_STATS_SQL = f"""
 WITH ord AS (
   SELECT o_custkey,
-         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 1
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(o_orderdate AS DATE)) + 1
               AS INT) AS day,
          o_orderkey
   FROM orders

@@ -494,7 +494,10 @@ def phrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
             (F.col("cnt_ab") - F.lit(PHRASE_DISCOUNT))
             * F.col("n_tokens").cast("double")
-            / (F.col("cnt_a") * F.col("cnt_b")),
+            # double multiply: two frequent-token counts (~1e12 at 100 TB)
+            # would overflow int64 under ANSI; both sides stay exact below
+            # 2^53 so the oracle hash is unchanged (cast mirrored in SQL).
+            / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
         )
         .filter(F.col("score") > PHRASE_SCORE_MIN)
     )
@@ -524,7 +527,7 @@ bigrams AS (
 scored AS (
   SELECT b.w1, b.w2, b.cnt_ab, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
          (b.cnt_ab - {PHRASE_DISCOUNT}) * CAST(t.n_tokens AS DOUBLE)
-             / (ua.cnt * ub.cnt) AS score
+             / (CAST(ua.cnt AS DOUBLE) * ub.cnt) AS score
   FROM bigrams b
   JOIN unigrams ua ON b.w1 = ua.w
   JOIN unigrams ub ON b.w2 = ub.w

@@ -90,23 +90,33 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     expose the same contract either way: ``ts_us`` (exact int64 micros —
     use for ordering/gap arithmetic; µs matches what DuckDB's parquet
     reader keeps, ``epoch_us(ts)``) and ``ts`` (microsecond TimestampType
-    for window functions; session tz is UTC so the instant is identical)."""
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_type = dict(df.dtypes)["ts"]
-    if ts_type in ("bigint", "long"):
-        # genuinely nanos-encoded: the conf must STAY set (execution
-        # captures SQLConf at action time) — scoped side effect, noted.
+    for window functions; session tz is UTC so the instant is identical).
+
+    Conf scoping: the nanos branch does NOT mutate session conf.  SQL
+    confs passed as datasource ``.option(...)`` are merged into the scan's
+    hadoopConf (``newHadoopConfWithOptions``), so pairing an explicit
+    user schema (skips footer inference, which ignores options) with a
+    per-read ``nanosAsLong`` option scopes the legacy behavior to this one
+    relation — concurrent reads elsewhere in the session see no change."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+        nanos = dict(df.dtypes)["ts"] in ("bigint", "long")
+    except Exception as exc:  # nanos file + conf unset → inference refuses
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        nanos = True
+    if nanos:
+        df = (
+            spark.read.schema(
+                "event_id long, ts long, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .parquet(path)
+        )
         ts_us = F.expr("ts DIV 1000")
     else:
-        # normal microsecond timestamps: restore the session so an
-        # unrelated read of a true nanos column elsewhere still surfaces
-        # as TimestampType, not a silent bigint.
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return df.select(
         "event_id",

@@ -254,3 +254,61 @@ def test_read_jdbc_validates_partition_contract(spark):
             "t",
             partition_column="id",
         )
+
+
+def test_read_events_nanos_scoped_per_read(spark, tmp_path):
+    """A nanos-encoded events file must read correctly WITHOUT leaving
+    ``spark.sql.legacy.parquet.nanosAsLong`` set on the session — the
+    legacy conf is scoped to the one relation via explicit schema +
+    per-read option (VERDICT r1 item 7: no cross-query conf state)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retail_sales_project_bigdata_spark.sources import read_events
+
+    sf_dir = str(tmp_path / "nanos_sf")
+    import os
+
+    os.makedirs(sf_dir)
+    micros = np.array([1_000_001, 2_000_002, 3_000_003], dtype="int64")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], type=pa.int64()),
+                "ts": pa.array(micros * 1000, type=pa.timestamp("ns")),
+                "user_id": pa.array([10, 20, 30], type=pa.int64()),
+                "event_type": pa.array(["a", "b", "c"]),
+                "value": pa.array([1.0, 2.0, 3.0]),
+                "props": pa.array(["{}", "{}", "{}"]),
+            }
+        ),
+        os.path.join(sf_dir, "events.parquet"),
+    )
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (
+        None,
+        "false",
+    )
+    got = read_events(spark, sf_dir).orderBy("event_id").collect()
+    assert [r.ts_us for r in got] == micros.tolist()
+    # no session-visible mutation on the nanos branch
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (
+        None,
+        "false",
+    )
+    # a CONCURRENT micros read in the same session is unaffected
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    assert dict(ev.dtypes)["ts"].startswith("timestamp")
+    assert ev.limit(1).count() == 1
+
+
+def test_read_events_micros_branch_unchanged(spark):
+    from retail_sales_project_bigdata_spark.sources import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    row = ev.orderBy("event_id").limit(1).collect()[0]
+    assert row.ts_us is not None
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (
+        None,
+        "false",
+    )
