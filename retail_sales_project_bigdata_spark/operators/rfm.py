@@ -165,36 +165,114 @@ FROM per_cust p JOIN demo d ON p.o_custkey = d.c_custkey
 
 
 def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic 5-quintile RFM scoring on top of :func:`rfm` — ``ntile(5)``
+    """Classic 5-quintile RFM scoring on top of :func:`rfm` — NTILE(5)
     per metric with the customer key as total-order tiebreak (NTILE is
     purely rank-based, so a unique ordering makes it deterministic and
     engine-portable).  R inverts (most recent = 5); the concatenated
     segment code is the standard retail-marketing cell label.
 
-    Scale: three global NTILEs are single-partition windows over the
-    per-customer frame — correct because that frame is |customers|-sized
-    (already aggregated), the same justification as vocab_table's ranking.
+    Scale (VERDICT r1 item 1): customers grow with the business, so the
+    former three global ``ntile(5)`` windows (single-task sort each) are
+    replaced by ONE melted two-phase ranking pass: the frame unpivots to
+    (custkey, metric, ord) — ord ascending-normalized by negation, exact
+    for longs < 2^53 and IEEE doubles — then one range exchange over the
+    3n melted rows, a per-(partition, metric) local row_number, broadcast
+    prefix-sum offsets per metric, closed-form NTILE arithmetic, and a
+    pivot back to one row per customer.  Values identical (the SQL oracle
+    still says NTILE); no unpartitioned WindowExec remains
+    (asserted in tests/test_plans.py).
     """
     from pyspark.sql.window import Window
 
-    base = rfm(spark, sf_dir)
-    r_w = Window.orderBy(F.asc("recency"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = base.select(
-        "o_custkey",
-        "recency",
-        "frequency",
-        "monetary",
-        (F.lit(6) - F.ntile(5).over(r_w)).alias("r_score"),
-        (F.lit(6) - F.ntile(5).over(f_w)).alias("f_score"),
-        (F.lit(6) - F.ntile(5).over(m_w)).alias("m_score"),
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        ntile_from_rn,
+        with_total_count,
     )
-    return scored.withColumn(
-        "segment",
-        F.concat_ws(
-            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+
+    # The per-customer frame feeds four consumers (count, melt, final
+    # join); persist it once — it is the AGGREGATED frame (|customers|
+    # rows, spill-safe MEMORY_AND_DISK), not the fact table.  Same
+    # persist-for-multi-consumer pattern as weekly_sales_interpolated.
+    base = with_total_count(rfm(spark, sf_dir).persist())
+    melted = base.select(
+        "o_custkey",
+        "_n_total",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency").cast("double").alias("ord"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency")).cast("double").alias("ord"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    (-F.col("monetary")).alias("ord"),
+                ),
+            )
+        ).alias("mv"),
+    ).select("o_custkey", "_n_total", "mv.metric", "mv.ord")
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # explicit numPartitions: AQE never re-coalesces a user-specified
+    # repartition, so spark_partition_id() is consistent across the two
+    # consumers of this exchange (window input + counts).
+    ranged = melted.repartitionByRange(
+        n_part, F.asc("metric"), F.asc("ord"), F.asc("o_custkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid", "metric").orderBy(
+                F.asc("ord"), F.asc("o_custkey")
+            )
         ),
+    )
+    counts = ranged.groupBy("_pid", "metric").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.metric") == F.col("a.metric"))
+            & (F.col("b._pid") < F.col("a._pid")),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"), F.col("a.metric").alias("metric"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
+    )
+    score = F.lit(6) - ntile_from_rn(
+        F.col("_lrn") + F.col("_offset"), F.col("_n_total"), 5
+    )
+    scores = (
+        local.join(F.broadcast(offsets), ["_pid", "metric"])
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("metric") == "r", score)).alias("r_score"),
+            F.max(F.when(F.col("metric") == "f", score)).alias("f_score"),
+            F.max(F.when(F.col("metric") == "m", score)).alias("m_score"),
+        )
+    )
+    return (
+        base.join(scores, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
     )
 
 

@@ -74,3 +74,19 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     plan = physical_plan(df)
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids) or plan.count("WholeStageCodegen")
+
+
+def assert_no_unpartitioned_window(df: DataFrame) -> None:
+    """Every WindowExec must carry a partitionSpec — a global window
+    (``Window.orderBy`` with no partitionBy) funnels the entire frame
+    through ONE task (Spark warns ``WindowExec: No Partition Defined``).
+    WindowExec's simpleString is ``Window [exprs], [partitionSpec],
+    [orderSpec]`` — an unpartitioned window prints only two bracket
+    groups."""
+    plan = physical_plan(df)
+    for ln in plan.splitlines():
+        stripped = ln.strip().lstrip("+-: ").lstrip("*(0123456789) ")
+        if stripped.startswith("Window ["):
+            assert stripped.count("], [") >= 2, (
+                "unpartitioned (single-task) window:\n" + ln + "\n" + plan
+            )

@@ -199,3 +199,37 @@ def test_q6_q9_plans(spark):
     assert_broadcast_join(q9, 3)
     assert_pushed_filter(q9, "p_name")  # LIKE '%red%' pushes as contains
     assert_no_python_eval(q9)
+
+
+def test_no_unpartitioned_windows_in_rankers(spark):
+    """VERDICT r1 item 1: the three former global-window queries must
+    compile with NO single-task WindowExec (every window partitioned)."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import vocab_table
+    from retail_sales_project_bigdata_spark.operators.reports import (
+        supplier_revenue_ranks,
+    )
+    from retail_sales_project_bigdata_spark.operators.rfm import rfm_scores
+    from retail_sales_project_bigdata_spark.plans import (
+        assert_no_unpartitioned_window,
+    )
+
+    for q in (rfm_scores, supplier_revenue_ranks, vocab_table):
+        df = q(spark, SF_SMALL)
+        assert_no_unpartitioned_window(df)
+        assert_no_python_eval(df)
+
+
+def test_unpartitioned_window_assertion_detects(spark):
+    from pyspark.sql.window import Window
+
+    from retail_sales_project_bigdata_spark.plans import (
+        assert_no_unpartitioned_window,
+    )
+
+    df = spark.range(10).select(
+        F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    import pytest
+
+    with pytest.raises(AssertionError):
+        assert_no_unpartitioned_window(df)

@@ -1,0 +1,66 @@
+"""Two-phase global ranking (operators/ranking.py) — exactness against
+Spark's own window functions and scale-shape assertions."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from retail_sales_project_bigdata_spark.operators.ranking import (
+    cume_dist_from_rn,
+    global_row_number,
+    ntile_from_rn,
+    percent_rank_from_rn,
+    with_total_count,
+)
+from retail_sales_project_bigdata_spark.plans import (
+    assert_no_unpartitioned_window,
+)
+
+
+def test_matches_spark_window_functions_exactly(spark):
+    random.seed(7)
+    for n in (1, 2, 3, 5, 17, 37, 100):
+        rows = [(i, random.random()) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        order = [F.desc("v"), F.asc("id")]
+        w = Window.orderBy(*order)
+        expect = {
+            r.id: (r.rn, r.t5, r.t3, r.pr, r.cd)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(5).over(w).alias("t5"),
+                F.ntile(3).over(w).alias("t3"),
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd"),
+            ).collect()
+        }
+        got_df = with_total_count(global_row_number(df, order, "rn"))
+        got = {
+            r.id: (r.rn, r.t5, r.t3, r.pr, r.cd)
+            for r in got_df.select(
+                "id",
+                "rn",
+                ntile_from_rn(F.col("rn"), F.col("_n_total"), 5).alias("t5"),
+                ntile_from_rn(F.col("rn"), F.col("_n_total"), 3).alias("t3"),
+                percent_rank_from_rn(F.col("rn"), F.col("_n_total")).alias("pr"),
+                cume_dist_from_rn(F.col("rn"), F.col("_n_total")).alias("cd"),
+            ).collect()
+        }
+        assert got == expect, f"n={n}"
+
+
+def test_plan_has_no_single_task_window(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 97)
+    ranked = global_row_number(df, [F.asc("v"), F.asc("id")], "rn")
+    assert_no_unpartitioned_window(ranked)
+
+
+def test_rank_is_dense_and_total(spark):
+    df = spark.range(500).withColumn("v", (F.col("id") * 7919) % 101)
+    ranked = global_row_number(df, [F.asc("v"), F.asc("id")], "rn")
+    rns = sorted(r.rn for r in ranked.collect())
+    assert rns == list(range(1, 501))
