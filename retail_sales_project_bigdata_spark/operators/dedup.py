@@ -124,8 +124,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |smaller|/t, since J ≤ min/max): provably lossless pruning that cuts
     the quadratic pair fan-out before it is materialized — the lever
     that matters at 100 TB where per-shingle posting lists are long.
+
+    Guarded: this is the exact ANCHOR for minhash_lsh_pairs — above the
+    configured input bound it fails loudly instead of materializing a
+    quadratic pair space (VERDICT r1 item 2).
     """
+    from retail_sales_project_bigdata_spark.operators.guards import (
+        guard_anchor_rows,
+    )
+
     sh = _shingles(spark, sf_dir)
+    guard_anchor_rows(
+        sh, "ngram_jaccard_pairs", "minhash_lsh_pairs (bucketed LSH)"
+    )
     ex = sh.select(
         "doc_id",
         F.size("shingles").alias("n"),

@@ -445,8 +445,20 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5) — the
     embedding-space analog of ngram_jaccard_pairs.  Exact all-pairs at test
-    scale; at 100 TB the LSH bucket join replaces the cross join."""
+    scale; at 100 TB the LSH bucket join replaces the cross join.
+
+    Guarded: exact ANCHOR for the LSH path — fails loudly above the
+    configured input bound instead of exploding O(n²) (VERDICT r1 item 2).
+    """
+    from retail_sales_project_bigdata_spark.operators.guards import (
+        guard_anchor_rows,
+    )
+
     vecs = _vectors(spark, sf_dir)
+    guard_anchor_rows(
+        vecs, "embedding_near_dup_pairs", "ann_lsh_topk (bucketed LSH)",
+        default_bound=200_000,
+    )
     a = vecs.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), F.col("norm").alias("norm_a")
     )
@@ -543,14 +555,27 @@ def embedding_near_dup_pairs_numpy(
     ~10× the expression path's throughput; rows-only for the driver (BLAS
     summation order) with an equality property test against the exact
     query at round-6.  This is the single-node scale path; beyond
-    broadcastable corpus sizes the LSH bucket join takes over."""
+    broadcastable corpus sizes the LSH bucket join takes over.
+
+    Guarded: collects + broadcasts the corpus matrix — fails loudly
+    above the configured input bound (VERDICT r1 item 2)."""
     import numpy as np
 
     from collections.abc import Iterator
 
     import pandas as pd
 
+    from retail_sales_project_bigdata_spark.operators.guards import (
+        guard_anchor_rows,
+    )
+
     vecs = _vectors(spark, sf_dir)
+    guard_anchor_rows(
+        vecs,
+        "embedding_near_dup_pairs_numpy",
+        "ann_lsh_topk (bucketed LSH)",
+        default_bound=200_000,
+    )
     all_rows = vecs.select("vec_id", "v", "norm").collect()
     ids = np.array([r.vec_id for r in all_rows])
     mat = np.array([r.v for r in all_rows])
