@@ -77,24 +77,51 @@ def main() -> None:
             k: v for k, v in queries.items() if k not in ML_TRAINING_QUERIES
         }
 
-    timings: dict[str, float] = {}
-    for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # VM timing noise is ±20% on single totals (BASELINE.md) — support
+    # median-of-N runs; the driver's default stays one run per budget.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    per_run: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        timings: dict[str, float] = {}
+        for name, fn in sorted(queries.items()):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        per_run.append(timings)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    timings = {
+        name: round(median([r[name] for r in per_run]), 3)
+        for name in per_run[0]
+    }
+    totals = [round(sum(r.values()), 3) for r in per_run]
+    total = round(median(totals), 3)
+    payload = {
+        "metric": "query_set_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "runs": n_runs,
+        "run_totals": totals,
+        "protocol": (
+            f"median of {n_runs} full-set run(s), noop sink, warmed JVM; "
+            "per-query values are per-name medians"
+        ),
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # Also persist to disk: the driver's stdout capture truncates long
+    # lines (BENCH_r01.json recorded parsed=null), so the round artifact
+    # has a machine-readable fallback (VERDICT r1 item 3).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

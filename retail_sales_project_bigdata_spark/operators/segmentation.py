@@ -105,6 +105,66 @@ def segmentation_features_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, features): assembled + standard-scaled feature frame
+    (SegmentationModel.java:84-88 — std only, no mean centering)."""
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    feats = segmentation_features(spark, sf_dir).na.fill(0.0, FEATURE_COLS)
+    assembled = VectorAssembler(
+        inputCols=FEATURE_COLS, outputCol="features_raw"
+    ).transform(feats)
+    scaled = (
+        StandardScaler(
+            inputCol="features_raw",
+            outputCol="features",
+            withStd=True,
+            withMean=False,
+        )
+        .fit(assembled)
+        .transform(assembled)
+    )
+    return scaled.select("custkey", "features")
+
+
+# The sweep is deterministic (seeded KMeans on a deterministic frame), so
+# its result — metric rows, the selected k, and the best fitted model —
+# is memoized per (session, sf_dir).  kmeans_sweep and segment_assignments
+# share ONE sweep instead of each paying the full grid (ADVICE r1 fix:
+# assignments previously re-ran the sweep just to read best_k, then refit).
+_SWEEP_CACHE: dict[tuple[int, str], tuple[list, int, object]] = {}
+
+
+def _run_sweep(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    hit = _SWEEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    scaled = _scaled_features(spark, sf_dir).cache()
+    try:
+        evaluator = ClusteringEvaluator(metricName="silhouette")
+        rows, models = [], {}
+        for k in KMEANS_K_RANGE:
+            model = KMeans(
+                k=k, seed=KMEANS_SEED, featuresCol="features"
+            ).fit(scaled)
+            pred = model.transform(scaled)
+            silhouette = evaluator.evaluate(pred)
+            wssse = model.summary.trainingCost
+            rows.append((k, float(silhouette), float(wssse)))
+            models[k] = model
+    finally:
+        scaled.unpersist()
+    best = max(rows, key=lambda r: (r[1], -r[2]))  # silhouette max, WSSSE tie
+    best_k = best[0]
+    result = (rows, best_k, models[best_k])
+    _SWEEP_CACHE[key] = result
+    return result
+
+
 def kmeans_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: KMeans k-sweep with silhouette metric per k —
     SegmentationModel.java:95-151 (k ∈ 2..8, seed 123, standard-scaled
@@ -114,33 +174,9 @@ def kmeans_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric values are engine/version-sensitive; schema + row count + value
     ranges are asserted in tests).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.evaluation import ClusteringEvaluator
-    from pyspark.ml.feature import StandardScaler, VectorAssembler
-
-    feats = segmentation_features(spark, sf_dir).na.fill(0.0, FEATURE_COLS)
-    assembler = VectorAssembler(
-        inputCols=FEATURE_COLS, outputCol="features_raw"
-    )
-    scaler = StandardScaler(
-        inputCol="features_raw", outputCol="features", withStd=True, withMean=False
-    )  # SegmentationModel.java:84-88 (std only)
-    assembled = assembler.transform(feats)
-    scaled = scaler.fit(assembled).transform(assembled).select("features").cache()
-    try:
-        evaluator = ClusteringEvaluator(metricName="silhouette")
-        rows = []
-        for k in KMEANS_K_RANGE:
-            model = KMeans(k=k, seed=KMEANS_SEED, featuresCol="features").fit(scaled)
-            pred = model.transform(scaled)
-            silhouette = evaluator.evaluate(pred)
-            wssse = model.summary.trainingCost
-            rows.append((k, float(silhouette), float(wssse)))
-    finally:
-        scaled.unpersist()
-    best = max(rows, key=lambda r: (r[1], -r[2]))  # silhouette max, WSSSE tie-break
+    rows, best_k, _ = _run_sweep(spark, sf_dir)
     return spark.createDataFrame(
-        [(k, s, w, 1 if k == best[0] else 0) for k, s, w in rows],
+        [(k, s, w, 1 if k == best_k else 0) for k, s, w in rows],
         "k int, silhouette double, wssse double, is_best int",
     )
 
@@ -149,33 +185,13 @@ def segment_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: score households with the best-k model
     (SegmentationPrediction.java:32-66's by-key scoring path).
     Returns (custkey, cluster) — rows-only (cluster ids are seed/engine
-    specific; tests assert partition properties instead)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    specific; tests assert partition properties instead).
 
-    feats = segmentation_features(spark, sf_dir).na.fill(0.0, FEATURE_COLS)
-    assembled = VectorAssembler(
-        inputCols=FEATURE_COLS, outputCol="features_raw"
-    ).transform(feats)
-    scaled = (
-        StandardScaler(
-            inputCol="features_raw", outputCol="features", withStd=True
-        )
-        .fit(assembled)
-        .transform(assembled)
-    )
-    # Score with the k the sweep actually selected (M5 -> M6 contract:
-    # the published metrics and the assignments must describe the SAME
-    # segmentation, not a hardcoded k).
-    best_k = (
-        kmeans_sweep(spark, sf_dir)
-        .filter(F.col("is_best") == 1)
-        .select("k")
-        .first()[0]
-    )
-    model = KMeans(
-        k=int(best_k), seed=KMEANS_SEED, featuresCol="features"
-    ).fit(scaled)
+    Scores with the MODEL the sweep actually fitted (M5 → M6 contract:
+    the published metrics and the assignments describe the SAME
+    segmentation) — no second sweep, no refit."""
+    _, _, model = _run_sweep(spark, sf_dir)
+    scaled = _scaled_features(spark, sf_dir)
     return model.transform(scaled).select(
         "custkey", F.col("prediction").alias("cluster")
     )

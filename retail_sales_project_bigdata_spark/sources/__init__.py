@@ -312,13 +312,20 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     """Single-file emit (S9) — ProductRecommendation.java:79-108.
 
     The reference coalesces to one partition then renames the part file
-    via the Hadoop FileSystem API; this implementation does the same
-    rename with local-filesystem operations (glob + move) — sufficient
-    for local/NFS targets; an object-store target needs the Hadoop FS
-    API instead.  Deliberate anti-parallelism for report UX — never use
-    on large outputs.
+    via the Hadoop FileSystem API; this does the same through py4j
+    (``FileSystem.globStatus`` → ``rename`` → ``delete``), so the target
+    may be any Hadoop-FS URI — local path, ``file://``, HDFS, or an
+    object store whose connector is on the classpath (S9 parity,
+    VERDICT r1 item 4).  Deliberate anti-parallelism for report UX —
+    never use on large outputs.
     """
-    if os.path.isdir(path):
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    dst = HPath(path)
+    fs = dst.getFileSystem(hconf)
+    if fs.exists(dst) and fs.getFileStatus(dst).isDirectory():
         raise ValueError(
             f"{path} exists as a directory (a multi-file dataset?) — "
             "write_single_file targets a single FILE path; remove the "
@@ -328,16 +335,17 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     writer = df.coalesce(1).write.mode("overwrite")
     getattr(writer, fmt)(tmp)
 
-    import glob
-    import shutil
-
-    parts = glob.glob(os.path.join(tmp, f"part-*"))
-    if len(parts) != 1:  # pragma: no cover - coalesce(1) guarantees one part
-        raise RuntimeError(f"expected exactly one part file in {tmp}: {parts}")
-    if os.path.exists(path):
-        os.remove(path)
-    shutil.move(parts[0], path)
-    shutil.rmtree(tmp)
+    parts = fs.globStatus(HPath(tmp + "/part-*"))
+    if parts is None or len(parts) != 1:  # pragma: no cover — coalesce(1)
+        found = [] if parts is None else [p.getPath().toString() for p in parts]
+        raise RuntimeError(f"expected exactly one part file in {tmp}: {found}")
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(parts[0].getPath(), dst):
+        raise RuntimeError(  # pragma: no cover — same-FS rename
+            f"FileSystem.rename({parts[0].getPath()}, {path}) returned false"
+        )
+    fs.delete(HPath(tmp), True)
     return path
 
 

@@ -312,3 +312,25 @@ def test_read_events_micros_branch_unchanged(spark):
         None,
         "false",
     )
+
+
+def test_write_single_file_hadoop_fs_uri(spark, tmp_path):
+    """S9 via the Hadoop FileSystem API: an explicit ``file://`` URI
+    target must produce one readable file (the object-store-shaped path;
+    VERDICT r1 item 4)."""
+    from retail_sales_project_bigdata_spark.sources import write_single_file
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    out = f"file://{tmp_path}/report.parquet"
+    got = write_single_file(df, out)
+    assert got == out
+    import os
+
+    local = str(tmp_path / "report.parquet")
+    assert os.path.isfile(local)
+    assert not os.path.exists(local + "._tmp")
+    back = spark.read.parquet(out)
+    assert sorted(r.k for r in back.collect()) == [0, 1, 2, 3, 4]
+    # overwrite of an existing single file works (delete + rename)
+    write_single_file(spark.range(2).withColumnRenamed("id", "k"), out)
+    assert spark.read.parquet(out).count() == 2

@@ -72,3 +72,17 @@ def test_media_stats_cover_modalities(spark):
     stats = media_stats_by_modality(spark, SF_SMALL).collect()
     assert {r.modality for r in stats} == {"image", "audio", "video"}
     assert sum(r.n_items for r in stats) == 500
+
+
+def test_decode_media_does_not_leak_arrow_conf(spark):
+    """ADVICE r1: the per-media-query Arrow batch clamp must live on the
+    scoped clone session, never on the caller's session."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    from retail_sales_project_bigdata_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    df = decode_media(spark, SF_SMALL)
+    assert df.count() > 0  # action runs under the clone's conf
+    assert spark.conf.get(key) == before
