@@ -31,6 +31,7 @@ from retail_sales_project_bigdata_spark.operators import (
     cleaning,
     datasetops,
     dedup,
+    dunnhumby,
     funnel,
     graph,
     multimodal,
@@ -52,6 +53,7 @@ from retail_sales_project_bigdata_spark.operators import (
 
 _MODULES = [
     cleaning,
+    dunnhumby,
     rfm,
     temporal,
     churn,

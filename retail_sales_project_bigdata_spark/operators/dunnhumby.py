@@ -125,3 +125,140 @@ def clean_transactions(raw: DataFrame) -> DataFrame:
     if "week_no" not in df.columns and "day" in df.columns:
         df = df.withColumn("week_no", week_no("day"))  # :157-162
     return df
+
+
+# ---------------------------------------------------------------------------
+# End-to-end CSV value check (VERDICT r1 item 5): every oracle-checked
+# query above reads parquet; this one runs the FULL S1 path — derive a
+# Dunnhumby-schema frame, WRITE it as CSV, READ it back through
+# read_csv(table="transaction_data") (explicit TRANSACTION_DATA schema),
+# clean it with clean_transactions — and value-checks the result against
+# a DuckDB oracle that performs the same derivation + cleaning directly
+# on the parquet view.  A hash match proves the CSV round-trip
+# (shortest-repr doubles, null-as-empty) and the cleaning semantics of
+# FullPreprocessingPipeline.java:43-162 end to end.
+# ---------------------------------------------------------------------------
+
+_CSV_FIXTURE_ROOT = "/tmp/spark_graft_dunnhumby"
+
+# retail_disc is deliberately NULL when l_discount == 0 so the CSV
+# round-trips a null and fill_numeric's 0.0 imputation is value-checked.
+_DERIVE_COLS = "household_key, basket_id, day, product_id, quantity, sales_value, store_id, retail_disc, trans_time, week_no, coupon_disc, coupon_match_disc"
+
+
+def _derive_transactions(spark, sf_dir: str):
+    """Deterministic Dunnhumby-shaped frame from the lineitem parquet,
+    in exact TRANSACTION_DATA column order (CSV schema is positional)."""
+    from retail_sales_project_bigdata_spark.functions import (
+        day_index,
+        pround,
+        week_no as week_no_fn,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "day", day_index("l_shipdate")
+    )
+    return li.select(
+        (F.col("l_orderkey") % 2500).cast("int").alias("household_key"),
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("day").cast("int").alias("day"),
+        F.col("l_partkey").cast("int").alias("product_id"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        pround(F.col("l_extendedprice") / 100.0, 2).alias("sales_value"),
+        F.col("l_suppkey").cast("int").alias("store_id"),
+        F.when(
+            F.col("l_discount") != 0, pround(-F.col("l_discount") * 100.0, 2)
+        ).alias("retail_disc"),
+        ((F.col("l_linenumber") * 137) % 2400).cast("string").alias(
+            "trans_time"
+        ),
+        week_no_fn("day").alias("week_no"),
+        pround(-F.col("l_tax") * 50.0, 2).alias("coupon_disc"),
+        F.lit(0.0).alias("coupon_match_disc"),
+    )
+
+
+def dunnhumby_clean_csv(spark, sf_dir: str):
+    """S1 value check: CSV write → explicit-schema CSV read →
+    clean_transactions, hash-compared against the pure-SQL oracle."""
+    import os
+
+    from retail_sales_project_bigdata_spark.sources import read_csv
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(_CSV_FIXTURE_ROOT, tag, "transaction_data_csv")
+    _derive_transactions(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    raw = read_csv(spark, path, table="transaction_data")
+    cleaned = clean_transactions(raw)
+    return cleaned.select(
+        "household_key",
+        "basket_id",
+        "day",
+        "product_id",
+        "quantity",
+        "sales_value",
+        "store_id",
+        "retail_disc",
+        "trans_time",
+        "week_no",
+        "coupon_disc",
+        "coupon_match_disc",
+        "net_sales",
+        "unit_price",
+        "discount_rate",
+        "is_discounted",
+    )
+
+
+def _dunnhumby_clean_csv_sql() -> str:
+    from retail_sales_project_bigdata_spark.functions import DAY_EPOCH
+
+    return f"""
+WITH raw AS (
+  SELECT CAST(l_orderkey % 2500 AS INT) AS household_key,
+         l_orderkey AS basket_id,
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1 AS INT) AS day,
+         CAST(l_partkey AS INT) AS product_id,
+         CAST(l_quantity AS INT) AS quantity,
+         ROUND(l_extendedprice / 100.0, 2) AS sales_value,
+         CAST(l_suppkey AS INT) AS store_id,
+         CASE WHEN l_discount <> 0 THEN ROUND(-l_discount * 100.0, 2) END AS retail_disc,
+         CAST((l_linenumber * 137) % 2400 AS VARCHAR) AS trans_time,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+         ROUND(-l_tax * 50.0, 2) + 0.0 AS coupon_disc,  -- +0.0: DuckDB keeps
+         -- ROUND's -0.0 for l_tax = 0 while Spark's round normalizes; IEEE
+         -- -0.0 + 0.0 = +0.0 realigns the sign bit without changing values
+         0.0 AS coupon_match_disc
+  FROM lineitem
+),
+filled AS (
+  SELECT household_key, basket_id, day, product_id, quantity, sales_value,
+         store_id, COALESCE(retail_disc, 0.0) AS retail_disc, trans_time,
+         week_no, coupon_disc, coupon_match_disc
+  FROM raw
+),
+filt AS (
+  SELECT * FROM filled
+  WHERE quantity > 0 AND quantity <= 1000
+    AND sales_value >= 0 AND sales_value <= 1000
+    AND retail_disc BETWEEN -100 AND 100
+)
+SELECT {_DERIVE_COLS},
+       sales_value + retail_disc + coupon_disc + coupon_match_disc AS net_sales,
+       CASE WHEN quantity <> 0 THEN sales_value / quantity ELSE 0.0 END AS unit_price,
+       CASE WHEN sales_value <> 0 THEN -retail_disc / sales_value ELSE 0.0 END AS discount_rate,
+       CASE WHEN retail_disc < 0 THEN 1 ELSE 0 END AS is_discounted
+FROM filt
+"""
+
+
+ORACLES: dict[str, str] = {
+    "dunnhumby_clean_csv": _dunnhumby_clean_csv_sql(),
+}
+
+QUERIES = {
+    "dunnhumby_clean_csv": dunnhumby_clean_csv,
+}

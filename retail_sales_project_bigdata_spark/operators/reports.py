@@ -649,7 +649,55 @@ FROM labeled GROUP BY n_name, type_label
 """
 
 
+def household_penetration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Household penetration per product — distinct buying households over
+    total panel households (completes the reference's named-but-empty
+    ``HouseholdPenetration.java:3-9`` placeholder; VERDICT r1 item 6).
+
+    Scale: lineitem ⋈ orders is the one fact shuffle; the per-product
+    countDistinct is one more (partial-agg'd); the panel-size scalar is a
+    1-row aggregate broadcast back via crossJoin — no driver round-trip.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    per_prod = facts.groupBy(F.col("l_partkey").alias("product_id")).agg(
+        F.countDistinct("o_custkey").alias("n_households")
+    )
+    total = read_table(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_custkey").alias("total_households")
+    )
+    return per_prod.crossJoin(F.broadcast(total)).select(
+        "product_id",
+        "n_households",
+        "total_households",
+        pround(
+            F.col("n_households").cast("double") / F.col("total_households"),
+            6,
+        ).alias("penetration"),
+    )
+
+
+HOUSEHOLD_PENETRATION_SQL = """
+WITH per_prod AS (
+  SELECT l_partkey AS product_id,
+         COUNT(DISTINCT o_custkey) AS n_households
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l_partkey
+),
+total AS (SELECT COUNT(DISTINCT c_custkey) AS total_households FROM customer)
+SELECT product_id, n_households, total_households,
+       ROUND(CAST(n_households AS DOUBLE) / total_households, 6) AS penetration
+FROM per_prod CROSS JOIN total
+"""
+
+
 ORACLES: dict[str, str] = {
+    "household_penetration": HOUSEHOLD_PENETRATION_SQL,
     "nation_top_types_with_others": NATION_TOP_TYPES_WITH_OTHERS_SQL,
     "nation_extreme_customers": NATION_EXTREME_CUSTOMERS_SQL,
     "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
@@ -664,6 +712,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "household_penetration": household_penetration,
     "nation_top_types_with_others": nation_top_types_with_others,
     "nation_extreme_customers": nation_extreme_customers,
     "nation_revenue_share": nation_revenue_share,

@@ -485,7 +485,108 @@ WINDOW w AS (ORDER BY week_no)
 """
 
 
+def weekly_demand_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput twin of :func:`weekly_demand` (VERDICT r1 item 8): the
+    oracle-exact entry pays a per-group ``collect_list`` + sort
+    (``ordered_avg``) purely for cross-engine float determinism — the
+    dominant cost of the query.  Production doesn't need bit-exact
+    DuckDB parity, so this twin uses the plain partial-aggregating
+    ``avg`` (single hash agg, no per-group buffers).  Rows-only for the
+    driver; tests assert value equality to the exact entry within float
+    tolerance, and the bench records the measured speedup in
+    BASELINE.md."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+        .withColumn("net_sales", net_sales())
+        .withColumn(
+            "unit_price", safe_div(F.col("l_extendedprice"), F.col("l_quantity"))
+        )
+        .withColumn(
+            "is_discounted", F.when(F.col("l_discount") > 0, 1).otherwise(0)
+        )
+        .withColumn("campaign_flag", F.when(F.col("l_tax") > 0, 1).otherwise(0))
+    )
+    return li.groupBy(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("product_id"),
+        "week_no",
+    ).agg(
+        F.sum("net_sales").alias("sum_net_sales"),
+        F.sum("l_quantity").alias("sum_quantity"),
+        F.avg("unit_price").alias("avg_unit_price"),
+        F.avg("l_discount").alias("avg_discount_rate"),
+        F.max("is_discounted").alias("any_discounted"),
+        F.max("campaign_flag").alias("any_campaign"),
+    )
+
+
+FORECAST_SEASON_WEEKS = 4  # seasonal-naive lag (a 4-week retail cycle)
+
+
+def demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive demand forecast over the weekly series (completes
+    the reference's named-but-empty ``DemandForecast.java:3-8``
+    placeholder; VERDICT r1 item 6): per (store, product) weekly
+    quantity, the one-step-ahead naive forecast (last week's value) and
+    the seasonal-naive forecast (same week one 4-week cycle back), with
+    in-sample errors — the standard baselines every demand model must
+    beat.
+
+    Scale: one shuffle for the weekly aggregate; the lag windows are
+    partitioned by (store, product) — thousands of small independent
+    series, never a global window.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .withColumn("day", day_index("l_shipdate"))
+        .withColumn("week_no", week_no("day"))
+    )
+    wd = li.groupBy(
+        F.col("l_suppkey").alias("store_id"),
+        F.col("l_partkey").alias("product_id"),
+        "week_no",
+    ).agg(stable_sum("l_quantity").alias("qty"))
+    w = Window.partitionBy("store_id", "product_id").orderBy("week_no")
+    naive = F.lag("qty", 1).over(w)
+    seasonal = F.lag("qty", FORECAST_SEASON_WEEKS).over(w)
+    return wd.select(
+        "store_id",
+        "product_id",
+        "week_no",
+        "qty",
+        naive.alias("forecast_naive"),
+        seasonal.alias("forecast_seasonal"),
+        (F.col("qty") - naive).alias("naive_error"),
+        (F.col("qty") - seasonal).alias("seasonal_error"),
+    )
+
+
+DEMAND_FORECAST_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey AS store_id, l_partkey AS product_id,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}', CAST(l_shipdate AS DATE)) + 1) / 7.0) AS INT) AS week_no,
+         l_quantity
+  FROM lineitem
+),
+wd AS (
+  SELECT store_id, product_id, week_no,
+         {oracle_sum('l_quantity')} AS qty
+  FROM li GROUP BY store_id, product_id, week_no
+)
+SELECT store_id, product_id, week_no, qty,
+       LAG(qty, 1) OVER w AS forecast_naive,
+       LAG(qty, {FORECAST_SEASON_WEEKS}) OVER w AS forecast_seasonal,
+       qty - LAG(qty, 1) OVER w AS naive_error,
+       qty - LAG(qty, {FORECAST_SEASON_WEEKS}) OVER w AS seasonal_error
+FROM wd
+WINDOW w AS (PARTITION BY store_id, product_id ORDER BY week_no)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "demand_forecast": DEMAND_FORECAST_SQL,
     "weekly_revenue_growth": WEEKLY_REVENUE_GROWTH_SQL,
     "weekly_sales_interpolated": WEEKLY_SALES_INTERPOLATED_SQL,
     "weekly_demand": WEEKLY_DEMAND_SQL,
@@ -496,6 +597,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "demand_forecast": demand_forecast,
+    "weekly_demand_fast": weekly_demand_fast,
     "weekly_revenue_growth": weekly_revenue_growth,
     "weekly_sales_interpolated": weekly_sales_interpolated,
     "weekly_demand": weekly_demand,
