@@ -84,15 +84,20 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    import time
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         if name not in oracles:
             n = fn(spark, sf_dir).count()
-            print(f"{name:<28} ROWS-ONLY rows={n}")
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"{name:<28} ROWS-ONLY rows={n}  [{timings[name]}s]")
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -100,13 +105,19 @@ def main() -> int:
             problems = compare(sdf, ddf, name)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
+        timings[name] = round(time.perf_counter() - t0, 3)
         if problems:
             failed.append(name)
-            print(f"{name:<28} FAIL")
+            print(f"{name:<28} FAIL  [{timings[name]}s]")
             for p in problems:
                 print(f"    {p}")
         else:
-            print(f"{name:<28} OK")
+            print(f"{name:<28} OK  [{timings[name]}s]")
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    total = round(sum(timings.values()), 1)
+    print(f"\ngate total {total}s over {len(timings)} queries; slowest:")
+    for n, s in slowest:
+        print(f"    {n:<36} {s}s")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
