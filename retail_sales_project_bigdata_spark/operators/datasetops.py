@@ -237,16 +237,28 @@ FROM b
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sample: top {SAMPLE_PER_STRATUM} docs per
-    ``source`` in md5 order (doc_id tiebreak).  One shuffle on the
-    stratum key; at scale the window's sort is per-stratum, and AQE skew
-    handling covers hot strata."""
-    docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(_doc_hash(), "doc_id")
-    return (
-        docs.withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
-        .select("doc_id", "source", "sample_rank")
+    ``source`` in md5 order (doc_id tiebreak).
+
+    Scale: sources are FEW — a per-source window would sort each whole
+    stratum in one task (AQE splits skewed joins, not windows), so the
+    rank comes from :func:`ranking.grouped_row_number` (range exchange
+    over (source, md5, doc_id) + per-partition local ranks + broadcast
+    per-source offsets): a billion-row stratum spreads across the
+    cluster."""
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
     )
+
+    docs = read_table(spark, sf_dir, "documents")
+    ranked = grouped_row_number(
+        docs.select("doc_id", "source", _doc_hash().alias("_h")),
+        ["source"],
+        [F.asc("_h"), F.asc("doc_id")],
+        "sample_rank",
+    )
+    return ranked.filter(
+        F.col("sample_rank") <= SAMPLE_PER_STRATUM
+    ).select("doc_id", "source", "sample_rank")
 
 
 STRATIFIED_SAMPLE_SQL = f"""
@@ -265,22 +277,32 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing: per ``source`` shard, documents are
     concatenated in deterministic md5 order and cut into
     {CONTEXT_TOKENS}-token windows; each doc reports its start offset and
-    window span.  Window assignment is an exclusive prefix sum — one
-    shuffle on the shard key, no sequential fold, so it scales as a
-    single window aggregation."""
+    window span.  Window assignment is an exclusive prefix sum.
+
+    Scale: shards (sources) are FEW, so the prefix sum uses the
+    distributed two-phase :func:`ranking.grouped_prefix_sum` (range
+    exchange + per-partition running sums + broadcast per-source
+    offsets) — exact for the integer token counts at any split — instead
+    of a per-source window whose whole stratum lands on one task."""
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_prefix_sum,
+    )
+
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "source",
+        _doc_hash().alias("_h"),
         F.size(F.split(F.col("text"), "[ ]+")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(_doc_hash(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
-    out = toks.select("doc_id", "source", "n_tokens", start)
+    out = grouped_prefix_sum(
+        toks,
+        ["source"],
+        [F.asc("_h"), F.asc("doc_id")],
+        "n_tokens",
+        "start_tok",
+        exclusive=True,
+    ).select("doc_id", "source", "n_tokens", "start_tok")
     return out.select(
         "doc_id",
         "source",
@@ -593,23 +615,30 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle the budget (cut-at-doc-boundary semantics: a doc is kept iff
     the budget wasn't already exhausted BEFORE it).
 
-    Scale shape: identical to pack_sequences — one shuffle on the source
-    key, the cutoff is an exclusive prefix sum compared to a constant, no
-    sequential fold and no second pass."""
+    Scale shape: identical to pack_sequences — the cutoff is an exclusive
+    prefix sum compared to a constant, computed with the distributed
+    two-phase :func:`ranking.grouped_prefix_sum` (sources are few; a
+    per-source window would single-task each stratum)."""
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_prefix_sum,
+    )
+
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "source",
+        _doc_hash().alias("_h"),
         F.size(F.split(F.col("text"), "[ ]+")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(_doc_hash(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
     return (
-        toks.withColumn("tokens_before", cum - F.col("n_tokens"))
+        grouped_prefix_sum(
+            toks,
+            ["source"],
+            [F.asc("_h"), F.asc("doc_id")],
+            "n_tokens",
+            "tokens_before",
+            exclusive=True,
+        )
         .filter(F.col("tokens_before") < TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "tokens_before")
     )
@@ -666,10 +695,19 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.col("t") * F.col("weight")).cast("long").alias("quota"),
     )
-    w = Window.partitionBy("lang").orderBy(_doc_hash(), "doc_id")
-    ranked = docs.select(
-        "doc_id", "lang", F.row_number().over(w).alias("mix_rank")
+    # languages are FEW: per-lang ranking goes through the two-phase
+    # grouped formulation (one task per lang would own a billion-row
+    # stratum otherwise — same hazard class as the global windows).
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
     )
+
+    ranked = grouped_row_number(
+        docs.select("doc_id", "lang", _doc_hash().alias("_h")),
+        ["lang"],
+        [F.asc("_h"), F.asc("doc_id")],
+        "mix_rank",
+    ).select("doc_id", "lang", "mix_rank")
     return ranked.join(F.broadcast(quotas), "lang").filter(
         F.col("mix_rank") <= F.col("quota")
     ).select("doc_id", "lang", "mix_rank", "quota")

@@ -41,52 +41,143 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _range_with_pid(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    num_partitions: int | None,
+) -> DataFrame:
+    """Range-partition on (group..., order...) and stamp the partition id.
+
+    The EXPLICIT numPartitions matters: AQE never re-coalesces a
+    user-specified repartition, so ``spark_partition_id()`` is identical
+    across the exchange's multiple consumers (window input + the offsets
+    aggregate) even when the plan does not dedupe them via ReuseExchange.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    keys = [F.asc(c) for c in group_cols] + list(order_cols)
+    return df.repartitionByRange(n_part, *keys).withColumn(
+        "_rr_pid", F.spark_partition_id()
+    )
+
+
+def _grouped_offsets(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Exclusive prefix sum of per-(partition, group) subtotals: for each
+    (pid, group), the sum of subtotals from SAME-group rows in LOWER
+    partitions.  The frame is (#partitions + #group-boundary splits)
+    rows — broadcastable at any data size."""
+    a, b = counts.alias("a"), counts.alias("b")
+    same_group = [
+        F.col(f"b.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
+    ]
+    cond = F.col("b._rr_pid") < F.col("a._rr_pid")
+    for eq in same_group:
+        cond = cond & eq
+    return (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            F.col("a._rr_pid").alias("_rr_pid"),
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        )
+        .agg(F.coalesce(F.sum("b._rr_sub"), F.lit(0)).alias("_rr_offset"))
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based row number per group under a TOTAL per-group ordering,
+    with NO single-task-per-group window.
+
+    ``Window.partitionBy(lang/source/...)`` is only scale-safe when the
+    partition key's cardinality is high; for a handful of strata (five
+    languages, a few dozen sources) each stratum's entire sort lands on
+    ONE task — AQE splits skewed JOINS, not skewed windows.  This
+    formulation range-partitions on (group, order), ranks locally per
+    (range-partition, group), and adds broadcast per-group offsets, so a
+    billion-row stratum spreads over the whole cluster.
+
+    ``order_cols`` must be a total order within each group (unique
+    tiebreak) — same contract as :func:`global_row_number`.
+    """
+    ranged = _range_with_pid(df, group_cols, order_cols, num_partitions)
+    local = ranged.withColumn(
+        "_rr_local",
+        F.row_number().over(
+            Window.partitionBy("_rr_pid", *group_cols).orderBy(*order_cols)
+        ),
+    )
+    counts = ranged.groupBy("_rr_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_rr_sub")
+    )
+    offsets = _grouped_offsets(counts, group_cols)
+    return (
+        local.join(F.broadcast(offsets), ["_rr_pid", *group_cols])
+        .withColumn(out, (F.col("_rr_local") + F.col("_rr_offset")).cast("long"))
+        .drop("_rr_pid", "_rr_local", "_rr_offset")
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    value_col: str,
+    out: str = "prefix_sum",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` per group in ``order_cols`` order —
+    the distributed form of ``sum().over(partitionBy(group).orderBy(...)
+    .rowsBetween(unboundedPreceding, currentRow))`` for LOW-cardinality
+    groups (same hazard and same two-phase fix as
+    :func:`grouped_row_number`).  Exact for integer-valued columns at
+    any split (addition is associative); for doubles the summation order
+    changes with the partitioning, as with any distributed sum.
+    """
+    ranged = _range_with_pid(df, group_cols, order_cols, num_partitions)
+    local = ranged.withColumn(
+        "_rr_local",
+        F.sum(value_col).over(
+            Window.partitionBy("_rr_pid", *group_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sums = ranged.groupBy("_rr_pid", *group_cols).agg(
+        F.sum(value_col).alias("_rr_sub")
+    )
+    offsets = _grouped_offsets(sums, group_cols)
+    cum = F.col("_rr_local") + F.col("_rr_offset")
+    if exclusive:
+        cum = cum - F.col(value_col)
+    return (
+        local.join(F.broadcast(offsets), ["_rr_pid", *group_cols])
+        .withColumn(out, cum)
+        .drop("_rr_pid", "_rr_local", "_rr_offset")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
     out: str = "rn",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """1-based global row number under a TOTAL ordering, no global window.
-
-    ``order_cols`` must define a unique ordering (append a key column as
-    the last sort term); ties straddling a range boundary would otherwise
-    make the local row numbers order-dependent.
+    """1-based global row number under a TOTAL ordering, no global window
+    — the group-less case of :func:`grouped_row_number`.
 
     Plan shape: RangeExchange(order) → partitioned WindowExec(local rn)
     → tiny count-per-partition aggregate → broadcast prefix-sum join.
-    The range exchange is computed once and reused by both consumers
-    (ReuseExchange); the offsets side is (#partitions) rows.
     """
-    spark = df.sparkSession
-    n_part = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "_rr_pid", F.spark_partition_id()
-    )
-    local = ranged.withColumn(
-        "_rr_local",
-        F.row_number().over(
-            Window.partitionBy("_rr_pid").orderBy(*order_cols)
-        ),
-    )
-    counts = local.groupBy("_rr_pid").agg(F.count(F.lit(1)).alias("_rr_cnt"))
-    a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
-        a.join(
-            F.broadcast(b),
-            F.col("b._rr_pid") < F.col("a._rr_pid"),
-            "left",
-        )
-        .groupBy(F.col("a._rr_pid").alias("_rr_pid"))
-        .agg(F.coalesce(F.sum("b._rr_cnt"), F.lit(0)).alias("_rr_offset"))
-    )
-    return (
-        local.join(F.broadcast(offsets), "_rr_pid")
-        .withColumn(out, (F.col("_rr_local") + F.col("_rr_offset")).cast("long"))
-        .drop("_rr_pid", "_rr_local", "_rr_offset")
-    )
+    return grouped_row_number(df, [], order_cols, out, num_partitions)
 
 
 def with_total_count(df: DataFrame, out: str = "_n_total") -> DataFrame:

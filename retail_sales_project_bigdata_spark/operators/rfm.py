@@ -182,9 +182,8 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     still says NTILE); no unpartitioned WindowExec remains
     (asserted in tests/test_plans.py).
     """
-    from pyspark.sql.window import Window
-
     from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
         ntile_from_rn,
         with_total_count,
     )
@@ -215,46 +214,17 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mv"),
     ).select("o_custkey", "_n_total", "mv.metric", "mv.ord")
 
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # explicit numPartitions: AQE never re-coalesces a user-specified
-    # repartition, so spark_partition_id() is consistent across the two
-    # consumers of this exchange (window input + counts).
-    ranged = melted.repartitionByRange(
-        n_part, F.asc("metric"), F.asc("ord"), F.asc("o_custkey")
-    ).withColumn("_pid", F.spark_partition_id())
-    local = ranged.withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid", "metric").orderBy(
-                F.asc("ord"), F.asc("o_custkey")
-            )
-        ),
+    ranked = grouped_row_number(
+        melted,
+        ["metric"],
+        [F.asc("ord"), F.asc("o_custkey")],
+        "_rn",
     )
-    counts = ranged.groupBy("_pid", "metric").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
-    a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
-        a.join(
-            F.broadcast(b),
-            (F.col("b.metric") == F.col("a.metric"))
-            & (F.col("b._pid") < F.col("a._pid")),
-            "left",
-        )
-        .groupBy(F.col("a._pid").alias("_pid"), F.col("a.metric").alias("metric"))
-        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
-    )
-    score = F.lit(6) - ntile_from_rn(
-        F.col("_lrn") + F.col("_offset"), F.col("_n_total"), 5
-    )
-    scores = (
-        local.join(F.broadcast(offsets), ["_pid", "metric"])
-        .groupBy("o_custkey")
-        .agg(
-            F.max(F.when(F.col("metric") == "r", score)).alias("r_score"),
-            F.max(F.when(F.col("metric") == "f", score)).alias("f_score"),
-            F.max(F.when(F.col("metric") == "m", score)).alias("m_score"),
-        )
+    score = F.lit(6) - ntile_from_rn(F.col("_rn"), F.col("_n_total"), 5)
+    scores = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("metric") == "r", score)).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", score)).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", score)).alias("m_score"),
     )
     return (
         base.join(scores, "o_custkey")

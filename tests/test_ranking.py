@@ -64,3 +64,61 @@ def test_rank_is_dense_and_total(spark):
     ranked = global_row_number(df, [F.asc("v"), F.asc("id")], "rn")
     rns = sorted(r.rn for r in ranked.collect())
     assert rns == list(range(1, 501))
+
+
+def test_grouped_helpers_match_spark_windows(spark):
+    """grouped_row_number / grouped_prefix_sum == Spark's own partitioned
+    window functions, element-exact (integer values)."""
+    import random
+
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_prefix_sum,
+        grouped_row_number,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, random.choice(["en", "zh", "es"]), random.random(),
+         random.randint(1, 50))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double, tok long")
+    order = [F.asc("v"), F.asc("id")]
+    w = Window.partitionBy("g").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expect = {
+        r.id: (r.rn, r.cs, r.cs - r.tok)
+        for r in df.select(
+            "id",
+            "tok",
+            F.row_number().over(w).alias("rn"),
+            F.sum("tok").over(wsum).alias("cs"),
+        ).collect()
+    }
+    got_df = grouped_prefix_sum(
+        grouped_row_number(df, ["g"], order, "rn"),
+        ["g"], order, "tok", "cs",
+    )
+    got_df = grouped_prefix_sum(got_df, ["g"], order, "tok", "before",
+                                exclusive=True)
+    got = {r.id: (r.rn, r.cs, r.before) for r in got_df.collect()}
+    assert got == expect
+
+
+def test_stratum_queries_have_no_per_stratum_window(spark):
+    """The low-cardinality-stratum queries must rank/prefix-sum through
+    the two-phase path (window partitioned by the range-partition id),
+    never by the bare stratum key."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        dataset_mixture,
+        pack_sequences,
+        stratified_sample,
+        token_budget_sample,
+    )
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+    from tests.conftest import SF_SMALL
+
+    for q in (stratified_sample, dataset_mixture, pack_sequences,
+              token_budget_sample):
+        plan = physical_plan(q(spark, SF_SMALL))
+        assert "_rr_pid" in plan, q.__name__ + " lost the two-phase path"
