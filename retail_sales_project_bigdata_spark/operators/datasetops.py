@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from retail_sales_project_bigdata_spark.functions import pround
 from retail_sales_project_bigdata_spark.operators.dedup import (
     MINHASH_LSH_PAIRS_SQL,
     minhash_lsh_pairs,
@@ -759,7 +760,209 @@ FROM starts
 """
 
 
+KMV_K = 64  # signature size: k smallest hash values per source
+
+
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice overlap estimation via KMV (k-minimum-values)
+    sketches: per ``source``, the signature is the {KMV_K} smallest
+    md5 hashes of its distinct word-3-gram shingles; for each source
+    pair, the Jaccard estimate is the fraction of the union's k smallest
+    hashes present in both — the mergeable set-similarity sketch used to
+    decide which corpus slices to dedup against each other before paying
+    for MinHash-LSH on the pair.
+
+    Deterministic end to end (md5 order), so the DuckDB oracle checks the
+    ESTIMATE exactly; the exact Jaccard is computed alongside for
+    calibration — at 100 TB you keep only the sketch path (signatures are
+    {KMV_K} values per source, the pair math is driver-trivial) and drop
+    the exact twin.
+
+    Scale: the only corpus-sized work is distinct (source, hash) + the
+    per-source signature, which uses :func:`ranking.grouped_row_number`
+    (sources are few — the two-phase path, not a per-source window).
+    Everything after the signature is (#sources × {KMV_K})-sized.  The
+    per-pair union ranking uses a plain window because each pair's frame
+    is ≤ 2·{KMV_K} rows BY CONSTRUCTION — bounded, not data-sized.
+    """
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
+    )
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select(
+            "source", F.split(F.lower(F.col("text")), "[ ]+").alias("toks")
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("s"),
+        )
+    )
+    dist = sh.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    # five consumers (signature, source list, sizes, both sides of the
+    # exact-intersection join) — persist the distinct hash set once;
+    # it is ~|distinct shingles per source| rows, spill-safe.
+    dist = dist.persist()
+    sig = grouped_row_number(dist, ["source"], [F.asc("h")], "rk").filter(
+        F.col("rk") <= KMV_K
+    )
+    srcs = dist.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+    )
+    cand = sig.select(F.col("source").alias("s"), "h").join(
+        F.broadcast(pairs),
+        (F.col("s") == F.col("s1")) | (F.col("s") == F.col("s2")),
+    )
+    merged = cand.groupBy("s1", "s2", "h").agg(
+        (F.countDistinct("s") == 2).cast("int").alias("in_both")
+    )
+    w_pair = Window.partitionBy("s1", "s2").orderBy("h")
+    topk = merged.withColumn("rk", F.row_number().over(w_pair)).filter(
+        F.col("rk") <= KMV_K
+    )
+    est = topk.groupBy("s1", "s2").agg(
+        pround(F.sum("in_both") / F.count(F.lit(1)), 6).alias("kmv_jaccard"),
+        F.count(F.lit(1)).alias("kmv_denominator"),
+    )
+    sizes = dist.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dist.alias("x")
+        .join(
+            dist.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("s1"), F.col("y.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ex = (
+        pairs.join(inter, ["s1", "s2"], "left")
+        .na.fill(0, ["n_inter"])
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("s1"), F.col("n").alias("n1")
+                )
+            ),
+            "s1",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("s2"), F.col("n").alias("n2")
+                )
+            ),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            pround(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(ex, ["s1", "s2"]).select(
+        F.col("s1").alias("source_a"),
+        F.col("s2").alias("source_b"),
+        "kmv_jaccard",
+        "kmv_denominator",
+        "exact_jaccard",
+    )
+
+
+SOURCE_OVERLAP_KMV_SQL = f"""
+WITH sh AS (
+  SELECT source,
+         unnest(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT source, regexp_split_to_array(lower(text), '[ ]+') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+dist AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+sig AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM dist)
+  WHERE rk <= {KMV_K}
+),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM (SELECT DISTINCT source FROM dist) a
+  JOIN (SELECT DISTINCT source FROM dist) b ON a.source < b.source
+),
+cand AS (
+  SELECT p.s1, p.s2, g.source AS s, g.h
+  FROM sig g JOIN pairs p ON g.source = p.s1 OR g.source = p.s2
+),
+merged AS (
+  SELECT s1, s2, h, CAST(COUNT(DISTINCT s) = 2 AS INT) AS in_both
+  FROM cand GROUP BY s1, s2, h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT s1, s2, h, in_both,
+           ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h) AS rk
+    FROM merged)
+  WHERE rk <= {KMV_K}
+),
+est AS (
+  SELECT s1, s2,
+         ROUND(CAST(SUM(in_both) AS DOUBLE) / COUNT(*), 6) AS kmv_jaccard,
+         CAST(COUNT(*) AS BIGINT) AS kmv_denominator
+  FROM topk GROUP BY s1, s2
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dist GROUP BY source),
+inter AS (
+  SELECT x.source AS s1, y.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM dist x JOIN dist y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT p.s1, p.s2,
+         ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (a.n + b.n - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON p.s1 = i.s1 AND p.s2 = i.s2
+  JOIN sizes a ON a.source = p.s1
+  JOIN sizes b ON b.source = p.s2
+)
+SELECT e.s1 AS source_a, e.s2 AS source_b,
+       e.kmv_jaccard, e.kmv_denominator, x.exact_jaccard
+FROM est e JOIN ex x ON e.s1 = x.s1 AND e.s2 = x.s2
+"""
+
+
 ORACLES: dict[str, str] = {
+    "source_overlap_kmv": SOURCE_OVERLAP_KMV_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "quality_funnel": QUALITY_FUNNEL_SQL,
@@ -775,6 +978,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "source_overlap_kmv": source_overlap_kmv,
     "chunk_documents": chunk_documents,
     "contamination_check": contamination_check,
     "quality_funnel": quality_funnel,

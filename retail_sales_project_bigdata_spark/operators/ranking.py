@@ -49,18 +49,29 @@ def _range_with_pid(
 ) -> DataFrame:
     """Range-partition on (group..., order...) and stamp the partition id.
 
-    The EXPLICIT numPartitions matters: AQE never re-coalesces a
-    user-specified repartition, so ``spark_partition_id()`` is identical
-    across the exchange's multiple consumers (window input + the offsets
-    aggregate) even when the plan does not dedupe them via ReuseExchange.
+    CORRECTNESS-CRITICAL cache boundary: the pid-stamped frame feeds TWO
+    consumers (the local-rank window and the offsets aggregate), and the
+    two MUST agree on every row's partition id.  Without a boundary the
+    plan may duplicate the range exchange per consumer, and each copy
+    re-SAMPLES its bounds — when the input itself comes from a shuffle
+    whose row order/coalescing varies between executions (AQE), the two
+    copies can land rows in different partitions and silently corrupt the
+    offsets (observed: nondeterministic rank misalignment at 32
+    partitions).  ``persist()`` makes the frame ONE InMemoryRelation over
+    ONE exchange, so the bounds are sampled exactly once per action.  The
+    explicit numPartitions additionally keeps AQE from re-coalescing the
+    exchange itself.  Cost: a spill-safe cache of the frame being ranked
+    — the same bytes the shuffle already wrote.
     """
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     keys = [F.asc(c) for c in group_cols] + list(order_cols)
-    return df.repartitionByRange(n_part, *keys).withColumn(
-        "_rr_pid", F.spark_partition_id()
+    return (
+        df.repartitionByRange(n_part, *keys)
+        .withColumn("_rr_pid", F.spark_partition_id())
+        .persist()
     )
 
 

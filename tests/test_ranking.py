@@ -122,3 +122,28 @@ def test_stratum_queries_have_no_per_stratum_window(spark):
               token_budget_sample):
         plan = physical_plan(q(spark, SF_SMALL))
         assert "_rr_pid" in plan, q.__name__ + " lost the two-phase path"
+
+
+def test_range_pid_frame_is_cache_bounded(spark):
+    """Regression (round 2): the pid-stamped range frame MUST be a cache
+    boundary — with the exchange duplicated per consumer, each copy
+    re-samples its range bounds and the offsets silently misalign
+    (observed as nondeterministic rank corruption at 32 partitions).
+    One InMemoryRelation ⇒ one exchange ⇒ one set of bounds."""
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
+    )
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+
+    df = spark.range(2000).withColumn("g", (F.col("id") % 3).cast("string"))
+    ranked = grouped_row_number(df, ["g"], [F.asc("id")], "rn",
+                                num_partitions=32)
+    assert "InMemoryTableScan" in physical_plan(ranked)
+    # ranks stay dense per group across repeated executions
+    for _ in range(2):
+        got = ranked.groupBy("g").agg(
+            F.count("rn").alias("n"), F.max("rn").alias("mx"),
+            F.min("rn").alias("mn"), F.count_distinct("rn").alias("d")
+        ).collect()
+        for r in got:
+            assert (r.mn, r.mx, r.d) == (1, r.n, r.n), r
