@@ -540,6 +540,86 @@ LIMIT {PHRASE_TOP_K}
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+#: Fixed retrieval queries over the synthetic corpus vocabulary — the
+#: decontamination/retrieval probe set (deterministic; change freely).
+BM25_QUERIES = {
+    "q_exec": "hash join shuffle",
+    "q_window": "window sort batch",
+    "q_retail": "customer order data",
+}
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP_K} retrieval for a fixed query set — the
+    lexical-retrieval operator an LLM-data pipeline runs for eval-set
+    decontamination and targeted corpus probes (Okapi BM25, k1={BM25_K1},
+    b={BM25_B}).
+
+    Shape: one explode→(doc, term) aggregate for term frequencies; df and
+    corpus stats are tiny broadcast aggregates; the query set joins as a
+    broadcast so only matching postings survive the scan.  The per-query
+    top-k is a rank window partitioned by q_id — few queries, but Spark
+    plans it as WindowGroupLimit (partial top-k per map task BEFORE the
+    shuffle, asserted in tests), so the q_id stratum never concentrates
+    the corpus on one task.
+
+    Rows-only for the driver: ``ln`` differs across engines in the last
+    ulp; a property test recomputes the scores in pure Python instead.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), "[ ]+").alias("toks")
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    doclens = tf.select("doc_id", "dl").distinct()
+    corpus = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q_terms = spark.createDataFrame(
+        [
+            (q_id, term)
+            for q_id, q in sorted(BM25_QUERIES.items())
+            for term in q.split()
+        ],
+        "q_id string, term string",
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(df_counts.join(F.broadcast(q_terms), "term")
+                          .select("term", "df").distinct()), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("q_id", "doc_id", "rank", pround("score", 6).alias("score"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
@@ -552,6 +632,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "bm25_topk": bm25_topk,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_counts_by_source": token_counts_by_source,

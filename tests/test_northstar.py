@@ -70,3 +70,68 @@ def test_lsh_signature_buckets_partition_corpus(spark):
     assert sigs.count() == 500
     n_buckets = sigs.select("bucket").distinct().count()
     assert 2 <= n_buckets <= 16  # 4 planes → at most 16 buckets
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    """BM25 retrieval: rows-only for the driver (ln differs across
+    engines in the last ulp), so the property test recomputes Okapi BM25
+    in pure Python and checks ranking exactly + scores to 1e-6; the plan
+    must contain WindowGroupLimit (map-side partial top-k — the per-query
+    stratum never concentrates on one task)."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from retail_sales_project_bigdata_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+        bm25_topk,
+    )
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+    from tests.conftest import SF_SMALL
+
+    df = bm25_topk(spark, SF_SMALL)
+    assert "WindowGroupLimit" in physical_plan(df)
+    rows = df.collect()
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    tfs, dls, dfs = {}, {}, Counter()
+    for did, t in docs:
+        c = Counter(t.split())
+        tfs[did], dls[did] = c, sum(c.values())
+        for term in c:
+            dfs[term] += 1
+    n, avgdl = len(docs), sum(dls.values()) / len(docs)
+
+    def expected(q):
+        out = []
+        for did in tfs:
+            s = 0.0
+            for term in q.split():
+                tf = tfs[did].get(term, 0)
+                if not tf:
+                    continue
+                idf = math.log((n - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1)
+                s += idf * (tf * (BM25_K1 + 1)) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * dls[did] / avgdl)
+                )
+            if s > 0:
+                out.append((did, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:BM25_TOP_K]
+
+    got = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.q_id, r.rank)):
+        got[r.q_id].append((r.doc_id, r.score))
+    for q_id, q in BM25_QUERIES.items():
+        exp = expected(q)
+        assert [x[0] for x in got[q_id]] == [x[0] for x in exp], q_id
+        assert all(
+            abs(a[1] - round(b[1], 6)) <= 2e-6
+            for a, b in zip(got[q_id], exp)
+        ), q_id
