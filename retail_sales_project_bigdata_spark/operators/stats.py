@@ -335,7 +335,64 @@ GROUP BY n.n_name
 """
 
 
+DECILE_PROBS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def price_decile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning via BROADCAST BOUNDARIES — the scale pattern that
+    replaces a global NTILE over the fact table: the 9 decile boundaries
+    are ONE tiny aggregate (exact interpolated percentiles over integer
+    cents — the price_outliers_iqr recipe), broadcast back with a
+    crossJoin, and every row's bucket is map-only arithmetic (count of
+    boundaries strictly below the value; ties go to the lower bucket).
+    No sort, no window, no per-row shuffle — the assignment scales as a
+    scan.  Returns the per-decile profile (count, min/max cents).
+
+    Value semantics note: this is VALUE-boundary binning (ties share a
+    bucket), deliberately different from rank-based NTILE (ties split by
+    position) — the variant you want when bucket membership must be a
+    pure function of the value.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("p")
+    )
+    probs = F.array(*[F.lit(q) for q in DECILE_PROBS])
+    bounds = li.agg(F.percentile("p", probs).alias("bs"))
+    assigned = li.crossJoin(F.broadcast(bounds)).select(
+        "p",
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda b: b < F.col("p")))
+        ).alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p").alias("min_cents"),
+        F.max("p").alias("max_cents"),
+    )
+
+
+_DECILE_LIST = ", ".join(str(q) for q in DECILE_PROBS)
+
+PRICE_DECILE_ASSIGNMENTS_SQL = f"""
+WITH base AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p FROM lineitem
+),
+bounds AS (
+  SELECT quantile_cont(p, [{_DECILE_LIST}]) AS bs FROM base
+),
+assigned AS (
+  SELECT p, 1 + len(list_filter(bs, b -> b < p)) AS decile
+  FROM base CROSS JOIN bounds
+)
+SELECT decile, COUNT(*) AS n,
+       MIN(p) AS min_cents, MAX(p) AS max_cents
+FROM assigned GROUP BY decile
+"""
+
+
 ORACLES: dict[str, str] = {
+    "price_decile_assignments": PRICE_DECILE_ASSIGNMENTS_SQL,
     "order_gap_stats": ORDER_GAP_STATS_SQL,
     "sales_stats_by_flag": SALES_STATS_BY_FLAG_SQL,
     "price_outliers_iqr": PRICE_OUTLIERS_IQR_SQL,
@@ -343,6 +400,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "price_decile_assignments": price_decile_assignments,
     "order_gap_stats": order_gap_stats,
     "sales_stats_by_flag": sales_stats_by_flag,
     "price_outliers_iqr": price_outliers_iqr,
