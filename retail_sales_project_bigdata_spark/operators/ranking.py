@@ -97,6 +97,25 @@ def _grouped_offsets(counts: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+def _join_offsets(
+    local: DataFrame, offsets: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join the per-(pid, group) offsets back onto the locally
+    ranked rows.  NULL-SAFE on the group keys: a plain name-equality join
+    would silently DROP every row whose group key is NULL (NULL == NULL
+    is unknown), while ``_grouped_offsets`` deliberately carries NULL
+    groups via ``eqNullSafe`` — the two sides must agree.  ``_rr_pid`` is
+    never null, so it keeps plain equality."""
+    o = offsets
+    for g in ["_rr_pid", *group_cols]:
+        o = o.withColumnRenamed(g, f"_rr_o_{g}")
+    cond = local["_rr_pid"] == o["_rr_o__rr_pid"]
+    for g in group_cols:
+        cond = cond & local[g].eqNullSafe(o[f"_rr_o_{g}"])
+    joined = local.join(F.broadcast(o), cond)
+    return joined.drop(*[f"_rr_o_{g}" for g in ["_rr_pid", *group_cols]])
+
+
 def grouped_row_number(
     df: DataFrame,
     group_cols: list[str],
@@ -130,7 +149,7 @@ def grouped_row_number(
     )
     offsets = _grouped_offsets(counts, group_cols)
     return (
-        local.join(F.broadcast(offsets), ["_rr_pid", *group_cols])
+        _join_offsets(local, offsets, group_cols)
         .withColumn(out, (F.col("_rr_local") + F.col("_rr_offset")).cast("long"))
         .drop("_rr_pid", "_rr_local", "_rr_offset")
     )
@@ -170,7 +189,7 @@ def grouped_prefix_sum(
     if exclusive:
         cum = cum - F.col(value_col)
     return (
-        local.join(F.broadcast(offsets), ["_rr_pid", *group_cols])
+        _join_offsets(local, offsets, group_cols)
         .withColumn(out, cum)
         .drop("_rr_pid", "_rr_local", "_rr_offset")
     )

@@ -620,7 +620,183 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (LLM-pipeline staple): redact emails / phone numbers /
+# IPv4 addresses before training.  The synthetic corpus carries no PII,
+# so both engines INJECT it deterministically from doc_id (same rows,
+# same strings) — the value check then proves the detection counts AND
+# the scrubbed text byte-for-byte.  Patterns stay in the RE2 ∩ Java
+# regex dialect intersection (char classes, bounded repeats, \b).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection + redaction: counts of emails, phone
+    numbers and IPv4 addresses, and the scrubbed text with each match
+    replaced by a typed placeholder.
+
+    Shape: pure per-row ``regexp_count`` / ``regexp_replace`` — map-only,
+    scan-bound, no shuffle, no UDF; at 100 TB this runs at parquet-scan
+    speed.  Replacement order matters (email before IP before phone:
+    an email's host part must not be half-eaten as an IP) and is fixed
+    identically in both engines.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_PHONE_RE),
+        ).alias("n_phones"),
+        scrubbed.alias("clean_text"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                 ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(
+           regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM injected
+"""
+
+
+LOW_INFO_FREQ_THRESHOLD = 500.0  # mean corpus-frequency above ⇒ boilerplate
+
+
+def unigram_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy, ENGINE-EXACT: per document, the mean and
+    minimum CORPUS frequency of its tokens.  The classic filter scores a
+    doc by avg unigram logprob ``avg(ln(cnt/total))``; libm ``ln`` differs
+    across engines in final ulps (same reason tfidf_top_terms avoids it),
+    so this uses the monotone-equivalent rational form: ``sum(cnt)`` and
+    ``min(cnt)`` are exact BIGINT aggregates and the mean is ONE IEEE
+    divide — bit-identical everywhere.  High mean frequency ⇒ common /
+    boilerplate text; low min frequency ⇒ contains rare (possibly noisy)
+    tokens.  Both thresholds are the standard quality-funnel inputs.
+
+    Shape: explode → (token) corpus counts (one hash agg), broadcast-join
+    the counts back onto the exploded pairs, re-aggregate per doc — two
+    shuffles total, partial-agg'd; token-count frame is vocabulary-sized.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    pairs = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        pairs.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+            F.min("cnt").alias("min_freq"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        "min_freq",
+        (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias(
+            "mean_freq"
+        ),
+        (
+            F.col("sum_freq").cast("double") / F.col("n_tokens")
+            > LOW_INFO_FREQ_THRESHOLD
+        )
+        .cast("int")
+        .alias("low_info_flag"),
+    )
+
+
+UNIGRAM_FREQ_SCORES_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{_TOKENIZE}')) AS token
+  FROM documents
+),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY token),
+per_doc AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(c.cnt) AS BIGINT) AS sum_freq,
+         MIN(c.cnt) AS min_freq
+  FROM pairs p JOIN counts c USING (token)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_tokens, sum_freq, min_freq,
+       CAST(sum_freq AS DOUBLE) / n_tokens AS mean_freq,
+       CAST(CAST(sum_freq AS DOUBLE) / n_tokens > {LOW_INFO_FREQ_THRESHOLD}
+            AS INT) AS low_info_flag
+FROM per_doc
+"""
+
+
 ORACLES: dict[str, str] = {
+    "pii_scrub": PII_SCRUB_SQL,
+    "unigram_freq_scores": UNIGRAM_FREQ_SCORES_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
     "token_counts_by_source": TOKEN_COUNTS_BY_SOURCE_SQL,
@@ -633,6 +809,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "pii_scrub": pii_scrub,
+    "unigram_freq_scores": unigram_freq_scores,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_counts_by_source": token_counts_by_source,

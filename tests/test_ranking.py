@@ -147,3 +147,36 @@ def test_range_pid_frame_is_cache_bounded(spark):
         ).collect()
         for r in got:
             assert (r.mn, r.mx, r.d) == (1, r.n, r.n), r
+
+
+def test_grouped_row_number_null_group_keys(spark):
+    """Regression: rows whose GROUP key is NULL must still be ranked.
+    The offsets frame carries NULL groups via eqNullSafe; a plain
+    name-equality offsets join would silently drop every NULL-group row."""
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_prefix_sum,
+        grouped_row_number,
+    )
+
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, (F.col("id") % 2).cast("string")).alias(
+            "g"
+        ),
+        F.lit(1).alias("v"),
+    )
+    ranked = grouped_row_number(df, ["g"], [F.asc("id")], "rn",
+                                num_partitions=8)
+    assert ranked.count() == 300  # nothing dropped
+    nulls = ranked.filter(F.col("g").isNull())
+    n_null = nulls.count()
+    assert n_null == 200
+    stats = nulls.agg(F.min("rn"), F.max("rn"), F.count_distinct("rn")).first()
+    assert tuple(stats) == (1, n_null, n_null)
+
+    summed = grouped_prefix_sum(
+        df, ["g"], [F.asc("id")], "v", "ps", num_partitions=8
+    )
+    assert summed.count() == 300
+    mx = summed.filter(F.col("g").isNull()).agg(F.max("ps")).first()[0]
+    assert mx == n_null
