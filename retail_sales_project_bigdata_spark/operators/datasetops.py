@@ -961,7 +961,75 @@ FROM est e JOIN ex x ON e.s1 = x.s1 AND e.s2 = x.s2
 """
 
 
+# ---------------------------------------------------------------------------
+# JSONL ingestion value check: LLM corpora interchange as JSON Lines, so
+# the engine must round-trip documents through JSONL byte-faithfully
+# (escaping, unicode, nulls).  Mirrors the dunnhumby_clean_csv S1 check:
+# write the documents table as JSONL, read it back with an EXPLICIT
+# schema (schema-on-read, no inference pass over 100 TB), and
+# value-check a per-source digest against a DuckDB oracle computed
+# straight from the parquet — a hash match proves Spark's JSON
+# write+read preserved every text byte and every null.
+# ---------------------------------------------------------------------------
+
+_JSONL_FIXTURE_ROOT = "/tmp/spark_graft_jsonl"
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents → JSONL, read back (explicit schema), digest per
+    source: row count, total chars, and an md5-sum over (doc_id, text) —
+    any lost or altered byte changes the digest.
+
+    Scale: the JSONL write/read are both splittable line-oriented scans;
+    the digest is one partial-agg'd hash aggregate.  (Per-file JSON
+    object-ness is what makes JSONL THE streaming-friendly corpus format
+    — no footer, append-safe, trivially shardable.)"""
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = _os.path.join(_JSONL_FIXTURE_ROOT, tag, "documents_jsonl")
+    read_table(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+    back = spark.read.schema(DOCUMENTS_JSONL_SCHEMA).json(path)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("\x01"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.sum(digest).alias("content_digest"),
+    )
+
+
+DOCUMENTS_JSONL_ROUNDTRIP_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       CAST(SUM(CAST(('0x' || substring(
+           md5(CAST(doc_id AS VARCHAR) || chr(1) || COALESCE(text, '')), 1, 8)) AS BIGINT))
+         AS BIGINT) AS content_digest
+FROM documents GROUP BY source
+"""
+
+
 ORACLES: dict[str, str] = {
+    "documents_jsonl_roundtrip": DOCUMENTS_JSONL_ROUNDTRIP_SQL,
     "source_overlap_kmv": SOURCE_OVERLAP_KMV_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
@@ -978,6 +1046,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "documents_jsonl_roundtrip": documents_jsonl_roundtrip,
     "source_overlap_kmv": source_overlap_kmv,
     "chunk_documents": chunk_documents,
     "contamination_check": contamination_check,

@@ -695,7 +695,150 @@ GROUP BY label, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster the embedding space, then
+# near-dup ONLY within clusters — the shape that turns the O(n²) pair
+# space into sum-of-squared-cluster-sizes (the entire point of
+# cluster-then-dedup at 100 TB).  Fully deterministic and oracle-exact:
+# pivots are the NUM_PIVOTS vectors with the smallest md5(vec_id)
+# (engine-portable hash order, no seeded kmeans), assignment is exact
+# rounded cosine with pivot-id tie-break, and the survivor rule is
+# greedy-by-id: a vector is dropped iff a LOWER-id vector in its cluster
+# is ≥ SEMDEDUP_COS similar.
+# ---------------------------------------------------------------------------
+
+NUM_PIVOTS = 16
+SEMDEDUP_COS = 0.4  # synthetic corpus: exercises the drop path (max pair cos ~0.49)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-dedup over the embedding corpus (SemDeDup shape).
+
+    Returns one row per vector: (vec_id, cluster, n_dups_below,
+    is_survivor).
+
+    Scale: pivot selection is a tiny top-K by hash (broadcastable at any
+    corpus size when NUM_PIVOTS scales as n / target-cluster-size);
+    assignment is corpus × broadcast-pivots — linear, map-only after the
+    broadcast; the near-dup self-join is shuffled on ``cluster`` so each
+    task owns whole (bounded) clusters and the pair space is
+    Σ|cluster|², not n².  Skewed clusters are the known failure mode —
+    production re-splits oversized clusters (recursive pivoting), which
+    preserves these semantics.
+    """
+    vecs = _vectors(spark, sf_dir)
+    pivots = (
+        vecs.select(
+            F.col("vec_id").alias("p_id"),
+            F.col("v").alias("p_v"),
+            F.col("norm").alias("p_norm"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy(F.asc("_h"), F.asc("p_id"))
+        .limit(NUM_PIVOTS)
+        .drop("_h")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(pivots))
+        .withColumn(
+            "cos_p",
+            pround(
+                _dot_expr("v", "p_v") / (F.col("norm") * F.col("p_norm")), 6
+            ),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos_p"), F.asc("p_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "v", "norm", F.col("p_id").alias("cluster"))
+    )
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    dup_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_ab",
+            pround(
+                _dot_expr("v_a", "v_b") / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_ab") >= SEMDEDUP_COS)
+    )
+    dups_below = dup_pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_dups_below")
+    )
+    return (
+        assigned.join(dups_below, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("n_dups_below"), F.lit(0)).alias("n_dups_below"),
+            (F.coalesce(F.col("n_dups_below"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("is_survivor"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+),
+pivots AS (
+  SELECT vec_id AS p_id, v AS p_v, norm AS p_norm
+  FROM vecs
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT {NUM_PIVOTS}
+),
+assigned AS (
+  SELECT vec_id, v, norm, p_id AS cluster
+  FROM (
+    SELECT c.vec_id, c.v, c.norm, p.p_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ROUND(list_dot_product(c.v, p.p_v) / (c.norm * p.p_norm), 6) DESC,
+                      p.p_id ASC) AS _rk
+    FROM vecs c CROSS JOIN pivots p
+  ) WHERE _rk = 1
+),
+dup_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= {SEMDEDUP_COS}
+),
+dups_below AS (
+  SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups_below
+  FROM dup_pairs GROUP BY id_b
+)
+SELECT s.vec_id, s.cluster,
+       COALESCE(d.n_dups_below, 0) AS n_dups_below,
+       CAST(COALESCE(d.n_dups_below, 0) = 0 AS INT) AS is_survivor
+FROM assigned s LEFT JOIN dups_below d ON s.vec_id = d.vec_id
+"""
+
+
 ORACLES: dict[str, str] = {
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
@@ -707,6 +850,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "semantic_dedup": semantic_dedup,
     "ann_pq_topk": ann_pq_topk,
     "embedding_centroids": embedding_centroids,
     "ann_bruteforce_topk": ann_bruteforce_topk,

@@ -135,3 +135,43 @@ def test_bm25_topk_matches_pure_python(spark):
             abs(a[1] - round(b[1], 6)) <= 2e-6
             for a, b in zip(got[q_id], exp)
         ), q_id
+
+
+def test_semantic_dedup_contract(spark):
+    """Cluster-then-dedup invariants: full coverage (every vector gets a
+    row), clusters come from the pivot set, and the survivor rule is
+    greedy-by-id (a dropped vector always has a LOWER-id near-dup in its
+    own cluster — so per cluster the minimum id always survives)."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        NUM_PIVOTS,
+        semantic_dedup,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = semantic_dedup(spark, SF_SMALL).collect()
+    assert len(out) == len({r.vec_id for r in out})
+    assert len({r.cluster for r in out}) <= NUM_PIVOTS
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        min_id = min(r.vec_id for r in rows)
+        for r in rows:
+            if r.vec_id == min_id:
+                assert r.is_survivor == 1, r  # lowest id never drops
+            assert (r.n_dups_below == 0) == (r.is_survivor == 1), r
+
+
+def test_documents_jsonl_roundtrip_counts(spark):
+    """JSONL write→read digest has one row per source and covers every
+    document (sum of per-source counts == table count)."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        documents_jsonl_roundtrip,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+    from tests.conftest import SF_SMALL
+
+    out = documents_jsonl_roundtrip(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    assert len({r.source for r in out}) == len(out)
