@@ -238,6 +238,44 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — THE physical design for repeated
+    co-located joins/aggregations on the same key at 100 TB.
+
+    ``bucketBy(N, key)`` hash-partitions rows into N files per
+    partition-dir and records the bucketing in the catalog; a later join
+    or groupBy on the bucket key reads both sides ALREADY co-partitioned
+    — Catalyst elides the Exchange entirely (plan-asserted in
+    tests/test_colutils_and_io.py), turning every subsequent
+    fact-to-fact join on that key from a full shuffle into a zip of
+    matching buckets.  ``sortBy`` additionally pre-sorts within buckets
+    so sort-merge joins skip their sort.  Pick N ≈ (table size /
+    target-partition-size) at the LARGEST expected scale — buckets are
+    fixed at write time and too-few buckets caps join parallelism.
+
+    Spark requires ``saveAsTable`` (catalog metadata carries the
+    bucketing contract); plain ``.save(path)`` with bucketBy throws.
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    writer = (
+        df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols is not None:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning properties as parquet
     (Spark's second first-class columnar format; some warehouses land

@@ -334,3 +334,44 @@ def test_write_single_file_hadoop_fs_uri(spark, tmp_path):
     # overwrite of an existing single file works (delete + rename)
     write_single_file(spark.range(2).withColumnRenamed("id", "k"), out)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_bucketed_join_elides_exchange(spark):
+    """Co-located bucketed join: writing both sides bucketed on the join
+    key must let Catalyst plan the join with NO Exchange on either side
+    (the physical design that removes the repeated-join shuffle at
+    100 TB), and sortBy buckets feed SortMergeJoin without extra Sort of
+    a shuffle."""
+    from retail_sales_project_bigdata_spark.sources import write_bucketed
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("b")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(left, "t_bkt_left", "k", num_buckets=8, sort_cols="k")
+        write_bucketed(right, "t_bkt_right", "k", num_buckets=8, sort_cols="k")
+        # tiny test tables would be broadcast (bucketing "disabled by
+        # query planner"); force the shuffle-join regime the design
+        # targets — two FACT-sized sides.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("t_bkt_left")
+            .join(spark.table("t_bkt_right"), "k")
+            .select("k", "a", "b")
+        )
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 500
+        # same-key aggregation also rides the bucketing, shuffle-free
+        agg = spark.table("t_bkt_left").groupBy("k").agg(F.sum("a"))
+        assert "Exchange" not in physical_plan(agg), physical_plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
