@@ -233,3 +233,29 @@ def test_unpartitioned_window_assertion_detects(spark):
 
     with pytest.raises(AssertionError):
         assert_no_unpartitioned_window(df)
+
+
+def test_new_northstar_paths_stay_jvm_side(spark):
+    """Round-2 additions keep the relational discipline: no Python eval,
+    no cartesian, and pii_scrub stays a pure map (zero exchanges)."""
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        documents_jsonl_roundtrip,
+    )
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from retail_sales_project_bigdata_spark.operators.textstats import (
+        pii_scrub,
+        unigram_freq_scores,
+    )
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+
+    for q in (semantic_dedup, pii_scrub, unigram_freq_scores,
+              documents_jsonl_roundtrip):
+        df = q(spark, SF_SMALL)
+        assert_no_python_eval(df)
+        assert_no_cartesian(df)
+    # map-only: no KEY shuffle (fan_out may add a round-robin exchange on
+    # the unsplittable single-row-group test parquet — a scan-parallelism
+    # guard, not part of the operator's shape)
+    assert "hashpartitioning" not in physical_plan(pii_scrub(spark, SF_SMALL))
