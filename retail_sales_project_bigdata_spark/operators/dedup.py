@@ -510,7 +510,112 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DISTANCE}
 """
 
 
+# ---------------------------------------------------------------------------
+# Passage-level duplication (exact-substring dedup, Spark-shaped): the
+# suffix-array substring dedup of Lee et al. ("Deduplicating Training
+# Data Makes Language Models Better") detects VERBATIM passages shared
+# across documents — a different signal from whole-doc near-dup.  The
+# distributable form: fixed-width word windows (width PASSAGE_W, stride
+# PASSAGE_STRIDE) → window string → count distinct docs per window →
+# per-doc duplicated-window fraction.  Window extraction is a per-row
+# array transform (map-only); the corpus-wide window count is ONE hash
+# aggregate on the window hash — at 100 TB you aggregate 16-byte hashes,
+# never the passage text.
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 8
+PASSAGE_STRIDE = 4
+PASSAGE_DUP_FLAG = 0.5  # flag docs with most content duplicated elsewhere
+
+
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-passage duplication profile: window count,
+    windows also present in ≥1 OTHER document, duplicated fraction, and
+    a flag above {PASSAGE_DUP_FLAG}.
+
+    Shape: transform+explode (narrow) → md5 per window → groupBy hash
+    with a 2-doc-distinct count (partial-agg'd) → broadcast-size? no —
+    the dup-window set can be corpus-sized, so it re-joins by hash
+    (shuffle on a 16-byte key) and re-aggregates per doc.  Two shuffles
+    total, both on compact keys.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), "[ ]+").alias("toks")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(toks) - {PASSAGE_W},"
+                f" 0), {PASSAGE_STRIDE}),"
+                f" i -> array_join(slice(toks, i + 1, {PASSAGE_W}), ' '))"
+            )
+        ).alias("passage"),
+    ).select("doc_id", F.md5(F.col("passage")).alias("h"))
+    # distinct (doc, window) first: a window repeated INSIDE one doc is
+    # self-repetition (doc_repetition_stats' job), not cross-doc dup.
+    doc_wins = wins.distinct()
+    shared = (
+        doc_wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+        .filter(F.col("n_docs_with") >= 2)
+    )
+    per_doc = (
+        doc_wins.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("n_docs_with").alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        (
+            F.col("n_dup_windows").cast("double") / F.col("n_windows")
+        ).alias("dup_fraction"),
+        (
+            F.col("n_dup_windows").cast("double") / F.col("n_windows")
+            > PASSAGE_DUP_FLAG
+        )
+        .cast("int")
+        .alias("mostly_duplicated"),
+    )
+
+
+DUPLICATE_PASSAGES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[ ]+') AS toks
+  FROM documents
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i + 1 : i + {PASSAGE_W}], ' ')) AS h
+  FROM toks,
+       unnest(range(0, greatest(len(toks) - {PASSAGE_W}, 0) + 1,
+                    {PASSAGE_STRIDE})) AS t(i)
+),
+shared AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+),
+per_doc AS (
+  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(COUNT(s.h) AS BIGINT) AS n_dup_windows
+  FROM wins w LEFT JOIN shared s ON w.h = s.h
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       CAST(n_dup_windows AS DOUBLE) / n_windows AS dup_fraction,
+       CAST(CAST(n_dup_windows AS DOUBLE) / n_windows > {PASSAGE_DUP_FLAG}
+            AS INT) AS mostly_duplicated
+FROM per_doc
+"""
+
+
 ORACLES: dict[str, str] = {
+    "duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
     "incremental_dedup_new_docs": INCREMENTAL_DEDUP_NEW_DOCS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -521,6 +626,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "duplicate_passages": duplicate_passages,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "incremental_dedup_new_docs": incremental_dedup_new_docs,
     "dedup_exact": dedup_exact,
