@@ -794,7 +794,111 @@ FROM per_doc
 """
 
 
+NGRAM_LM_TOP_SUCCESSORS = 5
+
+
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based n-gram LM successor tables (KenLM-shaped): for every
+    bigram and trigram context, the top-{NGRAM_LM_TOP_SUCCESSORS} next
+    tokens by count with the context total — the raw material for
+    count-LM scoring, perplexity-proxy filtering, and completion-bias
+    audits of a corpus.
+
+    Shape: n-gram construction is a per-row ``zip_with``/``slice`` array
+    transform (narrow, no shuffle); counting is ONE partial+final hash
+    agg per order; the successor rank window partitions by (n, context)
+    — corpus-cardinality key, and Spark plans the rank-filter as
+    WindowGroupLimit (partial top-k before the shuffle).  At 100 TB the
+    context tables are the hash-agg output, never positional joins.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks_df = docs.select(_tokens().alias("toks"))
+    bi = toks_df.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a as ctx, b as nxt))"
+            )
+        ).alias("g")
+    ).select(F.lit(2).alias("n"), "g.ctx", "g.nxt")
+    tri = (
+        toks_df.filter(F.size("toks") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> struct(concat(toks[i], ' ', toks[i + 1]) as ctx,"
+                    " toks[i + 2] as nxt))"
+                )
+            ).alias("g")
+        )
+        .select(F.lit(3).alias("n"), "g.ctx", "g.nxt")
+    )
+    counts = (
+        bi.unionByName(tri)
+        .groupBy("n", "ctx", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("n", "ctx").orderBy(F.desc("cnt"), F.asc("nxt"))
+    ctx_tot = counts.groupBy("n", "ctx").agg(
+        F.sum("cnt").alias("ctx_total")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NGRAM_LM_TOP_SUCCESSORS)
+        .join(ctx_tot, ["n", "ctx"])
+        .select(
+            "n",
+            "ctx",
+            "nxt",
+            "cnt",
+            "ctx_total",
+            "rank",
+            (F.col("cnt").cast("double") / F.col("ctx_total")).alias(
+                "cond_prob"
+            ),
+        )
+    )
+
+
+NGRAM_LM_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), '{_TOKENIZE}') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT 2 AS n, toks[i] AS ctx, toks[i + 1] AS nxt
+  FROM toks, unnest(range(1, len(toks))) AS t(i)
+),
+tri AS (
+  SELECT 3 AS n, toks[i] || ' ' || toks[i + 1] AS ctx, toks[i + 2] AS nxt
+  FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+),
+counts AS (
+  SELECT n, ctx, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT * FROM bi UNION ALL SELECT * FROM tri)
+  GROUP BY n, ctx, nxt
+),
+ctx_tot AS (
+  SELECT n, ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_total
+  FROM counts GROUP BY n, ctx
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY n, ctx ORDER BY cnt DESC, nxt ASC) AS rank
+  FROM counts
+)
+SELECT r.n, r.ctx, r.nxt, r.cnt, c.ctx_total, CAST(r.rank AS INT) AS rank,
+       CAST(r.cnt AS DOUBLE) / c.ctx_total AS cond_prob
+FROM ranked r JOIN ctx_tot c ON r.n = c.n AND r.ctx = c.ctx
+WHERE r.rank <= {NGRAM_LM_TOP_SUCCESSORS}
+"""
+
+
 ORACLES: dict[str, str] = {
+    "ngram_lm_counts": NGRAM_LM_COUNTS_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "unigram_freq_scores": UNIGRAM_FREQ_SCORES_SQL,
     "text_quality": TEXT_QUALITY_SQL,
@@ -809,6 +913,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "ngram_lm_counts": ngram_lm_counts,
     "pii_scrub": pii_scrub,
     "unigram_freq_scores": unigram_freq_scores,
     "text_quality": text_quality,

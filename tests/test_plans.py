@@ -259,3 +259,16 @@ def test_new_northstar_paths_stay_jvm_side(spark):
     # the unsplittable single-row-group test parquet — a scan-parallelism
     # guard, not part of the operator's shape)
     assert "hashpartitioning" not in physical_plan(pii_scrub(spark, SF_SMALL))
+
+
+def test_ngram_lm_counts_partial_topk(spark):
+    """The successor rank must plan as WindowGroupLimit (map-side partial
+    top-k before the shuffle) and stay JVM-side."""
+    from retail_sales_project_bigdata_spark.operators.textstats import (
+        ngram_lm_counts,
+    )
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+
+    df = ngram_lm_counts(spark, SF_SMALL)
+    assert "WindowGroupLimit" in physical_plan(df)
+    assert_no_python_eval(df)
