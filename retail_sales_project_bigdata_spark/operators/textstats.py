@@ -897,7 +897,60 @@ WHERE r.rank <= {NGRAM_LM_TOP_SUCCESSORS}
 """
 
 
+POSTINGS_CAP = 20  # stored doc ids per term (df keeps the true count)
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index over the corpus: per term, document
+    frequency, total term frequency, and the first {POSTINGS_CAP} doc
+    ids in ascending order as a comma-joined postings preview (the full
+    postings list would be the uncapped variant; df carries the true
+    size so consumers can detect truncation).
+
+    Shape: explode → (term, doc) count (hash agg) → per-term aggregate.
+    The postings string uses sort_array(collect_set(...)) so both
+    engines order identically; per-term state is bounded by the CAP via
+    the slice.  At 100 TB an uncapped postings column is the classic
+    skew bomb (stopword terms collect the whole corpus) — the cap, with
+    df alongside, is the production contract; a positional index would
+    partition postings by (term, doc-range) instead.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    pairs = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    td = pairs.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.sort_array(F.collect_set("doc_id")), 1, POSTINGS_CAP
+            ).cast("array<string>"),
+        ).alias("postings_head"),
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{_TOKENIZE}')) AS term
+  FROM documents
+),
+td AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY term, doc_id
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       array_to_string(
+         list_sort(list(DISTINCT doc_id))[1 : {POSTINGS_CAP}], ',') AS postings_head
+FROM td GROUP BY term
+"""
+
+
 ORACLES: dict[str, str] = {
+    "inverted_index": INVERTED_INDEX_SQL,
     "ngram_lm_counts": NGRAM_LM_COUNTS_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "unigram_freq_scores": UNIGRAM_FREQ_SCORES_SQL,
@@ -913,6 +966,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "inverted_index": inverted_index,
     "ngram_lm_counts": ngram_lm_counts,
     "pii_scrub": pii_scrub,
     "unigram_freq_scores": unigram_freq_scores,
