@@ -468,7 +468,79 @@ FROM cells
 """
 
 
+def coupon_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coupon-first-purchase analysis — completes the reference's
+    named-but-empty ``CouponFirstPurchase.java:3-8`` placeholder: does a
+    discount on a customer's FIRST purchase of a product correlate with
+    repurchasing it?  Cohorts pairs by whether the first purchase day
+    carried a discount (l_discount > 0 is the promo proxy, as in
+    promo_day_flags) and reports each cohort's repurchase rate.
+
+    Shape: one fact⋈fact shuffle (lineitem ⋈ orders on orderkey), then
+    TWO stacked hash aggregates on the same (custkey, partkey) grain —
+    per-day collapse first (makes day unique per pair, so ``min_by`` is
+    deterministic), then per-pair firsts — and a 2-row cohort rollup.
+    No windows, no skew-prone keys.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_discount")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", day_index("o_orderdate").alias("day")
+    )
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey",
+        "l_partkey",
+        "day",
+        F.when(F.col("l_discount") > 0, 1).otherwise(0).alias("is_disc"),
+    )
+    per_day = facts.groupBy("o_custkey", "l_partkey", "day").agg(
+        F.max("is_disc").alias("day_disc")
+    )
+    per_pair = per_day.groupBy("o_custkey", "l_partkey").agg(
+        F.min("day").alias("first_day"),
+        F.min_by("day_disc", "day").alias("first_disc"),
+        (F.count(F.lit(1)) > 1).cast("int").alias("repurchased"),
+    )
+    return per_pair.groupBy(
+        F.col("first_disc").alias("first_purchase_discounted")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("repurchased").alias("n_repurchased"),
+        (
+            F.sum("repurchased").cast("double") / F.count(F.lit(1))
+        ).alias("repurchase_rate"),
+    )
+
+
+COUPON_FIRST_PURCHASE_SQL = f"""
+WITH facts AS (
+  SELECT o.o_custkey, l.l_partkey,
+         CAST(datediff('day', DATE '{DAY_EPOCH}', CAST(o.o_orderdate AS DATE)) + 1 AS INT) AS day,
+         CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END AS is_disc
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_day AS (
+  SELECT o_custkey, l_partkey, day, MAX(is_disc) AS day_disc
+  FROM facts GROUP BY o_custkey, l_partkey, day
+),
+per_pair AS (
+  SELECT o_custkey, l_partkey,
+         MIN(day) AS first_day,
+         arg_min(day_disc, day) AS first_disc,
+         CAST(COUNT(*) > 1 AS INT) AS repurchased
+  FROM per_day GROUP BY o_custkey, l_partkey
+)
+SELECT first_disc AS first_purchase_discounted,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(repurchased) AS BIGINT) AS n_repurchased,
+       CAST(SUM(repurchased) AS DOUBLE) / COUNT(*) AS repurchase_rate
+FROM per_pair GROUP BY first_disc
+"""
+
+
 ORACLES: dict[str, str] = {
+    "coupon_first_purchase": COUPON_FIRST_PURCHASE_SQL,
     "first_purchases": FIRST_PURCHASES_SQL,
     "promo_day_flags": PROMO_DAY_FLAGS_SQL,
     "repurchase_labels": REPURCHASE_LABELS_SQL,
@@ -479,6 +551,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "coupon_first_purchase": coupon_first_purchase,
     "first_purchases": first_purchases,
     "promo_day_flags": promo_day_flags,
     "repurchase_labels": repurchase_labels,
