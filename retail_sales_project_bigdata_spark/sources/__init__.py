@@ -238,6 +238,70 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    keys: str | list[str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout (CLUSTER BY / Z-order-lite): rows
+    are range-partitioned on ``keys`` and sorted within each partition,
+    so every output file covers a DISJOINT key range and its parquet
+    row-group min/max statistics become file-level prune filters — a
+    point or range predicate on the layout key skips all but ~1 file at
+    any table size.  This is the write-side half of data-skipping:
+    bucketing co-locates JOIN keys; range layout localizes RANGE
+    predicates (time, id prefixes).  Disjointness is asserted in
+    tests/test_colutils_and_io.py.
+
+    num_files should target the production file-size sweet spot
+    (~128 MB-1 GB per file); it fixes write parallelism, not read —
+    readers still split files by row group.
+    """
+    cols = [keys] if isinstance(keys, str) else list(keys)
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_rows_per_file: int
+) -> int:
+    """Small-files compaction — the table-maintenance op every streaming
+    / incremental sink needs at scale (thousands of kilobyte files turn
+    scans into a metadata/open() benchmark).  Rewrites the dataset into
+    ``ceil(rows / target_rows_per_file)`` files via a round-robin
+    repartition (no key skew possible), staging to a sibling temp dir
+    and swapping via the Hadoop FileSystem API so readers never see a
+    half-written directory.  Returns the new file count.
+
+    At 100 TB you'd compact per PARTITION directory (bounded rewrite
+    amplification) on a schedule keyed to small-file counts; the
+    per-directory primitive is exactly this function.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    dst = HPath(path)
+    fs = dst.getFileSystem(hconf)
+    fs.delete(dst, True)
+    if not fs.rename(HPath(tmp), dst):  # pragma: no cover — same-FS rename
+        raise RuntimeError(f"rename({tmp}, {path}) returned false")
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

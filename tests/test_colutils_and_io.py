@@ -375,3 +375,51 @@ def test_bucketed_join_elides_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bkt_left")
         spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_range_layout_files_are_disjoint(spark, tmp_path):
+    """Every file of a range layout must cover a disjoint key range (the
+    property that makes parquet min/max stats file-level prune filters),
+    and the layout must preserve the data."""
+    import glob
+
+    from retail_sales_project_bigdata_spark.sources import write_range_layout
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "ranged")
+    write_range_layout(df, out, "k", num_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    parts = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(parts) >= 4  # range partitioner may merge sparse bounds
+    spans = []
+    for p in parts:
+        row = spark.read.parquet(p).agg(F.min("k"), F.max("k")).first()
+        if row[0] is not None:
+            spans.append((row[0], row[1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # disjoint, ordered ranges
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction must shrink the file count to the target and keep the
+    data byte-identical; the directory swap leaves no temp residue."""
+    import glob
+    import os
+
+    from retail_sales_project_bigdata_spark.sources import compact_small_files
+
+    out = str(tmp_path / "frag")
+    df = spark.range(5_000).select(F.col("id"), (F.col("id") % 13).alias("g"))
+    df.repartition(64).write.parquet(out)  # the small-files mess
+    assert len(glob.glob(out + "/part-*.parquet")) == 64
+    n_files = compact_small_files(spark, out, target_rows_per_file=1_000)
+    assert n_files == 5
+    assert len(glob.glob(out + "/part-*.parquet")) == 5
+    assert not os.path.exists(out + "._compact_tmp")
+    back = spark.read.parquet(out)
+    assert back.count() == 5_000
+    assert back.agg(F.sum("id")).first()[0] == 5_000 * 4_999 // 2
