@@ -498,7 +498,6 @@ def coupon_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("is_disc").alias("day_disc")
     )
     per_pair = per_day.groupBy("o_custkey", "l_partkey").agg(
-        F.min("day").alias("first_day"),
         F.min_by("day_disc", "day").alias("first_disc"),
         (F.count(F.lit(1)) > 1).cast("int").alias("repurchased"),
     )
@@ -526,7 +525,6 @@ per_day AS (
 ),
 per_pair AS (
   SELECT o_custkey, l_partkey,
-         MIN(day) AS first_day,
          arg_min(day_disc, day) AS first_disc,
          CAST(COUNT(*) > 1 AS INT) AS repurchased
   FROM per_day GROUP BY o_custkey, l_partkey

@@ -987,11 +987,23 @@ def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the JSONL write/read are both splittable line-oriented scans;
     the digest is one partial-agg'd hash aggregate.  (Per-file JSON
     object-ness is what makes JSONL THE streaming-friendly corpus format
-    — no footer, append-safe, trivially shardable.)"""
+    — no footer, append-safe, trivially shardable.)
+
+    Contract note: like ``dunnhumby_clean_csv``, this entry EAGERLY
+    writes its fixture at build time (the write must precede the
+    read-back the returned plan describes) — the one deliberate
+    exception to the lazy-plan-builder convention, made for the two
+    round-trip value checks only."""
     import os as _os
 
+    # pid-scoped path: bench/gate/pytest may run as CONCURRENT processes
+    # over the same sf (BASELINE.md's fresh-process bench protocol); a
+    # shared fixture dir would let one process overwrite files another is
+    # scanning.
     tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = _os.path.join(_JSONL_FIXTURE_ROOT, tag, "documents_jsonl")
+    path = _os.path.join(
+        _JSONL_FIXTURE_ROOT, f"{tag}-{_os.getpid()}", "documents_jsonl"
+    )
     read_table(spark, sf_dir, "documents").write.mode("overwrite").json(path)
     back = spark.read.schema(DOCUMENTS_JSONL_SCHEMA).json(path)
     digest = F.conv(

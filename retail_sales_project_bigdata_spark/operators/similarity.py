@@ -756,6 +756,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_rk") == 1)
         .select("vec_id", "v", "norm", F.col("p_id").alias("cluster"))
+        # the assignment (cross-join + per-vector rank, the dominant
+        # stage) feeds THREE consumers (both self-join sides and the
+        # final labels join) — persist so one action computes it once.
+        .persist()
     )
     a = assigned.select(
         "cluster",

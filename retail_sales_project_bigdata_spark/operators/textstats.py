@@ -675,23 +675,18 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("raw"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
-            PII_IPV4_RE,
-            "<IP>",
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    # Counts are taken on the SAME progressively-scrubbed string the
+    # replacement chain uses, so each count equals the number of its
+    # placeholder in clean_text (an IP inside an email host counts as
+    # part of the email, never double-counts as an IP).
+    after_email = F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
     return injected.select(
         "doc_id",
         F.regexp_count(F.col("raw"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(F.col("raw"), F.lit(PII_IPV4_RE)).alias("n_ips"),
-        F.regexp_count(
-            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
-            F.lit(PII_PHONE_RE),
-        ).alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).alias("n_phones"),
         scrubbed.alias("clean_text"),
     )
 
@@ -713,16 +708,18 @@ WITH injected AS (
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(raw, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(
-           regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-           '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-           '{PII_IPV4_RE}', '<IP>', 'g'),
-         '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
-FROM injected
+       CAST(len(regexp_extract_all(after_email, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ip, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(after_ip, '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM (
+  SELECT doc_id, raw, after_email,
+         regexp_replace(after_email, '{PII_IPV4_RE}', '<IP>', 'g') AS after_ip
+  FROM (
+    SELECT doc_id, raw,
+           regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS after_email
+    FROM injected
+  )
+)
 """
 
 
@@ -740,9 +737,12 @@ def unigram_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate text; low min frequency ⇒ contains rare (possibly noisy)
     tokens.  Both thresholds are the standard quality-funnel inputs.
 
-    Shape: explode → (token) corpus counts (one hash agg), broadcast-join
-    the counts back onto the exploded pairs, re-aggregate per doc — two
-    shuffles total, partial-agg'd; token-count frame is vocabulary-sized.
+    Shape: explode → (token) corpus counts (one hash agg), join the
+    counts back onto the exploded pairs on token, re-aggregate per doc.
+    The counts side is vocabulary-sized — UNBOUNDED for a web corpus
+    (the vocab_table lesson), so the join is a plain shuffle join by
+    design; AQE converts it to broadcast at runtime when the vocabulary
+    actually fits, which is the right call in both regimes.
     """
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     pairs = docs.select("doc_id", F.explode(_tokens()).alias("token"))
@@ -907,28 +907,40 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings list would be the uncapped variant; df carries the true
     size so consumers can detect truncation).
 
-    Shape: explode → (term, doc) count (hash agg) → per-term aggregate.
-    The postings string uses sort_array(collect_set(...)) so both
-    engines order identically; per-term state is bounded by the CAP via
-    the slice.  At 100 TB an uncapped postings column is the classic
-    skew bomb (stopword terms collect the whole corpus) — the cap, with
-    df alongside, is the production contract; a positional index would
-    partition postings by (term, doc-range) instead.
+    Shape: explode → (term, doc) count (hash agg); df/total_tf are plain
+    partial-agg'd aggregates over that frame, and the postings head is
+    CAPPED BEFORE aggregation — a (term ORDER BY doc_id) rank kept to
+    {POSTINGS_CAP} compiles to WindowGroupLimit (map-side partial top-k),
+    so no aggregation buffer ever holds more than CAP doc ids even for a
+    stopword term that matches the whole corpus (an uncapped
+    collect_set there is the classic skew bomb).  A positional index
+    would partition postings by (term, doc-range) instead.
     """
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     pairs = docs.select("doc_id", F.explode(_tokens()).alias("term"))
     td = pairs.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    return td.groupBy("term").agg(
+    stats = td.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.concat_ws(
-            ",",
-            F.slice(
-                F.sort_array(F.collect_set("doc_id")), 1, POSTINGS_CAP
-            ).cast("array<string>"),
-        ).alias("postings_head"),
+    )
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    heads = (
+        td.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= POSTINGS_CAP)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list("doc_id")).cast(
+                    "array<string>"
+                ),
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(heads, "term").select(
+        "term", "df", "total_tf", "postings_head"
     )
 
 

@@ -296,9 +296,19 @@ def compact_small_files(
     HPath = jvm.org.apache.hadoop.fs.Path
     dst = HPath(path)
     fs = dst.getFileSystem(hconf)
-    fs.delete(dst, True)
-    if not fs.rename(HPath(tmp), dst):  # pragma: no cover — same-FS rename
+    # Swap via rename-aside, not delete-then-rename: a crash between a
+    # delete and the rename-in would leave NO live dataset at `path`.
+    # With rename-aside the old data survives (at worst under ._compact_old)
+    # at every step, and a failed rename-in restores it.
+    old = HPath(path.rstrip("/") + "._compact_old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(dst, old):  # pragma: no cover — same-FS rename
+        raise RuntimeError(f"rename({path}, {old}) returned false")
+    if not fs.rename(HPath(tmp), dst):  # pragma: no cover
+        fs.rename(old, dst)  # restore the original dataset
         raise RuntimeError(f"rename({tmp}, {path}) returned false")
+    fs.delete(old, True)
     return n_files
 
 
