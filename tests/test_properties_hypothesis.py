@@ -201,3 +201,74 @@ def test_star_contraction_matches_union_find(spark, edges):
         for r in connected_components_star(df).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@_slow
+def test_grouped_row_number_matches_window(spark, rows, parts):
+    """Two-phase distributed ranking == Spark's own per-group window
+    row_number, on random data with NULL groups, duplicate order values
+    (unique-id tiebreak), and arbitrary partition counts."""
+    from pyspark.sql.window import Window
+
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v long, i long"
+    )
+    got = {
+        (r.g, r.i): r.rn
+        for r in grouped_row_number(
+            df, ["g"], [F.asc("v"), F.asc("i")], "rn", num_partitions=parts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("i"))
+    want = {
+        (r.g, r.i): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    tiles=st.integers(min_value=1, max_value=10),
+)
+@_slow
+def test_ntile_from_rn_matches_spark_ntile(spark, n, tiles):
+    """Closed-form NTILE arithmetic == Spark's NTILE for every (n, tiles)."""
+    from pyspark.sql.window import Window
+
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        ntile_from_rn,
+        with_total_count,
+    )
+
+    df = with_total_count(spark.range(n))
+    got = {
+        r.id: r.t
+        for r in df.withColumn(
+            "t",
+            ntile_from_rn(F.col("id") + 1, F.col("_n_total"), tiles),
+        ).collect()
+    }
+    w = Window.orderBy("id")
+    want = {
+        r.id: r.t
+        for r in spark.range(n)
+        .withColumn("t", F.ntile(tiles).over(w))
+        .collect()
+    }
+    assert got == want
