@@ -87,6 +87,12 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             timings[name] = round(time.perf_counter() - t0, 3)
+            # Queries persist multi-consumer frames for WITHIN-action
+            # reuse; nothing is shared ACROSS queries, so dropping the
+            # cache here bounds executor memory over the 170+-query set
+            # (accumulated persists previously drove multi-pass runs
+            # into GCLocker death at sf0.1).
+            spark.catalog.clearCache()
         per_run.append(timings)
 
     def median(xs: list[float]) -> float:

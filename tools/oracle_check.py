@@ -106,6 +106,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # per-query persists are not shared across queries
         if problems:
             failed.append(name)
             print(f"{name:<28} FAIL  [{timings[name]}s]")
