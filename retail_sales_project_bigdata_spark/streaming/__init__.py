@@ -588,7 +588,84 @@ def ingest_available_now(
     q.awaitTermination()
 
 
+def streaming_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest quality gate: documents arrive as a file
+    stream (the JSONL/parquet drop-folder pattern of a continuous crawl
+    ingest), each micro-batch computes the text_quality signals per row
+    (pure narrow map — same expressions as the batch operator), and a
+    complete-mode aggregate tracks per-source totals: docs seen, docs
+    passing the quality rule, tokens kept.
+
+    Oracle == the batch semantics over the same (bounded) input — proves
+    the streaming pipeline computes exactly what the batch pipeline
+    would, which is the contract a lambda-architecture ingest must hold.
+    """
+    from retail_sales_project_bigdata_spark.operators.textstats import (
+        STOPWORDS,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    toks = F.split(F.lower(F.col("text")), "[ ]+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = raw.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).alias("n_stopwords"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.when(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_stopwords") / F.col("n_tokens") < 0.5),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_quality"),
+    )
+    agg = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_quality").alias("n_quality"),
+        F.sum(
+            F.when(F.col("is_quality") == 1, F.col("n_tokens")).otherwise(0)
+        ).alias("quality_tokens"),
+    )
+    name, _ = _run_to_memory(agg, "complete")
+    return spark.table(name)
+
+
+STREAMING_CORPUS_QUALITY_SQL = """
+WITH feats AS (
+  SELECT source,
+         len(regexp_split_to_array(lower(text), '[ ]+')) AS n_tokens,
+         CASE WHEN len(regexp_split_to_array(lower(text), '[ ]+')) >= 10
+                   AND CAST(len(list_filter(
+                         regexp_split_to_array(lower(text), '[ ]+'),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                       AS DOUBLE)
+                       / len(regexp_split_to_array(lower(text), '[ ]+')) < 0.5
+              THEN 1 ELSE 0 END AS is_quality
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_quality) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN is_quality = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS quality_tokens
+FROM feats GROUP BY source
+"""
+
+
 ORACLES: dict[str, str] = {
+    "streaming_corpus_quality": STREAMING_CORPUS_QUALITY_SQL,
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
     "streaming_purchase_view_join": STREAMING_PURCHASE_VIEW_JOIN_SQL,
@@ -599,6 +676,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "streaming_corpus_quality": streaming_corpus_quality,
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sliding_value": streaming_sliding_value,
     "streaming_user_event_counts": streaming_user_event_counts,
