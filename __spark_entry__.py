@@ -29,6 +29,7 @@ from retail_sales_project_bigdata_spark.operators import (
     cdc,
     churn,
     cleaning,
+    curation,
     datasetops,
     dedup,
     dunnhumby,
@@ -64,6 +65,7 @@ _MODULES = [
     textstats,
     dedup,
     datasetops,
+    curation,
     similarity,
     sessions,
     multimodal,

@@ -48,6 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     sg = sub.add_parser("segmentation", help="KMeans k-sweep metrics")
     sg.add_argument("--predict", type=int, default=None, metavar="CUSTKEY")
+    sg.add_argument(
+        "--manual",
+        type=float,
+        nargs=6,
+        default=None,
+        metavar="F",
+        help="score one manual feature row: total_sales total_quantity "
+        "n_baskets n_products n_brands avg_sales "
+        "(SegmentationPrediction.java manual mode)",
+    )
 
     st = sub.add_parser("top-products", help="top products report")
     st.add_argument("--limit", type=int, default=20)
@@ -132,7 +142,13 @@ def main(argv: list[str] | None = None) -> int:
             segment_assignments,
         )
 
-        if args.predict is not None:
+        if args.manual is not None:
+            from retail_sales_project_bigdata_spark.operators.segmentation import (
+                score_manual_row,
+            )
+
+            score_manual_row(spark, sf, args.manual).show()
+        elif args.predict is not None:
             from pyspark.sql import functions as F
 
             segment_assignments(spark, sf).filter(

@@ -105,26 +105,32 @@ def segmentation_features_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(custkey, features): assembled + standard-scaled feature frame
-    (SegmentationModel.java:84-88 — std only, no mean centering)."""
+def _fit_feature_prep(spark: SparkSession, sf_dir: str):
+    """(assembler, fitted scaler, assembled corpus frame): the shared
+    feature-prep pipeline (SegmentationModel.java:84-88 — std only, no
+    mean centering).  Factored out so the manual-row scoring path scores
+    against the SAME fitted scaler as the corpus (the reference's manual
+    mode re-derives it identically, SegmentationPrediction.java:74-87)."""
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
     feats = segmentation_features(spark, sf_dir).na.fill(0.0, FEATURE_COLS)
-    assembled = VectorAssembler(
+    assembler = VectorAssembler(
         inputCols=FEATURE_COLS, outputCol="features_raw"
-    ).transform(feats)
-    scaled = (
-        StandardScaler(
-            inputCol="features_raw",
-            outputCol="features",
-            withStd=True,
-            withMean=False,
-        )
-        .fit(assembled)
-        .transform(assembled)
     )
-    return scaled.select("custkey", "features")
+    assembled = assembler.transform(feats)
+    scaler = StandardScaler(
+        inputCol="features_raw",
+        outputCol="features",
+        withStd=True,
+        withMean=False,
+    ).fit(assembled)
+    return assembler, scaler, assembled
+
+
+def _scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, features): assembled + standard-scaled feature frame."""
+    _, scaler, assembled = _fit_feature_prep(spark, sf_dir)
+    return scaler.transform(assembled).select("custkey", "features")
 
 
 # The sweep is deterministic (seeded KMeans on a deterministic frame), so
@@ -194,6 +200,33 @@ def segment_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = _scaled_features(spark, sf_dir)
     return model.transform(scaled).select(
         "custkey", F.col("prediction").alias("cluster")
+    )
+
+
+def score_manual_row(
+    spark: SparkSession, sf_dir: str, values: list[float]
+) -> DataFrame:
+    """M6 manual-input scoring (SegmentationPrediction.java:74-87 /
+    the reference UI's "Manual Input" mode): a single 6-float feature row
+    — (total_sales, total_quantity, n_baskets, n_products, n_brands,
+    avg_sales) — is assembled, scaled with the corpus-fitted
+    StandardScaler (NOT a scaler fit on the one row, which would be
+    degenerate), and scored with the sweep's best-k model.  Returns a
+    1-row (cluster) frame."""
+    if len(values) != len(FEATURE_COLS):
+        raise ValueError(
+            f"manual scoring needs {len(FEATURE_COLS)} values "
+            f"({', '.join(FEATURE_COLS)}); got {len(values)}"
+        )
+    assembler, scaler, _ = _fit_feature_prep(spark, sf_dir)
+    row = spark.createDataFrame(
+        [tuple(float(v) for v in values)],
+        ", ".join(f"{c} double" for c in FEATURE_COLS),
+    )
+    scaled = scaler.transform(assembler.transform(row))
+    _, _, model = _run_sweep(spark, sf_dir)
+    return model.transform(scaled).select(
+        F.col("prediction").alias("cluster")
     )
 
 

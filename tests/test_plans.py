@@ -261,6 +261,25 @@ def test_new_northstar_paths_stay_jvm_side(spark):
     assert "hashpartitioning" not in physical_plan(pii_scrub(spark, SF_SMALL))
 
 
+def test_curation_plans(spark):
+    """Curation additions keep the discipline: both ranked queries use the
+    two-phase formulation (no single-task WindowExec) and stay JVM-side;
+    the DSIR vocabulary join must not be a cartesian."""
+    from retail_sales_project_bigdata_spark.operators.curation import (
+        dsir_importance_weights,
+        length_bucketed_batches,
+    )
+    from retail_sales_project_bigdata_spark.plans import (
+        assert_no_unpartitioned_window,
+    )
+
+    for q in (dsir_importance_weights, length_bucketed_batches):
+        df = q(spark, SF_SMALL)
+        assert_no_unpartitioned_window(df)
+        assert_no_python_eval(df)
+        assert_no_cartesian(df)
+
+
 def test_ngram_lm_counts_partial_topk(spark):
     """The successor rank must plan as WindowGroupLimit (map-side partial
     top-k before the shuffle) and stay JVM-side."""
