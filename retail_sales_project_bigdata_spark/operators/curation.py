@@ -274,33 +274,40 @@ FROM batches GROUP BY bucket, batch_id
 """
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer merge-table training: learn the top
-    {BPE_NUM_MERGES} byte-pair merges over the corpus, exactly as a BPE
-    trainer does — per round, count adjacent symbol pairs weighted by
-    word frequency, take the global argmax (ties: lexicographic on the
-    pair — deterministic), rewrite every word's symbol sequence with the
-    merge applied greedily left-to-right, repeat.
+def _apply_merge(syms, a: str, b: str, merged_sym: str):
+    """Column expression: one greedy left-to-right merge pass over a
+    symbol array via a higher-order ``aggregate`` fold (no Python UDF;
+    ``get(acc, size-1)`` returns NULL on the empty accumulator, so no
+    ANSI index error).  Greedy non-overlap falls out of the fold: after
+    merging, the new symbol is not ``a``, so "aaa" under (a,a) →
+    [aa, a], matching reference trainers."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - F.lit(1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged_sym)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
-    Returns the learned merge table: (merge_rank, left, right, merged,
-    pair_count) — the artifact a tokenizer ships.
 
-    Spark shape: the corpus is scanned ONCE into the distinct
-    (word, count) frequency table; every round then runs on that
-    vocabulary-sized frame — a pair-count hash agg (+ a LIMIT 1 argmax,
-    the only driver round-trip, one tiny row per round) and a
-    higher-order ``aggregate`` fold that applies the merge in-array (no
-    Python UDF; the fold's ``get(acc, size-1)`` returns NULL on the
-    empty accumulator, so no ANSI index error and no short-circuit
-    dependence).  Greedy non-overlap falls out of the fold: after
-    merging, the new symbol is not ``left``, so "aaa" under (a,a) →
-    [aa, a], matching reference trainers.  Each round persists the
-    rewritten vocab and unpersists the previous one (K bounded
-    iterations, pagerank-style driver loop).
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The BPE training loop shared by ``bpe_train_merges`` (which ships
+    the table) and ``bpe_encode_stats`` (which applies it).  See
+    ``bpe_train_merges`` for the algorithm and scale notes.
 
-    Rows-only for the driver gate (iterative argmax is not
-    SQL-expressible in one statement); value-checked in tests against a
-    pure-Python reference BPE trainer on the same corpus.
+    Returns ``(merges, final_vocab)`` where ``final_vocab`` is the
+    persisted (word, wcnt, syms) frame with ALL merges already applied —
+    the trainer's own working state, which IS the encoded form of every
+    multi-symbol distinct word (so corpus encoding is a join, not a
+    re-application of the merge chain).  The CALLER owns the persist and
+    must ``unpersist()`` it.
     """
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     vocab = (
@@ -308,6 +315,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
         .select(
+            "word",
             "wcnt",
             F.filter(F.split("word", ""), lambda s: s != "").alias("syms"),
         )
@@ -346,39 +354,138 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged_sym = a + b
             merges.append((rank, a, b, merged_sym, int(top[0]["pair_count"])))
             nxt = cur.select(
+                "word",
                 "wcnt",
-                F.aggregate(
-                    "syms",
-                    F.expr("CAST(array() AS array<string>)"),
-                    lambda acc, x: F.when(
-                        (F.get(acc, F.size(acc) - F.lit(1)) == F.lit(a))
-                        & (x == F.lit(b)),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(F.lit(merged_sym)),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(x))),
-                ).alias("syms"),
+                _apply_merge("syms", a, b, merged_sym).alias("syms"),
             ).persist()
             nxt.count()  # materialize before dropping the parent cache
             cur.unpersist()
             cur = nxt
-    finally:
+    except BaseException:
         cur.unpersist()
+        raise
+    return merges, cur
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge-table training: learn the top
+    {BPE_NUM_MERGES} byte-pair merges over the corpus, exactly as a BPE
+    trainer does — per round, count adjacent symbol pairs weighted by
+    word frequency, take the global argmax (ties: lexicographic on the
+    pair — deterministic), rewrite every word's symbol sequence with the
+    merge applied greedily left-to-right, repeat.
+
+    Returns the learned merge table: (merge_rank, left, right, merged,
+    pair_count) — the artifact a tokenizer ships.
+
+    Spark shape: the corpus is scanned ONCE into the distinct
+    (word, count) frequency table; every round then runs on that
+    vocabulary-sized frame — a pair-count hash agg (+ a LIMIT 1 argmax,
+    the only driver round-trip, one tiny row per round) and a
+    higher-order ``aggregate`` fold that applies the merge in-array
+    (``_apply_merge`` — no Python UDF anywhere).  Each round persists
+    the rewritten vocab and unpersists the previous one (K bounded
+    iterations, pagerank-style driver loop).
+
+    Rows-only for the driver gate (iterative argmax is not
+    SQL-expressible in one statement); value-checked in tests against a
+    pure-Python reference BPE trainer on the same corpus.
+    """
+    merges, final_vocab = _learn_merges(spark, sf_dir)
+    final_vocab.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_rank int, left string, right string, merged string, pair_count long",
     )
 
 
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE lifecycle: encode
+    the corpus with the merge table ``_learn_merges`` just learned and
+    report per-source tokenizer economics: total words, total BPE tokens,
+    fertility (tokens per word) and compression (chars per token) — the
+    numbers that size a training run's token budget under a tokenizer.
+
+    Spark shape (the trainer's own working state, reused for encoding):
+    the corpus is NOT encoded row-by-row, and the merge chain is NOT
+    re-applied — the trainer's final vocabulary frame ALREADY holds every
+    multi-symbol distinct word in fully-merged form, so encoding is one
+    (source, word) frequency scan joined to that vocabulary-sized frame
+    (AQE broadcasts it when the vocab fits).  Words absent from the
+    trainer frame are single-symbol (len 1) and encode to exactly one
+    token — the COALESCE below.  Encode cost is O(|vocab|), independent
+    of corpus row count.
+
+    All counts are exact BIGINTs; the two ratios are single IEEE
+    divisions — deterministic across engines.  Rows-only for the driver
+    gate (the merge table is learned iteratively); value-checked in
+    tests against a pure-Python encoder using the same merge table.
+    """
+    _merges, final_vocab = _learn_merges(spark, sf_dir)
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    word_counts = (
+        docs.select("source", F.explode(_tokens()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    encoded = final_vocab.select(
+        "word", F.size("syms").cast("long").alias("n_merged_tokens")
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_source = (
+        word_counts.join(encoded, "word", "left")
+        .select(
+            "source",
+            "wcnt",
+            F.coalesce("n_merged_tokens", F.lit(1)).alias("n_bpe_tokens"),
+            F.length("word").cast("long").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("wcnt").cast("long").alias("total_words"),
+            F.sum(F.col("wcnt") * F.col("n_bpe_tokens"))
+            .cast("long")
+            .alias("total_tokens"),
+            F.sum(F.col("wcnt") * F.col("n_chars"))
+            .cast("long")
+            .alias("total_chars"),
+        )
+    )
+    out = (
+        per_source.join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            "total_chars",
+            (
+                F.col("total_tokens").cast("double") / F.col("total_words")
+            ).alias("fertility"),
+            (
+                F.col("total_chars").cast("double") / F.col("total_tokens")
+            ).alias("chars_per_token"),
+        )
+    )
+    # final_vocab stays persisted: the returned (lazy) plan reads it, and
+    # dropping the cache here would make execution replay the whole
+    # K-round merge lineage.  The bench/gate clears caches between
+    # queries (the rfm_scores persist-ownership convention).
+    return out
+
+
 ORACLES: dict[str, str] = {
     "dsir_importance_weights": DSIR_IMPORTANCE_WEIGHTS_SQL,
     "length_bucketed_batches": LENGTH_BUCKETED_BATCHES_SQL,
-    # bpe_train_merges: rows-only (iterative; tested vs pure-Python BPE)
+    # bpe_train_merges / bpe_encode_stats: rows-only (iterative merge
+    # learning; both value-checked vs a pure-Python BPE in tests)
 }
 
 QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "length_bucketed_batches": length_bucketed_batches,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_stats": bpe_encode_stats,
 }

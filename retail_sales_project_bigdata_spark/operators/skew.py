@@ -85,12 +85,122 @@ JOIN_KEY_SKEW_PROFILE_SQL = "\nUNION ALL\n".join(
     _skew_profile_sql(k) for k in _PROFILE_KEYS
 )
 
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity rollup computed THROUGH ``salted_aggregate`` —
+    the two-phase (key, salt)→key aggregation surfaced as an
+    oracle-checked gate entry, proving the salted plan is
+    semantics-preserving end-to-end (the gate compares it against the
+    plain single-phase GROUP BY in DuckDB).
+
+    Only order-insensitive exact aggregates go through the salted path
+    (count, min, max on exact int64 µs timestamps): splitting a double
+    SUM across salt partitions would change IEEE addition order, which
+    is exactly the nondeterminism the stable_sum discipline exists to
+    prevent — a salted float sum is rows-only territory by construction,
+    so this entry deliberately sticks to the decomposable-exact subset.
+
+    Scale: the hot user's rows spread over {DEFAULT_SALTS} salt groups
+    in phase 1; phase 2 merges |users|×{DEFAULT_SALTS} partials — no
+    single task ever owns a hot key's full row set.
+    """
+    from retail_sales_project_bigdata_spark.sources import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("event_id", "count"),
+            "first_ts_us": ("ts_us", "min"),
+            "last_ts_us": ("ts_us", "max"),
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "first_ts_us",
+        "last_ts_us",
+    )
+
+
+SALTED_USER_EVENT_COUNTS_SQL = """
+SELECT user_id,
+       CAST(COUNT(event_id) AS BIGINT) AS n_events,
+       MIN(epoch_us(ts)) AS first_ts_us,
+       MAX(epoch_us(ts)) AS last_ts_us
+FROM events GROUP BY user_id
+"""
+
+
+EVENT_CATEGORY = {
+    # hot-key dim payload: the 5 event types bucket into 3 funnels
+    "view": "browse",
+    "click": "browse",
+    "purchase": "conversion",
+    "signup": "conversion",
+    "error": "fault",
+}
+
+
+def salted_event_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-category rollup joined THROUGH ``salted_join`` on the
+    textbook hot key: ``event_type`` has ~5 distinct values over the
+    whole fact table, so an unsalted shuffle join puts ~1/5 of the table
+    on ONE task per key.  The salted path replicates the 5-row category
+    dim {DEFAULT_SALTS}× and spreads each hot key over {DEFAULT_SALTS}
+    tasks.
+
+    The join is ``shuffle_hash``-hinted ON PURPOSE: a 5-row dim would
+    otherwise broadcast (where skew is moot) and the salted shuffle path
+    — the thing this entry exists to value-check — would never execute.
+    At production scale the small side may be too large to broadcast;
+    this is that regime, miniaturized.
+
+    Post-join aggregates are exact (counts + distinct counts), so the
+    gate compares hash-exact against DuckDB's plain join+GROUP BY.
+    """
+    from retail_sales_project_bigdata_spark.sources import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", "event_type")
+    cat = spark.createDataFrame(
+        sorted(EVENT_CATEGORY.items()), "event_type string, category string"
+    )
+    joined = salted_join(ev, cat.hint("shuffle_hash"), on="event_type")
+    return (
+        joined.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+_CATEGORY_VALUES = ", ".join(
+    f"('{t}', '{c}')" for t, c in sorted(EVENT_CATEGORY.items())
+)
+
+SALTED_EVENT_CATEGORY_ROLLUP_SQL = f"""
+WITH cat(event_type, category) AS (VALUES {_CATEGORY_VALUES})
+SELECT c.category,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+FROM events e JOIN cat c ON e.event_type = c.event_type
+GROUP BY c.category
+"""
+
+
 ORACLES: dict[str, str] = {
     "join_key_skew_profile": JOIN_KEY_SKEW_PROFILE_SQL,
+    "salted_user_event_counts": SALTED_USER_EVENT_COUNTS_SQL,
+    "salted_event_category_rollup": SALTED_EVENT_CATEGORY_ROLLUP_SQL,
 }
 
 QUERIES = {
     "join_key_skew_profile": join_key_skew_profile,
+    "salted_user_event_counts": salted_user_event_counts,
+    "salted_event_category_rollup": salted_event_category_rollup,
 }
 
 

@@ -143,6 +143,80 @@ def test_bpe_train_merges_matches_reference(spark):
         assert merged == a + b and cnt >= BPE_MIN_PAIR_COUNT
 
 
+def _encode_word(word, merges):
+    """Apply the merge table to one word exactly as the engine's chained
+    fold does: each merge once, in rank order, greedy left-to-right."""
+    syms = list(word)
+    for _, a, b, merged, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_stats_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from retail_sales_project_bigdata_spark.operators.curation import (
+        BPE_MIN_PAIR_COUNT,
+        BPE_NUM_MERGES,
+        bpe_encode_stats,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_words"],
+            r["total_tokens"],
+            r["total_chars"],
+            r["fertility"],
+            r["chars_per_token"],
+        )
+        for r in bpe_encode_stats(spark, SF_SMALL).collect()
+    }
+
+    rows = (
+        read_table(spark, SF_SMALL, "documents")
+        .select("source", F.split(F.lower("text"), "[ ]+").alias("words"))
+        .collect()
+    )
+    word_counts = collections.Counter(
+        w for r in rows for w in r["words"]
+    )
+    merges = _reference_bpe(word_counts, BPE_NUM_MERGES, BPE_MIN_PAIR_COUNT)
+    tok_len = {w: len(_encode_word(w, merges)) for w in word_counts}
+
+    expected = {}
+    per_source = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in rows:
+        acc = per_source[r["source"]]
+        acc[0] += 1
+        for w in r["words"]:
+            acc[1] += 1
+            acc[2] += tok_len[w]
+            acc[3] += len(w)
+    for src, (nd, words, toks, chars) in per_source.items():
+        expected[src] = (
+            nd,
+            words,
+            toks,
+            chars,
+            toks / words,
+            chars / toks,
+        )
+    assert got == expected
+    # BPE merging can only shorten: fertility strictly below 1 token/char
+    for _, (_, words, toks, chars, fert, cpt) in got.items():
+        assert toks <= chars and cpt >= 1.0 and fert >= 1.0
+
+
 def test_webapp_command_builders():
     from retail_sales_project_bigdata_spark.webapp import (
         MANUAL_FEATURES,

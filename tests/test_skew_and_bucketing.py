@@ -64,6 +64,37 @@ def test_salted_join_matches_plain(spark):
     assert plain == salted
 
 
+def test_salted_user_event_counts_oracle(spark, duck):
+    from retail_sales_project_bigdata_spark.operators.skew import (
+        SALTED_USER_EVENT_COUNTS_SQL,
+        salted_user_event_counts,
+    )
+    from tests.conftest import assert_oracle_match
+
+    df = salted_user_event_counts(spark, SF_SMALL)
+    assert_oracle_match(df, duck, SALTED_USER_EVENT_COUNTS_SQL)
+    # the salted two-phase shape must actually be in the plan: a partial
+    # grouping on (user_id, _salt) before the final per-user aggregate
+    assert "_salt" in physical_plan(df)
+
+
+def test_salted_event_category_rollup_oracle(spark, duck):
+    from retail_sales_project_bigdata_spark.operators.skew import (
+        SALTED_EVENT_CATEGORY_ROLLUP_SQL,
+        salted_event_category_rollup,
+    )
+    from tests.conftest import assert_oracle_match
+
+    df = salted_event_category_rollup(spark, SF_SMALL)
+    assert_oracle_match(df, duck, SALTED_EVENT_CATEGORY_ROLLUP_SQL)
+    # the join the query exists to exercise must be the SALTED SHUFFLE
+    # path: keys include _salt and the dim is NOT broadcast
+    plan = physical_plan(df)
+    assert "_salt" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 @pytest.fixture()
 def bucketed_tables(spark):
     # managed tables land in ./spark-warehouse (gitignored); warehouse.dir
