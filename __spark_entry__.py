@@ -31,6 +31,7 @@ from retail_sales_project_bigdata_spark.operators import (
     cleaning,
     curation,
     datasetops,
+    expectations,
     dedup,
     dunnhumby,
     funnel,
@@ -66,6 +67,7 @@ _MODULES = [
     dedup,
     datasetops,
     curation,
+    expectations,
     similarity,
     sessions,
     multimodal,
