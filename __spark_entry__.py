@@ -6,6 +6,9 @@ training-data ops), one callable per name: ``(spark, sf_dir) -> DataFrame``.
 ``oracle_sql()`` — matching DuckDB SQL per query (omitted only for
 genuinely non-SQL-expressible ops: ML models, LSH with engine-specific
 hashes, streaming state — the driver records rows-only checks for those).
+
+Thin shim over ``retail_sales_project_bigdata_spark.registry`` — the
+package-internal registry the CLI and library users share.
 """
 
 from __future__ import annotations
@@ -20,75 +23,8 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from retail_sales_project_bigdata_spark import streaming as streaming_mod
-from retail_sales_project_bigdata_spark.ml import pipelines as ml_pipelines
-from retail_sales_project_bigdata_spark.operators import (
-    asof,
-    baskets,
-    calendar as calendar_mod,
-    cdc,
-    churn,
-    cleaning,
-    curation,
-    datasetops,
-    expectations,
-    dedup,
-    dunnhumby,
-    funnel,
-    graph,
-    multimodal,
-    olap,
-    rangejoin,
-    recommend,
-    reports,
-    rfm,
-    segmentation,
-    sessions,
-    similarity,
-    skew,
-    stats,
-    temporal,
-    textstats,
-    tpch_shapes,
-    tpch_shapes3,
-)
-
-_MODULES = [
-    cleaning,
-    dunnhumby,
-    rfm,
-    temporal,
-    churn,
-    reports,
-    baskets,
-    recommend,
-    segmentation,
-    textstats,
-    dedup,
-    datasetops,
-    curation,
-    expectations,
-    similarity,
-    sessions,
-    multimodal,
-    olap,
-    funnel,
-    graph,
-    stats,
-    calendar_mod,
-    asof,
-    skew,
-    cdc,
-    rangejoin,
-    tpch_shapes,
-    tpch_shapes3,
-    streaming_mod,
-]
-
-# ML model queries (rows-only by nature)
-_EXTRA_QUERIES = {
-    "churn_model_metrics": ml_pipelines.churn_model_metrics,
-}
+from retail_sales_project_bigdata_spark import registry
+from retail_sales_project_bigdata_spark.operators import rfm
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -97,15 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _MODULES:
-        out.update(mod.QUERIES)
-    out.update(_EXTRA_QUERIES)
-    return out
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+    return registry.oracle_sql()

@@ -71,6 +71,19 @@ def build_parser() -> argparse.ArgumentParser:
     sq = sub.add_parser("query", help="run any queries() entry by name")
     sq.add_argument("name")
     sq.add_argument("--limit", type=int, default=20)
+
+    se = sub.add_parser(
+        "explain",
+        help="print a registered query's physical plan (formatted)",
+    )
+    se.add_argument("name")
+    se.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+
+    sub.add_parser("list", help="list every registered query name")
     return p
 
 
@@ -160,17 +173,25 @@ def main(argv: list[str] | None = None) -> int:
         from retail_sales_project_bigdata_spark.operators.reports import top_products
 
         top_products(spark, sf).limit(args.limit).show(args.limit, False)
-    elif args.job == "query":
-        import __spark_entry__ as entrymod
+    elif args.job in ("query", "explain", "list"):
+        from retail_sales_project_bigdata_spark.registry import queries as reg_queries
 
-        queries = entrymod.queries()
+        queries = reg_queries()
+        if args.job == "list":
+            for name in sorted(queries):
+                print(name)
+            return 0
         if args.name not in queries:
             print(
                 f"unknown query {args.name!r}; available: {sorted(queries)}",
                 file=sys.stderr,
             )
             return 2
-        queries[args.name](spark, sf).show(args.limit, False)
+        df = queries[args.name](spark, sf)
+        if args.job == "explain":
+            df.explain(mode=args.mode)
+        else:
+            df.show(args.limit, False)
     return 0
 
 

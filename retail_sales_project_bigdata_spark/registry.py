@@ -1,0 +1,102 @@
+"""The engine's query registry: every implemented operator from
+SURVEY.md §2 (+ the north-star training-data ops), importable from the
+package itself so library users, the CLI (``__main__.py``: ``query`` /
+``explain`` subcommands), ``bench.py`` and the driver contract
+(``__spark_entry__.py``) all share ONE surface.
+
+``queries()`` maps name → ``(spark, sf_dir) -> DataFrame``;
+``oracle_sql()`` maps the oracle-checkable subset to equivalent DuckDB
+SQL (omitted only for genuinely non-SQL-expressible ops: ML models,
+seeded LSH/IVF/PQ variants, iterative/streaming state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from retail_sales_project_bigdata_spark import streaming as streaming_mod
+from retail_sales_project_bigdata_spark.ml import pipelines as ml_pipelines
+from retail_sales_project_bigdata_spark.operators import (
+    asof,
+    baskets,
+    calendar as calendar_mod,
+    cdc,
+    churn,
+    cleaning,
+    curation,
+    datasetops,
+    dedup,
+    dunnhumby,
+    expectations,
+    funnel,
+    graph,
+    multimodal,
+    olap,
+    rangejoin,
+    recommend,
+    reports,
+    rfm,
+    segmentation,
+    sessions,
+    similarity,
+    skew,
+    stats,
+    temporal,
+    textstats,
+    tpch_shapes,
+    tpch_shapes3,
+)
+
+_MODULES = [
+    cleaning,
+    dunnhumby,
+    rfm,
+    temporal,
+    churn,
+    reports,
+    baskets,
+    recommend,
+    segmentation,
+    textstats,
+    dedup,
+    datasetops,
+    curation,
+    expectations,
+    similarity,
+    sessions,
+    multimodal,
+    olap,
+    funnel,
+    graph,
+    stats,
+    calendar_mod,
+    asof,
+    skew,
+    cdc,
+    rangejoin,
+    tpch_shapes,
+    tpch_shapes3,
+    streaming_mod,
+]
+
+# ML model queries (rows-only by nature)
+_EXTRA_QUERIES = {
+    "churn_model_metrics": ml_pipelines.churn_model_metrics,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out
