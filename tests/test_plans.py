@@ -25,6 +25,7 @@ from retail_sales_project_bigdata_spark.plans import (
     assert_no_python_eval,
     assert_pushed_filter,
     assert_read_schema_excludes,
+    physical_plan,
     whole_stage_codegen_spans,
 )
 from retail_sales_project_bigdata_spark.sources import read_table
@@ -278,6 +279,39 @@ def test_curation_plans(spark):
         assert_no_unpartitioned_window(df)
         assert_no_python_eval(df)
         assert_no_cartesian(df)
+
+
+def test_expectations_plans(spark):
+    """The expectations report must stay one aggregate pass (no join, no
+    window, no Python) and the quarantine a pure scan+filter projection
+    (no shuffle at all)."""
+    from retail_sales_project_bigdata_spark.operators.expectations import (
+        documents_quarantine,
+        expectations_report_all,
+    )
+
+    rep = expectations_report_all(spark, SF_SMALL)
+    plan = physical_plan(rep)
+    assert_no_python_eval(rep)
+    assert "Join" not in plan and "WindowExec" not in plan
+    quarantine = documents_quarantine(spark, SF_SMALL)
+    qplan = physical_plan(quarantine)
+    assert_no_python_eval(quarantine)
+    assert "hashpartitioning" not in qplan and "Exchange" not in qplan
+
+
+def test_triangle_counts_plan(spark):
+    """Triangle counting must broadcast the degree dim and never plan a
+    cartesian; everything stays JVM-side."""
+    from retail_sales_project_bigdata_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = triangle_counts(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert_no_python_eval(df)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan
 
 
 def test_ngram_lm_counts_partial_topk(spark):
