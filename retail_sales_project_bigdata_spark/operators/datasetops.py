@@ -1040,8 +1040,77 @@ FROM documents GROUP BY source
 """
 
 
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM smoothing
+    rule, here over ``source``): target proportions ∝ n_i^α with
+    α = 0.5, i.e. rare sources are UP-weighted relative to their raw
+    share, capped by no-upsampling feasibility.  The largest feasible
+    mixture has per-source quota::
+
+        quota_i = floor( min_j sqrt(n_j) · sqrt(n_i) )
+
+    (t = min_j n_j^(1-α) is the binding feasibility scalar — the
+    smallest source is kept whole and every other source is downsampled
+    toward the α-smoothed proportions.)  ``sqrt`` is IEEE
+    correctly-rounded in both engines and the quota is one
+    multiply+floor, so the whole selection is hash-exact cross-engine.
+
+    Kept docs are the quota-smallest by md5 order per source —
+    deterministic "random", same discipline as ``dataset_mixture``
+    (which mixes to FIXED weights; this derives the weights from the
+    counts).  Scale: one source-sized count agg broadcast back + the
+    two-phase grouped ranking — no per-source single-task window.
+    """
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = counts.agg(F.min(F.sqrt("n_docs")).alias("t"))
+    quotas = counts.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt("n_docs") * F.col("t")).cast("long").alias("quota"),
+    )
+    ranked = grouped_row_number(
+        docs.select("doc_id", "source", _doc_hash().alias("_h")),
+        ["source"],
+        [F.asc("_h"), F.asc("doc_id")],
+        "mix_rank",
+    ).select("doc_id", "source", "mix_rank")
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select("doc_id", "source", "mix_rank", "n_docs", "quota")
+    )
+
+
+TEMPERATURE_MIXTURE_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), t AS (
+  SELECT MIN(sqrt(n_docs)) AS t FROM counts
+), quotas AS (
+  SELECT c.source, c.n_docs,
+         CAST(FLOOR(sqrt(c.n_docs) * t.t) AS BIGINT) AS quota
+  FROM counts c, t
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_DOC_HASH_SQL}, doc_id) AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.mix_rank, q.n_docs, q.quota
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.mix_rank <= q.quota
+"""
+
+
 ORACLES: dict[str, str] = {
     "documents_jsonl_roundtrip": DOCUMENTS_JSONL_ROUNDTRIP_SQL,
+    "temperature_mixture_sample": TEMPERATURE_MIXTURE_SAMPLE_SQL,
     "source_overlap_kmv": SOURCE_OVERLAP_KMV_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
@@ -1059,6 +1128,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "documents_jsonl_roundtrip": documents_jsonl_roundtrip,
+    "temperature_mixture_sample": temperature_mixture_sample,
     "source_overlap_kmv": source_overlap_kmv,
     "chunk_documents": chunk_documents,
     "contamination_check": contamination_check,

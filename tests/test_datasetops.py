@@ -236,3 +236,41 @@ def test_build_training_dataset_end_to_end(spark, tmp_path):
     m2 = build_training_dataset(spark, SF_SMALL, out)
     assert m2["version"] == 2
     assert read_versioned(spark, out + "/corpus", 1).count() == m["n_kept_docs"]
+
+
+def test_temperature_mixture_sample(spark, duck):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import assert_oracle_match
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        TEMPERATURE_MIXTURE_SAMPLE_SQL,
+        temperature_mixture_sample,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    df = temperature_mixture_sample(spark, SF_SMALL)
+    assert_oracle_match(df, duck, TEMPERATURE_MIXTURE_SAMPLE_SQL)
+
+    rows = df.collect()
+    raw = {
+        r["source"]: r["n"]
+        for r in read_table(spark, SF_SMALL, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = {}
+    for r in rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        assert 1 <= r["mix_rank"] <= r["quota"] <= r["n_docs"]
+    # every source is sampled, none upsampled, quotas match the formula
+    t = min(math.sqrt(n) for n in raw.values())
+    for src, n in raw.items():
+        assert kept[src] == math.floor(math.sqrt(n) * t)
+    # the smallest source is (near-)whole; shares are flatter than raw:
+    # the max/min kept ratio must not exceed the raw max/min ratio
+    raw_ratio = max(raw.values()) / min(raw.values())
+    kept_ratio = max(kept.values()) / min(kept.values())
+    assert kept_ratio <= raw_ratio + 1e-9
