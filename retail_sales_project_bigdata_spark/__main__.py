@@ -90,6 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.job == "list":
+        # metadata only — no reason to boot a JVM for it
+        from retail_sales_project_bigdata_spark.registry import (
+            queries as reg_queries,
+        )
+
+        for name in sorted(reg_queries()):
+            print(name)
+        return 0
+
     from retail_sales_project_bigdata_spark.session import get_spark
 
     spark = get_spark(
@@ -173,14 +183,10 @@ def main(argv: list[str] | None = None) -> int:
         from retail_sales_project_bigdata_spark.operators.reports import top_products
 
         top_products(spark, sf).limit(args.limit).show(args.limit, False)
-    elif args.job in ("query", "explain", "list"):
+    elif args.job in ("query", "explain"):
         from retail_sales_project_bigdata_spark.registry import queries as reg_queries
 
         queries = reg_queries()
-        if args.job == "list":
-            for name in sorted(queries):
-                print(name)
-            return 0
         if args.name not in queries:
             print(
                 f"unknown query {args.name!r}; available: {sorted(queries)}",

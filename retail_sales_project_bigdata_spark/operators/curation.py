@@ -39,6 +39,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.operators.datasetops import (
+    _DOC_HASH_SQL,
+    _doc_hash,
+)
 from retail_sales_project_bigdata_spark.operators.ranking import (
     global_row_number,
     grouped_row_number,
@@ -213,7 +217,7 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.size(_tokens()).cast("long").alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+        _doc_hash().alias("h"),
     )
     probs = F.array(*[F.lit(q) for q in LENGTH_BUCKET_PROBS])
     bounds = docs.agg(F.percentile("n_tokens", probs).alias("bs"))
@@ -247,7 +251,7 @@ WITH base AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(lower(text), '{_TOKENIZE}')) AS BIGINT)
              AS n_tokens,
-         md5(CAST(doc_id AS VARCHAR)) AS h
+         {_DOC_HASH_SQL} AS h
   FROM documents
 ),
 bounds AS (
@@ -358,7 +362,11 @@ def _learn_merges(
                 "wcnt",
                 _apply_merge("syms", a, b, merged_sym).alias("syms"),
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
+            try:
+                nxt.count()  # materialize before dropping the parent cache
+            except BaseException:
+                nxt.unpersist()  # outer handler only knows about cur
+                raise
             cur.unpersist()
             cur = nxt
     except BaseException:

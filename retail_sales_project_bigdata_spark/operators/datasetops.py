@@ -1047,13 +1047,20 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, capped by no-upsampling feasibility.  The largest feasible
     mixture has per-source quota::
 
-        quota_i = floor( min_j sqrt(n_j) · sqrt(n_i) )
+        quota_i = least( n_i, floor( sqrt(n_i · n_min) ) )
 
-    (t = min_j n_j^(1-α) is the binding feasibility scalar — the
+    where ``n_min = min_j n_j`` is the binding feasibility count — the
     smallest source is kept whole and every other source is downsampled
-    toward the α-smoothed proportions.)  ``sqrt`` is IEEE
-    correctly-rounded in both engines and the quota is one
-    multiply+floor, so the whole selection is hash-exact cross-engine.
+    toward the α-smoothed proportions.  The quota is computed on the
+    EXACT integer product (not ``sqrt(n_i)·sqrt(n_min)``, whose rounding
+    can land ``floor`` one below the true value — e.g. n=3:
+    ``sqrt(3)² = 2.9999…`` would drop a doc from exactly the source the
+    rule up-weights): for the binding source the product is a perfect
+    square, so ``sqrt`` returns it exactly and the quota equals
+    ``n_min``.  ``sqrt`` is IEEE correctly-rounded in both engines and
+    the product is integer-exact below 2^53, so the whole selection is
+    hash-exact cross-engine (the ``least`` guard covers counts beyond
+    that range).
 
     Kept docs are the quota-smallest by md5 order per source —
     deterministic "random", same discipline as ``dataset_mixture``
@@ -1067,11 +1074,16 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    t = counts.agg(F.min(F.sqrt("n_docs")).alias("t"))
+    t = counts.agg(F.min("n_docs").alias("n_min"))
     quotas = counts.crossJoin(F.broadcast(t)).select(
         "source",
         "n_docs",
-        F.floor(F.sqrt("n_docs") * F.col("t")).cast("long").alias("quota"),
+        F.least(
+            F.col("n_docs"),
+            F.floor(
+                F.sqrt((F.col("n_docs") * F.col("n_min")).cast("double"))
+            ).cast("long"),
+        ).alias("quota"),
     )
     ranked = grouped_row_number(
         docs.select("doc_id", "source", _doc_hash().alias("_h")),
@@ -1091,10 +1103,12 @@ WITH counts AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY source
 ), t AS (
-  SELECT MIN(sqrt(n_docs)) AS t FROM counts
+  SELECT MIN(n_docs) AS n_min FROM counts
 ), quotas AS (
   SELECT c.source, c.n_docs,
-         CAST(FLOOR(sqrt(c.n_docs) * t.t) AS BIGINT) AS quota
+         LEAST(c.n_docs,
+               CAST(FLOOR(sqrt(CAST(c.n_docs * t.n_min AS DOUBLE)))
+                    AS BIGINT)) AS quota
   FROM counts c, t
 ), ranked AS (
   SELECT doc_id, source,

@@ -105,12 +105,23 @@ def segmentation_features_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memoized per (session, sf_dir) like the sweep below: the manual-row
+# path calls this directly AND (via _run_sweep -> _scaled_features)
+# indirectly; without the cache a fresh session would pay the full
+# feature aggregation + scaler fit twice per manual prediction.
+_PREP_CACHE: dict[tuple[int, str], tuple[object, object, DataFrame]] = {}
+
+
 def _fit_feature_prep(spark: SparkSession, sf_dir: str):
     """(assembler, fitted scaler, assembled corpus frame): the shared
     feature-prep pipeline (SegmentationModel.java:84-88 — std only, no
     mean centering).  Factored out so the manual-row scoring path scores
     against the SAME fitted scaler as the corpus (the reference's manual
     mode re-derives it identically, SegmentationPrediction.java:74-87)."""
+    key = (id(spark), sf_dir)
+    hit = _PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
     feats = segmentation_features(spark, sf_dir).na.fill(0.0, FEATURE_COLS)
@@ -124,7 +135,9 @@ def _fit_feature_prep(spark: SparkSession, sf_dir: str):
         withStd=True,
         withMean=False,
     ).fit(assembled)
-    return assembler, scaler, assembled
+    result = (assembler, scaler, assembled)
+    _PREP_CACHE[key] = result
+    return result
 
 
 def _scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:

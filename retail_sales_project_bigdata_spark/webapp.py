@@ -64,8 +64,15 @@ def build_predict_command(
 
 def run_prediction(cmd: list[str]) -> str:
     """Run the scoring command, return stdout (the reference shows stdout
-    only, discarding spark logs on stderr — same contract here)."""
+    only, discarding spark logs on stderr — same contract here).  On a
+    non-zero exit the stderr tail is surfaced instead, so a failed job
+    renders as an error message rather than an empty block."""
     result = subprocess.run(cmd, capture_output=True, text=True)
+    if result.returncode != 0:
+        tail = "\n".join(result.stderr.strip().splitlines()[-10:])
+        return (
+            f"prediction failed (exit {result.returncode})\n{tail}"
+        )
     return result.stdout
 
 

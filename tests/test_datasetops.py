@@ -266,11 +266,16 @@ def test_temperature_mixture_sample(spark, duck):
         kept[r["source"]] = kept.get(r["source"], 0) + 1
         assert 1 <= r["mix_rank"] <= r["quota"] <= r["n_docs"]
     # every source is sampled, none upsampled, quotas match the formula
-    t = min(math.sqrt(n) for n in raw.values())
+    n_min = min(raw.values())
     for src, n in raw.items():
-        assert kept[src] == math.floor(math.sqrt(n) * t)
-    # the smallest source is (near-)whole; shares are flatter than raw:
-    # the max/min kept ratio must not exceed the raw max/min ratio
+        assert kept[src] == min(n, math.floor(math.sqrt(n * n_min)))
+    # the smallest source is kept WHOLE (exact-product quota: the
+    # binding source's product is a perfect square, so no float
+    # rounding can drop a doc from the source the rule up-weights)
+    binding = min(raw, key=raw.get)
+    assert kept[binding] == raw[binding]
+    # shares are flatter than raw: the max/min kept ratio must not
+    # exceed the raw max/min ratio
     raw_ratio = max(raw.values()) / min(raw.values())
     kept_ratio = max(kept.values()) / min(kept.values())
     assert kept_ratio <= raw_ratio + 1e-9
