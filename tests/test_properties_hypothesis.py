@@ -272,3 +272,96 @@ def test_ntile_from_rn_matches_spark_ntile(spark, n, tiles):
         .collect()
     }
     assert got == want
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=1, max_size=6
+    )
+)
+@_slow
+def test_temperature_quota_invariants(spark, counts):
+    """The exact-product quota formula: smallest group kept whole, no
+    upsampling, proportions flattened toward sqrt — checked on synthetic
+    per-source counts without running the full corpus query."""
+    df = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(counts)], "source string, n_docs long"
+    )
+    t = df.agg(F.min("n_docs").alias("n_min"))
+    quotas = {
+        r["source"]: r["quota"]
+        for r in df.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.least(
+                F.col("n_docs"),
+                F.floor(
+                    F.sqrt((F.col("n_docs") * F.col("n_min")).cast("double"))
+                ).cast("long"),
+            ).alias("quota"),
+        )
+        .collect()
+    }
+    n_min = min(counts)
+    for i, n in enumerate(counts):
+        q = quotas[f"s{i}"]
+        assert 1 <= q <= n  # never upsample, never empty a source
+        assert q == min(n, math.floor(math.sqrt(n * n_min)))
+        if n == n_min:
+            assert q == n  # binding source kept whole
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1_000_000),
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    threshold=st.floats(-1e5, 1e5, allow_nan=False),
+)
+@_slow
+def test_expectations_match_python_reference(spark, rows, threshold):
+    """apply_expectations/report against plain-Python rule evaluation:
+    NULL is a violation, violations list rule order, report counts add
+    up."""
+    from retail_sales_project_bigdata_spark.operators.expectations import (
+        apply_expectations,
+        expectations_report,
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame(rows, "id long, v double")
+    rules = [
+        ("v_present", F.col("v").isNotNull()),
+        ("v_above", F.col("v") > threshold),
+    ]
+
+    def ref_violations(v):
+        out = []
+        if v is None:
+            out.append("v_present")
+        if not (v is not None and v > threshold):
+            out.append("v_above")
+        return ",".join(out)
+
+    # duplicate ids possible: compare multisets of (id, violations)
+    got_pairs = sorted(
+        (r["id"], r["violations"]) for r in apply_expectations(df, rules).collect()
+    )
+    exp_pairs = sorted((i, ref_violations(v)) for i, v in rows)
+    assert got_pairs == exp_pairs
+
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in expectations_report(df, rules, "synthetic").collect()
+    }
+    assert rep["v_present"] == sum(1 for _, v in rows if v is None)
+    assert rep["v_above"] == sum(
+        1 for _, v in rows if not (v is not None and v > threshold)
+    )
+
+    good, bad = split_quarantine(apply_expectations(df, rules))
+    assert good.count() + bad.count() == len(rows)
