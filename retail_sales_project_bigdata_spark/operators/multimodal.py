@@ -407,6 +407,124 @@ FROM resized
 """
 
 
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_HAMMING_MAX = 6
+
+
+def _phash_pairs_from(media: DataFrame) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over an image frame
+    (media_id, payload): the image-dedup operator every multimodal
+    training pipeline runs before captioning/packing.
+
+    1. **dHash** (difference hash) per image, computed batch-vectorized
+       in the SAME stubbed-decode discipline as the rest of this module:
+       the deterministic fake decoder cycles payload bytes into an
+       8×9 grayscale grid (a real deployment swaps in
+       PIL → resize(9, 8) → grayscale); bit (r, c) = grid[r][c+1] >
+       grid[r][c] → 64-bit signature.  Python ONLY computes the hash —
+       this is the genuinely non-relational step.
+    2. **Banded candidate generation** (the simhash/minhash discipline):
+       each signature splits into {PHASH_BANDS} × {PHASH_BAND_BITS}-bit
+       bands; only pairs sharing ≥1 exact band meet — never all-pairs.
+       Pairs differing in ≤{PHASH_HAMMING_MAX} of 64 bits always share a
+       clean 16-bit band when the flips spread across ≤3 bands; the
+       recall trade-off is the documented LSH contract.
+    3. **Hamming verification JVM-side**: ``bit_count(a ^ b) ≤
+       {PHASH_HAMMING_MAX}`` — codegen'd, no Python in the join path.
+
+    Scale: hash is map-only Arrow batches; the band self-join keys on
+    (band_id, band_value) — collision-bounded like ``minhash_lsh_pairs``;
+    verification carries both 8-byte hashes through the join, touching
+    the image table exactly once.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        powers = (1 << np.arange(63, -1, -1)).astype(np.uint64)
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                raw = np.frombuffer(bytes(p), dtype=np.uint8)
+                if raw.size == 0:
+                    hashes.append(0)
+                    continue
+                grid = np.resize(raw, (8, 9)).astype(np.int16)
+                bits = (grid[:, 1:] > grid[:, :-1]).ravel().astype(np.uint64)
+                hashes.append(int(bits @ powers))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    # wrap uint64 into the signed long Spark stores
+                    "dhash": pd.array(
+                        [h - (1 << 64) if h >= (1 << 63) else h for h in hashes],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    hashed = media.select("media_id", "payload").mapInPandas(
+        hash_batches, schema="media_id long, dhash long"
+    )
+    band_mask = (1 << PHASH_BAND_BITS) - 1
+    bands = hashed.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("dhash", b * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "dhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.dhash").alias("dhash_a"),
+            F.col("b.dhash").alias("dhash_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "media_id_a",
+        "media_id_b",
+        F.bit_count(
+            F.col("dhash_a").bitwiseXOR(F.col("dhash_b"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the corpus media table (see
+    ``_phash_pairs_from``).  Rows-only in the driver gate (the dHash
+    derivation is the stubbed Python decode step); value-checked in
+    tests against a pure-Python reference pipeline, both on the corpus
+    and on crafted near-duplicate payloads."""
+    scoped = _media_session(spark)
+    media = media_table(scoped, sf_dir).filter(F.col("modality") == "image")
+    scoped.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(_arrow_rows_for(media)),
+    )
+    return _phash_pairs_from(media)
+
+
 ORACLES: dict[str, str] = {
     "media_metadata": MEDIA_TABLE_METADATA_SQL,
     "decode_media": DECODE_MEDIA_SQL,
@@ -417,6 +535,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "image_phash_pairs": image_phash_pairs,
     "media_metadata": media_metadata,
     "decode_media": decode_media,
     "resize_media": resize_media,

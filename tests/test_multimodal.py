@@ -86,3 +86,85 @@ def test_decode_media_does_not_leak_arrow_conf(spark):
     df = decode_media(spark, SF_SMALL)
     assert df.count() > 0  # action runs under the clone's conf
     assert spark.conf.get(key) == before
+
+
+def _ref_dhash(payload: bytes) -> int:
+    import numpy as np
+
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        return 0
+    grid = np.resize(raw, (8, 9)).astype(np.int16)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            h = (h << 1) | int(grid[r][c + 1] > grid[r][c])
+    return h
+
+
+def _ref_phash_pairs(rows, bands=4, band_bits=16, max_ham=6):
+    hs = {mid: _ref_dhash(p) for mid, p in rows}
+    mask = (1 << band_bits) - 1
+    out = set()
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            share = any(
+                ((hs[a] >> (k * band_bits)) & mask)
+                == ((hs[b] >> (k * band_bits)) & mask)
+                for k in range(bands)
+            )
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            if share and ham <= max_ham:
+                out.add((a, b, ham))
+    return out
+
+
+def test_image_phash_pairs_matches_reference(spark):
+    """Corpus run: the engine's banded+verified pair set equals the
+    brute-force Python reference (band collision is part of the
+    contract, as with minhash_lsh_pairs)."""
+    from retail_sales_project_bigdata_spark.operators.multimodal import (
+        image_phash_pairs,
+        media_table,
+    )
+
+    got = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in image_phash_pairs(spark, SF_SMALL).collect()
+    }
+    rows = [
+        (r["media_id"], bytes(r["payload"]))
+        for r in media_table(spark, SF_SMALL)
+        .filter("modality = 'image'")
+        .collect()
+    ]
+    assert got == _ref_phash_pairs(rows)
+
+
+def test_image_phash_pairs_crafted_near_dups(spark):
+    """Crafted payloads: an exact dup (hamming 0), a near dup (one pixel
+    bumped), and an unrelated image — only the dup pairs come back."""
+    from retail_sales_project_bigdata_spark.operators.multimodal import (
+        _phash_pairs_from,
+    )
+
+    base = bytes(range(1, 73))  # 72 bytes -> exactly the 8x9 grid
+    near = bytearray(base)
+    near[10] = 0  # flip one gradient comparison -> small hamming
+    far = bytes((b * 37 + 11) % 251 for b in range(72))
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(near)), (3, far), (4, base)],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in _phash_pairs_from(df).collect()
+    }
+    expected = _ref_phash_pairs(
+        [(1, base), (2, bytes(near)), (3, far), (4, base)]
+    )
+    assert got == {(a, b): h for a, b, h in expected}
+    assert got[(1, 4)] == 0  # exact duplicate
+    assert (1, 2) in got and got[(1, 2)] <= 6  # near duplicate found
+    assert all(3 not in pair for pair in got)  # unrelated image excluded
