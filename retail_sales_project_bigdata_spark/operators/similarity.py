@@ -841,6 +841,129 @@ FROM assigned s LEFT JOIN dups_below d ON s.vec_id = d.vec_id
 """
 
 
+MMR_POOL = 30  # relevance-ranked candidate pool per query
+MMR_K = 10  # diversified result size
+MMR_LAMBDA = 0.7  # relevance vs diversity trade-off
+
+
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: exact top-{MMR_POOL} cosine candidates
+    per query (the ``ann_bruteforce_topk`` shape), then Maximal Marginal
+    Relevance rerank to {MMR_K}::
+
+        mmr(c) = λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s)
+
+    — the standard diversification every retrieval-augmented pipeline
+    runs so the k results aren't k near-copies of the same document.
+
+    Spark shape: candidate generation is fully relational (broadcast
+    queries × corpus, per-query partial top-k).  The greedy rerank is
+    inherently sequential in k, so it runs in ``applyInPandas`` per
+    query group — ≤{MMR_POOL} rows and a {MMR_POOL}×{MMR_POOL} sim
+    matrix per group, numpy 1-D dots (deterministic pairwise summation,
+    mirrored exactly by the test reference).  Rows-only in the driver
+    gate (greedy iteration is not SQL-expressible); value-checked in
+    tests against a pure-Python MMR on the engine's own candidate pool.
+
+    Scale: groups are query-keyed (thousands of concurrent queries
+    spread over partitions); per-group state is pool-bounded, so the
+    Python stage is O(|queries| · pool²·dim) flops with no shuffle
+    amplification.  First pick is always the relevance argmax; ties
+    break on candidate id (deterministic).
+    """
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("norm").alias("q_norm"),
+    )
+    corpus = vecs.select(F.col("vec_id").alias("c_id"), "v", "norm")
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            _dot_expr("q_v", "v") / (F.col("q_norm") * F.col("norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    pool = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MMR_POOL)
+        .select("q_id", "c_id", "v", "norm", "q_v", "q_norm")
+    )
+
+    def rerank(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        # ALL rerank arithmetic uses math.fsum dots: exactly-rounded, so
+        # the scores are bit-reproducible regardless of BLAS kernel or
+        # array alignment (np.dot was observed to differ in the last ulp
+        # between driver and worker for identical inputs — alignment-
+        # dependent summation order).  The JVM fold cosine only selects
+        # the pool; rel is re-derived here in the same discipline.
+        def fdot(a, b):
+            return math.fsum(x * y for x, y in zip(a, b))
+
+        mat = [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+        norms = pdf["norm"].to_numpy()
+        ids = pdf["c_id"].to_numpy()
+        q_id = int(pdf["q_id"].iloc[0])
+        q_v = np.asarray(pdf["q_v"].iloc[0], dtype=np.float64)
+        q_norm = float(pdf["q_norm"].iloc[0])
+        rel = np.array(
+            [fdot(q_v, m) / (q_norm * n) for m, n in zip(mat, norms)]
+        )
+        order = np.lexsort((ids, -rel))  # cosine desc, then c_id asc
+        ids, rel = ids[order], rel[order]
+        mat = [mat[i] for i in order]
+        norms = norms[order]
+        n = len(ids)
+        k = min(MMR_K, n)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        out_rows = []
+        for step in range(1, k + 1):
+            if not selected:
+                mmr = rel.copy()
+            else:
+                mmr = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            mmr[selected] = -np.inf
+            # argmax with id tie-break: numpy argmax takes the first hit
+            # in (cosine desc, c_id asc) sort order only for the pure-
+            # relevance step; enforce explicitly for the general case
+            best = min(
+                (i for i in range(n) if i not in selected),
+                key=lambda i: (-mmr[i], ids[i]),
+            )
+            out_rows.append(
+                (q_id, int(ids[best]), float(rel[best]), float(mmr[best]), step)
+            )
+            selected.append(best)
+            sims = np.array(
+                [
+                    fdot(mat[best], mat[i]) / (norms[best] * norms[i])
+                    for i in range(n)
+                ]
+            )
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            out_rows,
+            columns=["q_id", "neighbor_id", "cosine", "mmr_score", "mmr_rank"],
+        )
+
+    return pool.groupBy("q_id").applyInPandas(
+        rerank,
+        schema=(
+            "q_id long, neighbor_id long, cosine double,"
+            " mmr_score double, mmr_rank int"
+        ),
+    )
+
+
 ORACLES: dict[str, str] = {
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
@@ -854,6 +977,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "ann_mmr_topk": ann_mmr_topk,
     "semantic_dedup": semantic_dedup,
     "ann_pq_topk": ann_pq_topk,
     "embedding_centroids": embedding_centroids,

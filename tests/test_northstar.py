@@ -175,3 +175,68 @@ def test_documents_jsonl_roundtrip_counts(spark):
     n_docs = read_table(spark, SF_SMALL, "documents").count()
     assert sum(r.n_docs for r in out) == n_docs
     assert len({r.source for r in out}) == len(out)
+
+
+def test_ann_mmr_topk_matches_reference(spark):
+    """MMR rerank against a pure-Python reference run on the ENGINE's own
+    candidate pool (isolates the greedy rerank logic; numpy 1-D dots in
+    both, so scores are bit-identical)."""
+    import numpy as np
+
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        ann_mmr_topk,
+        _vectors,
+    )
+
+    got = sorted(
+        (r["q_id"], r["mmr_rank"], r["neighbor_id"], r["cosine"], r["mmr_score"])
+        for r in ann_mmr_topk(spark, SF_SMALL).collect()
+    )
+
+    vecs = {
+        r["vec_id"]: (np.asarray(r["v"], dtype=np.float64), r["norm"])
+        for r in _vectors(spark, SF_SMALL).collect()
+    }
+
+    def cos(a, b):
+        import math
+
+        va, na = vecs[a]
+        vb, nb = vecs[b]
+        # fsum: exactly-rounded dot, matching the engine's discipline
+        return math.fsum(x * y for x, y in zip(va, vb)) / (na * nb)
+
+    expected = []
+    for q in range(10):
+        pool = sorted(
+            ((cid, cos(q, cid)) for cid in vecs if cid != q),
+            key=lambda t: (-t[1], t[0]),
+        )[:30]
+        selected = []
+        max_sim = {cid: float("-inf") for cid, _ in pool}
+        for step in range(1, min(MMR_K, len(pool)) + 1):
+            def score(cid, rel):
+                if not selected:
+                    return rel
+                return MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim[cid]
+
+            best, rel = min(
+                ((cid, rel) for cid, rel in pool if cid not in selected),
+                key=lambda t: (-score(t[0], t[1]), t[0]),
+            )
+            expected.append((q, step, best, rel, score(best, rel)))
+            selected.append(best)
+            for cid, _ in pool:
+                max_sim[cid] = max(max_sim[cid], cos(best, cid))
+    assert got == sorted(expected)
+
+    # structural: rank 1 is the relevance argmax; ranks are 1..K per q
+    by_q = {}
+    for q, step, cid, rel, s in got:
+        by_q.setdefault(q, []).append((step, cid, rel))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0][2] == max(r[2] for r in rows)
