@@ -142,6 +142,19 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spill-safe).  Deterministic top-k (count DESC, part ASC) via
     TakeOrdered.
     """
+    _, per_node = _triangle_pipeline(spark, sf_dir)
+    return per_node.orderBy(
+        F.desc("n_triangles"), F.asc("l_partkey")
+    ).limit(TRIANGLE_TOP_N)
+
+
+def _triangle_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(degree frame (node, dg), per-node triangle counts (l_partkey,
+    n_triangles)) — the shared core of ``triangle_counts`` and
+    ``clustering_coefficients``; see ``triangle_counts`` for the
+    algorithm and scale notes."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -199,13 +212,50 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    return per_node.orderBy(
-        F.desc("n_triangles"), F.asc("l_partkey")
+    return deg, per_node
+
+
+CLUSTERING_MIN_DEGREE = 5
+
+
+def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRIANGLE_TOP_N} parts by LOCAL CLUSTERING COEFFICIENT —
+    ``2·triangles / (deg·(deg−1))``, the fraction of a node's neighbor
+    pairs that are themselves connected.  High coefficient + moderate
+    degree = a product inside a tight co-purchase community (bundle
+    candidates); hubs score low because their neighborhoods are sparse.
+
+    Restricted to nodes with degree ≥ {CLUSTERING_MIN_DEGREE} (tiny
+    neighborhoods make the ratio degenerate — a degree-2 node with one
+    triangle scores a perfect 1.0).  Nodes with no triangles keep a 0.0
+    coefficient via the left join.  The ratio is one exact integer
+    product and a single IEEE division, so the entry is oracle
+    hash-exact.  Same pipeline and scale shape as ``triangle_counts``.
+    """
+    deg, per_node = _triangle_pipeline(spark, sf_dir)
+    joined = (
+        deg.filter(F.col("dg") >= CLUSTERING_MIN_DEGREE)
+        .join(
+            per_node.withColumnsRenamed({"l_partkey": "node"}),
+            "node",
+            "left",
+        )
+        .select(
+            F.col("node").alias("l_partkey"),
+            F.col("dg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            (
+                (F.coalesce("n_triangles", F.lit(0)) * 2).cast("double")
+                / (F.col("dg") * (F.col("dg") - 1)).cast("double")
+            ).alias("clustering_coef"),
+        )
+    )
+    return joined.orderBy(
+        F.desc("clustering_coef"), F.asc("l_partkey")
     ).limit(TRIANGLE_TOP_N)
 
 
-TRIANGLE_COUNTS_SQL = f"""
-WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+_TRI_CTE_SQL = """p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM p a JOIN p b
@@ -238,20 +288,38 @@ per_node AS (
         UNION ALL SELECT b FROM tri
         UNION ALL SELECT c FROM tri)
   GROUP BY l_partkey
-)
+)"""
+
+TRIANGLE_COUNTS_SQL = f"""
+WITH {_TRI_CTE_SQL}
 SELECT l_partkey, n_triangles FROM per_node
 ORDER BY n_triangles DESC, l_partkey ASC
+LIMIT {TRIANGLE_TOP_N}
+"""
+
+CLUSTERING_COEFFICIENTS_SQL = f"""
+WITH {_TRI_CTE_SQL}
+SELECT d.node AS l_partkey,
+       d.dg AS degree,
+       COALESCE(pn.n_triangles, 0) AS n_triangles,
+       CAST(COALESCE(pn.n_triangles, 0) * 2 AS DOUBLE)
+         / CAST(d.dg * (d.dg - 1) AS DOUBLE) AS clustering_coef
+FROM deg d LEFT JOIN per_node pn ON pn.l_partkey = d.node
+WHERE d.dg >= {CLUSTERING_MIN_DEGREE}
+ORDER BY clustering_coef DESC, l_partkey ASC
 LIMIT {TRIANGLE_TOP_N}
 """
 
 
 ORACLES: dict[str, str] = {
     "triangle_counts": TRIANGLE_COUNTS_SQL,
+    "clustering_coefficients": CLUSTERING_COEFFICIENTS_SQL,
 }
 
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
     "triangle_counts": triangle_counts,
+    "clustering_coefficients": clustering_coefficients,
 }
 
 

@@ -145,3 +145,59 @@ def test_triangle_counts_oracle_and_bruteforce(spark, duck):
     )[:20]
     got = [(r.l_partkey, r.n_triangles) for r in df.collect()]
     assert got == expected
+
+
+def test_clustering_coefficients_oracle_and_bruteforce(spark, duck):
+    import itertools
+
+    from tests.conftest import assert_oracle_match
+    from retail_sales_project_bigdata_spark.operators.graph import (
+        CLUSTERING_COEFFICIENTS_SQL,
+        CLUSTERING_MIN_DEGREE,
+        clustering_coefficients,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    df = clustering_coefficients(spark, SF_SMALL)
+    assert_oracle_match(df, duck, CLUSTERING_COEFFICIENTS_SQL)
+
+    li = (
+        read_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj = {}
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    tri = {}
+    for x in adj:
+        for y in (n for n in adj[x] if n > x):
+            for z in (n for n in adj[y] if n > y and n in adj[x]):
+                for m in (x, y, z):
+                    tri[m] = tri.get(m, 0) + 1
+    expected = sorted(
+        (
+            (
+                node,
+                len(nbrs),
+                tri.get(node, 0),
+                (tri.get(node, 0) * 2) / (len(nbrs) * (len(nbrs) - 1)),
+            )
+            for node, nbrs in adj.items()
+            if len(nbrs) >= CLUSTERING_MIN_DEGREE
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:20]
+    got = [
+        (r.l_partkey, r.degree, r.n_triangles, r.clustering_coef)
+        for r in df.collect()
+    ]
+    assert got == expected
+    for _, dg, nt, coef in got:
+        assert 0.0 <= coef <= 1.0 and nt <= dg * (dg - 1) // 2
