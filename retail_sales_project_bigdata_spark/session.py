@@ -37,6 +37,17 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local-mode heap: the ONE driver JVM hosts all executor threads,
+        # every shuffle buffer, broadcast, and cached frame.  PySpark's
+        # unset default is 1 GiB — running local[32] in that budget
+        # caused GCLocker allocation stalls and, at 186 queries × 3
+        # bench passes, a broadcast-build OOM.  Size it to the machine
+        # (only applies when this process launches the JVM; on a real
+        # cluster spark-submit owns the memory settings).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
