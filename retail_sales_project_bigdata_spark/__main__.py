@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     sub.add_parser("list", help="list every registered query name")
+
+    spr = sub.add_parser(
+        "profile",
+        help="run a registered query (noop sink) and report wall time, "
+        "job/stage/task counts, and plan facts",
+    )
+    spr.add_argument("name")
     return p
 
 
@@ -183,6 +190,10 @@ def main(argv: list[str] | None = None) -> int:
         from retail_sales_project_bigdata_spark.operators.reports import top_products
 
         top_products(spark, sf).limit(args.limit).show(args.limit, False)
+    elif args.job == "profile":
+        from retail_sales_project_bigdata_spark.profiling import profile_query
+
+        print(json.dumps(profile_query(spark, args.name, sf)))
     elif args.job in ("query", "explain"):
         from retail_sales_project_bigdata_spark.registry import queries as reg_queries
 
