@@ -94,6 +94,14 @@ def main() -> None:
             # into GCLocker death at sf0.1).
             spark.catalog.clearCache()
         per_run.append(timings)
+        # Memo sharing between the queries of ONE run is engine design
+        # (bpe pair, triangle pair, segmentation sweep); carrying memos
+        # into the NEXT run would report cache-hit times as medians.
+        from retail_sales_project_bigdata_spark.registry import (
+            clear_session_memos,
+        )
+
+        clear_session_memos()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

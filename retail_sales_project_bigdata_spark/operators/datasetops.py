@@ -961,6 +961,108 @@ FROM est e JOIN ex x ON e.s1 = x.s1 AND e.s2 = x.s2
 """
 
 
+def source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exclusivity profile: of the distinct word-3-gram
+    shingle TYPES a source contributes, how many appear in NO other
+    source — the curation signal that separates sources adding novel
+    content from mirrors/aggregators that mostly restate the rest of the
+    corpus (the complement of ``source_overlap_kmv``'s pairwise view:
+    one row per source, against ALL other sources at once).
+
+    Shape: explode shingles (narrow) → md5-compacted distinct
+    (source, h) → per-hash ``(count, min(source))`` groupBy: a gram with
+    count 1 is exclusive and ``min(source)`` IS its sole owner, so the
+    exclusive rollup groups a pre-filtered count-1 stream by owner — the
+    corpus-sized set is never re-joined by hash.  Per-source totals come
+    off the persisted distinct set; the final combine is a
+    (#sources)-row broadcast join.  At 100 TB nothing is materialized
+    wider than (h, n, owner) — no quadratic anywhere, unlike the
+    pairwise exact intersection this replaces for the "who is
+    redundant" question.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select(
+            "source", F.split(F.lower(F.col("text")), "[ ]+").alias("toks")
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("s"),
+        )
+    )
+    dist = (
+        sh.select(
+            "source",
+            F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    exclusives = (
+        dist.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources_with"),
+            F.min("source").alias("owner"),
+        )
+        .filter(F.col("n_sources_with") == 1)
+        .groupBy(F.col("owner").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_exclusive_types"))
+    )
+    totals = dist.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingle_types")
+    )
+    return (
+        totals.join(F.broadcast(exclusives), "source", "left")
+        .na.fill(0, ["n_exclusive_types"])
+        .select(
+            "source",
+            "n_shingle_types",
+            "n_exclusive_types",
+            pround(
+                F.col("n_exclusive_types").cast("double")
+                / F.col("n_shingle_types"),
+                6,
+            ).alias("exclusive_share"),
+        )
+    )
+
+
+SOURCE_NOVELTY_SQL = """
+WITH sh AS (
+  SELECT source,
+         unnest(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT source, regexp_split_to_array(lower(text), '[ ]+') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+dist AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+per_gram AS (
+  SELECT h, COUNT(*) AS n_sources_with FROM dist GROUP BY h
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_shingle_types,
+       CAST(SUM(CAST(g.n_sources_with = 1 AS BIGINT)) AS BIGINT) AS n_exclusive_types,
+       ROUND(CAST(SUM(CAST(g.n_sources_with = 1 AS BIGINT)) AS DOUBLE)
+             / COUNT(*), 6) AS exclusive_share
+FROM dist d JOIN per_gram g USING (h)
+GROUP BY d.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # JSONL ingestion value check: LLM corpora interchange as JSON Lines, so
 # the engine must round-trip documents through JSONL byte-faithfully
@@ -1126,6 +1228,7 @@ ORACLES: dict[str, str] = {
     "documents_jsonl_roundtrip": DOCUMENTS_JSONL_ROUNDTRIP_SQL,
     "temperature_mixture_sample": TEMPERATURE_MIXTURE_SAMPLE_SQL,
     "source_overlap_kmv": SOURCE_OVERLAP_KMV_SQL,
+    "source_novelty": SOURCE_NOVELTY_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "quality_funnel": QUALITY_FUNNEL_SQL,
@@ -1144,6 +1247,7 @@ QUERIES = {
     "documents_jsonl_roundtrip": documents_jsonl_roundtrip,
     "temperature_mixture_sample": temperature_mixture_sample,
     "source_overlap_kmv": source_overlap_kmv,
+    "source_novelty": source_novelty,
     "chunk_documents": chunk_documents,
     "contamination_check": contamination_check,
     "quality_funnel": quality_funnel,

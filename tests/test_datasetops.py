@@ -279,3 +279,28 @@ def test_temperature_mixture_sample(spark, duck):
     raw_ratio = max(raw.values()) / min(raw.values())
     kept_ratio = max(kept.values()) / min(kept.values())
     assert kept_ratio <= raw_ratio + 1e-9
+
+
+def test_source_novelty(spark, duck):
+    from tests.conftest import assert_oracle_match
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        SOURCE_NOVELTY_SQL,
+        source_novelty,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    df = source_novelty(spark, SF_SMALL)
+    assert_oracle_match(df, duck, SOURCE_NOVELTY_SQL)
+
+    rows = df.collect()
+    n_sources = (
+        read_table(spark, SF_SMALL, "documents")
+        .filter("text is not null")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert 0 <= r["n_exclusive_types"] <= r["n_shingle_types"]
+        assert 0.0 <= r["exclusive_share"] <= 1.0
