@@ -162,11 +162,33 @@ def _triangle_pipeline(
     """(degree frame (node, dg), per-node triangle counts (l_partkey,
     n_triangles)) — the shared core of ``triangle_counts`` and
     ``clustering_coefficients``; see ``triangle_counts`` for the
-    algorithm and scale notes."""
+    algorithm and scale notes.  Materializes via eager localCheckpoint
+    and memoizes; plan tests use :func:`triangle_pipeline_frames`, whose
+    lazy output still SHOWS the join strategy (a checkpointed frame
+    plans as ``Scan ExistingRDD``)."""
     key = (id(spark), sf_dir)
     hit = _TRI_CACHE.get(key)
     if hit is not None:
         return hit
+    deg, per_node, oriented = triangle_pipeline_frames(
+        spark, sf_dir, _persist=True
+    )
+    result = (
+        deg.localCheckpoint(eager=True),
+        per_node.localCheckpoint(eager=True),
+    )
+    oriented.unpersist()
+    _TRI_CACHE[key] = result
+    return result
+
+
+def triangle_pipeline_frames(
+    spark: SparkSession, sf_dir: str, _persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Lazy (deg, per_node, oriented) triangle-pipeline frames — no
+    checkpoint, no memo.  ``_persist`` marks the oriented edge frame for
+    storage (the materializing caller's spill-safety; plan tests leave
+    it off so the physical plan shows the joins, not InMemoryTableScan)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -200,7 +222,9 @@ def _triangle_pipeline(
     oriented = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist()
+    )
+    if _persist:
+        oriented = oriented.persist()
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     probe = (
         oriented.join(
@@ -224,13 +248,7 @@ def _triangle_pipeline(
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    result = (
-        deg.localCheckpoint(eager=True),
-        per_node.localCheckpoint(eager=True),
-    )
-    oriented.unpersist()
-    _TRI_CACHE[key] = result
-    return result
+    return deg, per_node, oriented
 
 
 CLUSTERING_MIN_DEGREE = 5

@@ -302,15 +302,17 @@ def test_expectations_plans(spark):
 
 def test_triangle_counts_plan(spark):
     """Triangle counting must broadcast the degree dim and never plan a
-    cartesian; everything stays JVM-side."""
+    cartesian; everything stays JVM-side.  Asserted on the LAZY pipeline
+    frames — the query entry itself returns a memoized localCheckpoint
+    whose plan is an opaque `Scan ExistingRDD`."""
     from retail_sales_project_bigdata_spark.operators.graph import (
-        triangle_counts,
+        triangle_pipeline_frames,
     )
 
-    df = triangle_counts(spark, SF_SMALL)
-    plan = physical_plan(df)
-    assert_no_python_eval(df)
-    assert_no_cartesian(df)
+    _deg, per_node, _oriented = triangle_pipeline_frames(spark, SF_SMALL)
+    plan = physical_plan(per_node)
+    assert_no_python_eval(per_node)
+    assert_no_cartesian(per_node)
     assert "BroadcastHashJoin" in plan
 
 

@@ -1,0 +1,66 @@
+"""Generate tests/plan_budgets.json — the checked-in per-query plan
+budgets that tests/test_plan_budgets.py enforces.
+
+Each headline query gets a budget of scale-relevant plan facts
+(shuffle exchange count, python-eval node count, cartesian products).
+The test rebuilds every plan (analysis only — nothing executes) and
+fails if any count EXCEEDS its budget, so a rewrite that silently adds
+a shuffle or drops work into row-at-a-time Python breaks the suite
+instead of the 100 TB run.  Re-run this script only when a plan change
+is intentional; the diff of the JSON is then the review artifact.
+
+Usage: python tools/plan_budget.py [sf_dir]   (writes the JSON)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_audit import HEADLINE, summarize  # noqa: E402
+
+BUDGET_PATH = "/root/repo/tests/plan_budgets.json"
+
+# The facts a budget locks down. broadcast/sort-merge join MIXES are
+# audited in PLANS.md instead: AQE may legitimately flip SMJ→broadcast
+# at runtime, but it never *adds* a shuffle exchange to a logical plan
+# or introduces a Python eval node — those only regress via code.
+# ``python_eval`` counts Batch/ArrowEvalPython (scalar row/batch UDFs —
+# banned in relational paths, budget 0 everywhere) and deliberately NOT
+# the sanctioned Arrow group-map nodes (FlatMapGroupsInPandas /
+# MapInPandas), which are the designed escape hatch for ML rerank and
+# media decode.
+BUDGET_KEYS = ("shuffle_exchanges", "python_eval", "cartesian")
+
+
+def current_counts(sf_dir: str) -> dict[str, dict[str, int]]:
+    import __spark_entry__ as entrymod
+    from retail_sales_project_bigdata_spark.session import get_spark
+
+    spark = get_spark("plan_budget")
+    # same posture as plan_audit: count on the pre-AQE plan so budgets
+    # are deterministic (AQE placeholders hide/rename exchanges).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    queries = entrymod.queries()
+    out: dict[str, dict[str, int]] = {}
+    for name in sorted(set(HEADLINE)):
+        plan = queries[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        s = summarize(plan)
+        out[name] = {k: int(s[k]) for k in BUDGET_KEYS}
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    budgets = current_counts(sf_dir)
+    with open(BUDGET_PATH, "w") as f:
+        json.dump(budgets, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {BUDGET_PATH} ({len(budgets)} queries)")
+
+
+if __name__ == "__main__":
+    main()
