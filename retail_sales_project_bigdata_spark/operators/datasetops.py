@@ -1224,7 +1224,88 @@ WHERE r.mix_rank <= q.quota
 """
 
 
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet: one row per source plus an ALL rollup row —
+    docs, exact-dup docs and share, token/char volume, language spread —
+    the "data card" table published alongside any released training set
+    (Datasheets-for-Datasets shape).
+
+    One scan computes every per-doc fact; the dup flag joins back the
+    per-hash copy counts (shuffle on the 16-byte hash, the same shape as
+    ``dedup_exact``); the card itself is a ``rollup`` — per-source and
+    grand-total rows from ONE aggregate (Expand), not a union of two
+    scans.  Shares are exact counts with a single rounded division.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.lower(F.col("text")), "[ ]+"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+    dups = per_doc.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    e = per_doc.join(dups, "text_hash")
+    is_dup = (F.col("n_copies") > 1).cast("long")
+    return (
+        e.rollup("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).alias("n_dup_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("_n_en"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "n_dup_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            pround(F.col("_n_en").cast("double") / F.col("n_docs"), 6).alias(
+                "share_en"
+            ),
+            pround(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_share"),
+        )
+    )
+
+
+DATASET_CARD_SQL = """
+WITH per_doc AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(lower(text), '[ ]+')) AS BIGINT)
+           AS n_tokens,
+         md5(text) AS text_hash
+  FROM documents
+),
+dups AS (SELECT text_hash, COUNT(*) AS n_copies FROM per_doc GROUP BY 1),
+e AS (SELECT p.*, d.n_copies FROM per_doc p JOIN dups d USING (text_hash))
+SELECT COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS share_en,
+       ROUND(CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_share
+FROM e
+GROUP BY GROUPING SETS ((source), ())
+"""
+
+
 ORACLES: dict[str, str] = {
+    "dataset_card": DATASET_CARD_SQL,
     "documents_jsonl_roundtrip": DOCUMENTS_JSONL_ROUNDTRIP_SQL,
     "temperature_mixture_sample": TEMPERATURE_MIXTURE_SAMPLE_SQL,
     "source_overlap_kmv": SOURCE_OVERLAP_KMV_SQL,
@@ -1244,6 +1325,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "dataset_card": dataset_card,
     "documents_jsonl_roundtrip": documents_jsonl_roundtrip,
     "temperature_mixture_sample": temperature_mixture_sample,
     "source_overlap_kmv": source_overlap_kmv,

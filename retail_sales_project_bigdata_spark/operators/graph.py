@@ -347,15 +347,142 @@ LIMIT {TRIANGLE_TOP_N}
 """
 
 
+KCORE_K = 3
+KCORE_MIN_SUPPORT = 2  # co-purchase support threshold that sparsifies the graph
+KCORE_MAX_ROUNDS = 16  # oracle unroll depth; Spark asserts fixpoint within it
+
+
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edges kept only when the pair co-occurs in
+    ≥ {KCORE_MIN_SUPPORT} distinct orders — the thresholded graph whose
+    k-core is non-trivial (the raw graph's min degree exceeds any small
+    k).  One self-join + one (src, dst) aggregate; the support filter is
+    map-side after the partial count."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("sup"))
+        .filter(F.col("sup") >= KCORE_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the thresholded co-purchase graph: iteratively
+    delete nodes of degree < {KCORE_K} until the fixed point — the
+    standard cohesive-subgraph extraction (parts that survive sit in
+    densely inter-bought neighborhoods, the community seeds).
+
+    Distributed shape (the Montresor-style peeling round): each round is
+    ONE degree aggregate over the current edge set plus two semi-join
+    filters (src endpoint kept, dst endpoint kept) — 2-3 shuffles of a
+    monotonically SHRINKING edge set, ``localCheckpoint`` truncating
+    lineage per round exactly as ``connected_components_star`` does.
+    Edge deletion is monotone, so count equality IS the fixed point (no
+    set comparison needed).  Rounds are data-bounded (degeneracy
+    ordering), not fixed: Spark iterates to the true fixed point and
+    raises if it exceeds {KCORE_MAX_ROUNDS} rounds — the oracle unrolls
+    exactly that many filter rounds, and extra unrolled rounds past the
+    fixed point are no-ops, so the two sides agree whenever the run
+    completes.  Returns (node, core_degree) for surviving nodes.
+    """
+    e = _support_edges(spark, sf_dir).localCheckpoint()
+    n = e.count()
+    converged = n == 0
+    for _ in range(KCORE_MAX_ROUNDS):
+        if converged:
+            break
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        e2 = (
+            e.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        e = e2
+        converged = n2 == n
+        n = n2
+    if not converged and n > 0:
+        raise RuntimeError(
+            f"k-core did not reach a fixed point within {KCORE_MAX_ROUNDS}"
+            " rounds; raise KCORE_MAX_ROUNDS (and the oracle unroll depth"
+            " with it)"
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+def _kcore_sql() -> str:
+    """Oracle: the same peeling unrolled {KCORE_MAX_ROUNDS} times as
+    chained CTEs (rounds past the fixed point are no-ops)."""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # CTE three times, so letting the optimizer inline them re-expands the
+    # chain into ~3^rounds base-table scans ("too many open files" long
+    # before any answer).  Materializing makes the oracle linear in
+    # rounds, mirroring the Spark side's per-round localCheckpoint.
+    ctes = [
+        "pairs AS MATERIALIZED (\n"
+        "  SELECT a.l_partkey AS src, b.l_partkey AS dst\n"
+        "  FROM lineitem a JOIN lineitem b\n"
+        "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+        f"  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {KCORE_MIN_SUPPORT}\n"
+        ")",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM pairs"
+        " UNION ALL SELECT dst, src FROM pairs)",
+    ]
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM e{i - 1}"
+            f" GROUP BY src HAVING COUNT(*) >= {KCORE_K})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e"
+            f" JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS node, COUNT(*) AS core_degree"
+        f" FROM e{KCORE_MAX_ROUNDS} GROUP BY src"
+    )
+
+
+KCORE_MEMBERS_SQL = _kcore_sql()
+
+
 ORACLES: dict[str, str] = {
     "triangle_counts": TRIANGLE_COUNTS_SQL,
     "clustering_coefficients": CLUSTERING_COEFFICIENTS_SQL,
+    "kcore_members": KCORE_MEMBERS_SQL,
 }
 
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
     "triangle_counts": triangle_counts,
     "clustering_coefficients": clustering_coefficients,
+    "kcore_members": kcore_members,
 }
 
 

@@ -696,7 +696,153 @@ FROM per_prod CROSS JOIN total
 """
 
 
+SKYLINE_BUCKETS = 8
+
+
+def skyline_2d(
+    df: DataFrame,
+    maximize_col: str,
+    minimize_col: str,
+    n_buckets: int = SKYLINE_BUCKETS,
+) -> DataFrame:
+    """Distributed 2-D skyline (Pareto frontier): rows not dominated by
+    any other row — t dominates s iff t is ≥ on the maximize axis and ≤
+    on the minimize axis, strictly better on at least one.  Duplicated
+    (max, min) points survive together (no strict edge either way).
+
+    Scale shape — the bucketed skyline, NOT a global window and NOT the
+    quadratic NOT-EXISTS the oracle uses:
+
+    1. ``repartitionByRange`` on the maximize axis desc into a CONSTANT
+       number of buckets; equal keys land in one bucket, so earlier
+       buckets are strictly greater on the maximize axis.
+    2. Within each bucket, two bucket-partitioned windows decide local
+       dominance: the running min of the minimize axis over strictly
+       greater maximize values (desc range frame), and the min within
+       the same maximize value.  Every window partition is one bucket —
+       there is no task that owns the full frame.
+    3. Cross-bucket dominance collapses to ONE number per bucket: the
+       prefix-min of each earlier bucket's best minimize value.  That is
+       a ``n_buckets``-row aggregate — collected and broadcast back,
+       the same tiny-boundary-broadcast pattern as the two-phase
+       ranking module (:mod:`ranking`).
+
+    Total cost: one range exchange of the (already aggregated) frame +
+    one constant-size aggregate; survives any |rows| that the upstream
+    aggregate survives.
+    """
+    bucketed = (
+        df.repartitionByRange(n_buckets, F.desc(maximize_col))
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist()  # three consumers: bucket summary + both window passes
+    )
+    summaries = sorted(
+        bucketed.groupBy("_bucket")
+        .agg(F.min(minimize_col).alias("_best"))
+        .collect(),
+        key=lambda r: r["_bucket"],
+    )
+    thresholds, best_so_far = [], None
+    for row in summaries:
+        thresholds.append((row["_bucket"], best_so_far))
+        best_so_far = (
+            row["_best"]
+            if best_so_far is None
+            else min(best_so_far, row["_best"])
+        )
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        thresholds, schema="_bucket int, _earlier_best long"
+    )
+    w_higher = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.desc(maximize_col))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("_bucket", maximize_col)
+    scored = (
+        bucketed.join(F.broadcast(thr), "_bucket")
+        .withColumn("_m_higher", F.min(minimize_col).over(w_higher))
+        .withColumn("_m_same", F.min(minimize_col).over(w_same))
+    )
+    mn = F.col(minimize_col)
+    survivors = scored.filter(
+        (F.col("_m_higher").isNull() | (F.col("_m_higher") > mn))
+        & (mn == F.col("_m_same"))
+        & (F.col("_earlier_best").isNull() | (mn < F.col("_earlier_best")))
+    )
+    return survivors.drop("_bucket", "_earlier_best", "_m_higher", "_m_same")
+
+
+def pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier suppliers on (total revenue ↑, worst-case ship
+    latency ↓): no other supplier earns at least as much AND ships no
+    slower, strictly better on one axis — the supplier-scorecard skyline
+    ("who is both big and reliable").
+
+    Metrics are exact integers (revenue in cents, latency in whole days
+    from order date to ship date), so dominance never touches floats.
+    The frontier itself runs through :func:`skyline_2d` (bucketed, no
+    global window); the DuckDB oracle keeps the textbook quadratic
+    NOT-EXISTS formulation, proving the distributed rewrite equivalent.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    per_sup = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("revenue_cents"),
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            )
+            .cast("long")
+            .alias("max_delay_days"),
+        )
+    )
+    frontier = skyline_2d(per_sup, "revenue_cents", "max_delay_days")
+    return frontier.join(F.broadcast(supplier), "s_suppkey").select(
+        "s_suppkey", "s_name", "revenue_cents", "max_delay_days"
+    )
+
+
+PARETO_SUPPLIERS_SQL = """
+WITH per_sup AS (
+  SELECT l.l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS revenue_cents,
+         CAST(MAX(datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE))) AS BIGINT)
+           AS max_delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT p.s_suppkey, s.s_name, p.revenue_cents, p.max_delay_days
+FROM per_sup p JOIN supplier s ON p.s_suppkey = s.s_suppkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_sup t
+  WHERE t.revenue_cents >= p.revenue_cents
+    AND t.max_delay_days <= p.max_delay_days
+    AND (t.revenue_cents > p.revenue_cents
+         OR t.max_delay_days < p.max_delay_days)
+)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "pareto_suppliers": PARETO_SUPPLIERS_SQL,
     "household_penetration": HOUSEHOLD_PENETRATION_SQL,
     "nation_top_types_with_others": NATION_TOP_TYPES_WITH_OTHERS_SQL,
     "nation_extreme_customers": NATION_EXTREME_CUSTOMERS_SQL,
@@ -712,6 +858,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "pareto_suppliers": pareto_suppliers,
     "household_penetration": household_penetration,
     "nation_top_types_with_others": nation_top_types_with_others,
     "nation_extreme_customers": nation_extreme_customers,

@@ -964,7 +964,62 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{TOP_K} of the LSH ANN path against the exact
+    brute-force baseline — the evaluation every approximate-retrieval
+    deployment runs before trusting the index.
+
+    Both inputs are deterministic (fixed hyperplanes, exact rounded
+    cosines, id tie-breaks), so the recall numbers are themselves exact
+    and oracle-checkable — the oracle recomputes BOTH paths in DuckDB
+    and intersects, proving not just "some recall number" but the same
+    per-query hit sets cross-engine.
+
+    Scale: the two inputs are top-k frames — |queries| × k rows each,
+    tiny by construction no matter the corpus size — so the hit join is
+    a broadcast join and the rollup a |queries|-key aggregate.  The
+    expensive work (scoring) lives in the upstream operators; evaluation
+    adds one cheap stage, which is why recall monitoring can run on
+    every index build.  The single division per row keeps the double
+    deterministic (one correctly-rounded op, then round to 6).
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            pround(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH exact_k AS (SELECT q_id, neighbor_id FROM ({ANN_BRUTEFORCE_TOPK_SQL})),
+approx_k AS (SELECT q_id, neighbor_id, 1 AS _hit FROM ({ANN_LSH_TOPK_SQL}))
+SELECT e.q_id,
+       COUNT(*) AS n_exact,
+       COUNT(a._hit) AS n_hits,
+       ROUND(CAST(COUNT(a._hit) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact_k e
+LEFT JOIN approx_k a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.q_id
+"""
+
+
 ORACLES: dict[str, str] = {
+    "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_TOPK_SQL,
@@ -977,6 +1032,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "ann_recall_eval": ann_recall_eval,
     "ann_mmr_topk": ann_mmr_topk,
     "semantic_dedup": semantic_dedup,
     "ann_pq_topk": ann_pq_topk,

@@ -30,8 +30,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from retail_sales_project_bigdata_spark.functions import DAY_EPOCH
+from retail_sales_project_bigdata_spark.functions import DAY_EPOCH, pround
 from retail_sales_project_bigdata_spark.sources import read_table
 
 _D38 = "decimal(38,0)"
@@ -391,7 +392,282 @@ FROM assigned GROUP BY decile
 """
 
 
+ANOMALY_TRAIL = 8  # trailing baseline window, in observed weeks
+ANOMALY_MIN_BASE = 4  # minimum baseline weeks before a score is emitted
+ANOMALY_Z2 = 4  # z² threshold — flag |z| > 2
+
+
+def revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over weekly per-nation order revenue
+    — the monitoring primitive ("this week is >2σ off its trailing
+    baseline") every revenue dashboard runs.
+
+    Determinism doctrine (module docstring): the baseline moments
+    (count, Σx, Σx²) accumulate on the exact integer cents grid as
+    ``decimal(38,0)`` — overflow-safe at 100 TB and bit-equal to
+    DuckDB's HUGEINT — and the anomaly FLAG itself is a pure integer
+    comparison, (n·x − S)² > z²·(n·Q − S²), so it never touches floating
+    point at all.  Only the reported z-score is a double, produced by
+    one exact→double conversion per operand plus one sqrt and one
+    division (each correctly rounded, hence engine-identical).
+
+    Scale: the fact-sized work is a single (nation, week) hash
+    aggregate; the window runs over the AGGREGATED frame partitioned by
+    nation with a frame bounded by the calendar (weeks don't grow with
+    data volume), so there is no global window and no task that owns
+    more than one nation's timeline.  The baseline is the trailing
+    {ANOMALY_TRAIL} OBSERVED weeks (rowsBetween, not rangeBetween):
+    gap weeks shrink the lookback horizon rather than the sample.
+    """
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit(DAY_EPOCH)) + 1
+    weekly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn(
+            "week_no", F.ceil(day / F.lit(7.0)).cast("int")
+        )
+        .groupBy("n_name", "week_no")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("week_no")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    rev_d = F.col("rev").cast(_D38)
+    scored = weekly.select(
+        "n_name",
+        "week_no",
+        "rev",
+        F.count("rev").over(w).alias("n_base"),
+        F.sum(rev_d).over(w).alias("s"),
+        F.sum(rev_d * rev_d).over(w).alias("q"),
+    )
+    num = F.col("n_base") * F.col("rev").cast(_D38) - F.col("s")
+    den = F.col("n_base") * F.col("q") - F.col("s") * F.col("s")
+    ok = (F.col("n_base") >= ANOMALY_MIN_BASE) & (den > 0)
+    return scored.select(
+        "n_name",
+        "week_no",
+        F.col("rev").alias("revenue_cents"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.when(
+            ok,
+            pround(
+                num.cast("double") / F.sqrt(den.cast("double")), 6
+            ),
+        ).alias("zscore"),
+        F.when(
+            (F.col("n_base") >= ANOMALY_MIN_BASE)
+            & (num * num > F.lit(ANOMALY_Z2) * den),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )
+
+
+REVENUE_ANOMALIES_SQL = f"""
+WITH weekly AS (
+  SELECT n.n_name,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}',
+                             CAST(o.o_orderdate AS DATE)) + 1) / 7.0)
+              AS INT) AS week_no,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT n_name, week_no, rev,
+         COUNT(rev) OVER wtrail AS n_base,
+         SUM(CAST(rev AS HUGEINT)) OVER wtrail AS s,
+         SUM(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) OVER wtrail AS q
+  FROM weekly
+  WINDOW wtrail AS (PARTITION BY n_name ORDER BY week_no
+                    ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT n_name, week_no, rev AS revenue_cents,
+       CAST(n_base AS BIGINT) AS n_base,
+       CASE WHEN n_base >= {ANOMALY_MIN_BASE}
+                 AND (n_base * q - s * s) > 0
+            THEN ROUND(CAST(n_base * rev - s AS DOUBLE)
+                       / sqrt(CAST(n_base * q - s * s AS DOUBLE)), 6)
+       END AS zscore,
+       CASE WHEN n_base >= {ANOMALY_MIN_BASE}
+                 AND (n_base * rev - s) * (n_base * rev - s)
+                     > {ANOMALY_Z2} * (n_base * q - s * s)
+            THEN 1 ELSE 0
+       END AS is_anomaly
+FROM scored
+"""
+
+
+MK_Z_THRESHOLD = 1.96  # two-sided 5% significance
+
+
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test over each nation's weekly
+    revenue series — the standard nonparametric "is this KPI actually
+    trending" statistic (no distribution assumption, robust to spikes).
+
+    Exactness: the S statistic (Σ sign(x_j − x_i) over ordered week
+    pairs) and the ties-adjusted variance NUMERATOR
+    ``var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5)`` are pure integers; the
+    z-score is the only float — built from one exact→double conversion,
+    one division by 18, one sqrt, one division (each correctly rounded,
+    hence engine-identical), then rounded to 6.
+
+    Scale: the pair self-join is per-nation over the WEEKLY aggregate —
+    the frame is calendar-bounded (|weeks|² pairs per nation regardless
+    of row volume), so the quadratic is in the time dimension, which
+    does not grow with data size.  Fact-sized work is the single
+    (nation, week) hash aggregate; everything after shuffles |nations| ×
+    |weeks| rows on the nation key.
+    """
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit(DAY_EPOCH)) + 1
+    weekly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("week_no", F.ceil(day / F.lit(7.0)).cast("int"))
+        .groupBy("n_name", "week_no")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev"))
+        .persist()  # three consumers: both pair sides + the tie counts
+    )
+    a = weekly.select(
+        "n_name", F.col("week_no").alias("w_i"), F.col("rev").alias("x_i")
+    )
+    b = weekly.select(
+        "n_name", F.col("week_no").alias("w_j"), F.col("rev").alias("x_j")
+    )
+    s_stat = (
+        a.join(b, "n_name")
+        .filter(F.col("w_i") < F.col("w_j"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.signum(F.col("x_j") - F.col("x_i")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    ties = (
+        weekly.groupBy("n_name", "rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum(F.lit(1)).alias("n_weeks"),
+        )
+    )
+    joined = s_stat.join(ties, "n_name")
+    n = F.col("n_weeks")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).alias("var18")
+    # continuity-corrected z: (S − sign(S)) / sqrt(var18 / 18)
+    num = F.col("s_stat") - F.signum(F.col("s_stat")).cast("long")
+    z = F.when(
+        F.col("var18") > 0,
+        pround(
+            num.cast("double")
+            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+            6,
+        ),
+    )
+    return (
+        joined.select(
+            "n_name",
+            F.col("n_weeks").cast("long").alias("n_weeks"),
+            "s_stat",
+            var18,
+        )
+        .withColumn("zscore", z)
+        .withColumn(
+            "trend",
+            F.when(
+                F.col("zscore").isNull(), F.lit("no_trend")
+            )
+            .when(F.col("zscore") > MK_Z_THRESHOLD, F.lit("increasing"))
+            .when(F.col("zscore") < -MK_Z_THRESHOLD, F.lit("decreasing"))
+            .otherwise(F.lit("no_trend")),
+        )
+    )
+
+
+TREND_MANN_KENDALL_SQL = f"""
+WITH weekly AS (
+  SELECT n.n_name,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}',
+                             CAST(o.o_orderdate AS DATE)) + 1) / 7.0)
+              AS INT) AS week_no,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT a.n_name,
+         CAST(SUM(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM weekly a JOIN weekly b
+    ON a.n_name = b.n_name AND a.week_no < b.week_no
+  GROUP BY 1
+),
+ties AS (
+  SELECT n_name,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(COUNT(*) AS BIGINT) AS n_weeks
+  FROM (SELECT n_name, rev, COUNT(*) AS t FROM weekly GROUP BY 1, 2)
+  GROUP BY 1
+),
+joined AS (
+  SELECT s.n_name, t.n_weeks, s.s_stat,
+         t.n_weeks * (t.n_weeks - 1) * (2 * t.n_weeks + 5) - t.tie_term
+           AS var18
+  FROM s JOIN ties t ON s.n_name = t.n_name
+),
+scored AS (
+  SELECT n_name, n_weeks, s_stat, var18,
+         CASE WHEN var18 > 0
+              THEN ROUND(CAST(s_stat - CAST(sign(s_stat) AS BIGINT)
+                              AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+         END AS zscore
+  FROM joined
+)
+SELECT n_name, n_weeks, s_stat, var18, zscore,
+       CASE WHEN zscore IS NULL THEN 'no_trend'
+            WHEN zscore > {MK_Z_THRESHOLD} THEN 'increasing'
+            WHEN zscore < -{MK_Z_THRESHOLD} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM scored
+"""
+
+
 ORACLES: dict[str, str] = {
+    "trend_mann_kendall": TREND_MANN_KENDALL_SQL,
+    "revenue_anomalies": REVENUE_ANOMALIES_SQL,
     "price_decile_assignments": PRICE_DECILE_ASSIGNMENTS_SQL,
     "order_gap_stats": ORDER_GAP_STATS_SQL,
     "sales_stats_by_flag": SALES_STATS_BY_FLAG_SQL,
@@ -400,6 +676,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "trend_mann_kendall": trend_mann_kendall,
+    "revenue_anomalies": revenue_anomalies,
     "price_decile_assignments": price_decile_assignments,
     "order_gap_stats": order_gap_stats,
     "sales_stats_by_flag": sales_stats_by_flag,

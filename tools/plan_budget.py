@@ -47,9 +47,15 @@ def current_counts(sf_dir: str) -> dict[str, dict[str, int]]:
     queries = entrymod.queries()
     out: dict[str, dict[str, int]] = {}
     for name in sorted(set(HEADLINE)):
+        # per-query cache hygiene: a query that persists at build time
+        # (e.g. the skyline's bucket summaries) would otherwise plan as
+        # InMemoryTableScan inside LATER queries' plans, shifting their
+        # exchange counts by compile order.
+        spark.catalog.clearCache()
         plan = queries[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         s = summarize(plan)
         out[name] = {k: int(s[k]) for k in BUDGET_KEYS}
+    spark.catalog.clearCache()
     return out
 
 
