@@ -28,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # SPARK_GRAFT_BENCH_ML=1 to include them.
 ML_TRAINING_QUERIES = {
     "als_recommendations",
+    "quality_classifier_scores",
     "kmeans_sweep",
     "segment_assignments",
     "churn_model_metrics",

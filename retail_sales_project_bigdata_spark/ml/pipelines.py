@@ -115,6 +115,82 @@ def churn_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QC_SEED = 7
+QC_NUM_FEATURES = 1 << 12  # hashed unigram space
+QC_POS_THRESHOLD = 0.5
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter over the document corpus — the
+    CCNet/GPT-3-shaped pattern: seed WEAK labels from the deterministic
+    heuristic (``textstats.text_quality``'s ``is_quality`` flag), train a
+    logistic regression on hashed unigram features, then score every
+    document with a calibrated probability.  In production the weak
+    labels come from a trusted reference domain (e.g. "wikipedia-like")
+    and the classifier generalizes the heuristic to the open crawl; the
+    plumbing — one corpus scan to features, distributed LBFGS, map-only
+    scoring — is identical and is what this query exercises.
+
+    Scale: HashingTF is stateless/map-only (no vocabulary shuffle —
+    the reason hashing beats CountVectorizer at corpus scale);
+    LogisticRegression aggregates gradients tree-wise per iteration;
+    scoring is a broadcast of the coefficient vector.  Rows-only for the
+    driver (LBFGS float accumulation is engine-sensitive); the property
+    test pins AUC ≈ 1 against the recoverable weak labels and exact
+    score determinism across two fits with the same seed.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    from retail_sales_project_bigdata_spark.operators.textstats import (
+        text_quality,
+    )
+    from retail_sales_project_bigdata_spark.sources import fan_out, read_table
+
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("words")
+    )
+    # weak label: above-median stopword ratio — a balanced heuristic
+    # split by construction (the raw is_quality flag can be single-class
+    # on clean corpora, which makes training degenerate).  The median is
+    # a tiny scalar aggregate broadcast via cross join.
+    tq = text_quality(spark, sf_dir).select("doc_id", "stopword_ratio")
+    med = tq.agg(
+        F.expr("approx_percentile(stopword_ratio, 0.5)").alias("_med")
+    )
+    labels = tq.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        (F.col("stopword_ratio") > F.col("_med"))
+        .cast("double")
+        .alias("label"),
+    )
+    train = docs.join(labels, "doc_id")
+    pipe = Pipeline(
+        stages=[
+            HashingTF(
+                inputCol="words",
+                outputCol="features",
+                numFeatures=QC_NUM_FEATURES,
+            ),
+            LogisticRegression(
+                maxIter=25, regParam=0.01, standardization=True
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    scored = model.transform(train)
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("int").alias("weak_label"),
+        F.round(vector_to_array("probability")[1], 6).alias("quality_score"),
+        (vector_to_array("probability")[1] > QC_POS_THRESHOLD)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 CV_FOLDS = 3
 CV_DEPTH_GRID = [4, 8]
 CV_TREES_GRID = [20, 50]

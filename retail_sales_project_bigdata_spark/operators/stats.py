@@ -665,7 +665,80 @@ FROM scored
 """
 
 
+import math as _math
+
+# Benford first-digit probabilities log10(1 + 1/d), embedded as repr
+# round-trip literals so BOTH engines consume identical doubles (the
+# _plane_sql trick from similarity.py) — neither engine's log10 is
+# trusted to be correctly rounded.
+_BENFORD_P = [_math.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic fabricated-figures / data-quality screen (real
+    multiplicative amounts follow log10(1+1/d); synthetic or truncated
+    feeds don't).
+
+    Per digit 1-9: observed count, Benford-expected count, and the χ²
+    contribution.  The digit extraction stays on the exact integer cents
+    grid (first char of the cents integer — same significant digits as
+    the price); counts are exact; the only floats are expected = n·p and
+    the χ² term, built from identical literal p's and identically
+    associated correctly-rounded ops on both engines, then rounded to 6.
+
+    Scale: one map-side-combinable 9-group aggregate over the fact scan;
+    the total-row window runs over the 9-row aggregate frame (constant),
+    and the probability lookup is a 9-element array literal — no second
+    fact pass, no join.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    digit = F.substring(
+        _cents("o_totalprice").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    n = F.sum("n_obs").over(Window.partitionBy())  # 9-row agg frame
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in _BENFORD_P]), F.col("digit")
+    )
+    expected = n.cast("double") * p
+    dev = F.col("n_obs") - expected
+    return counts.select(
+        "digit",
+        "n_obs",
+        pround(expected, 6).alias("expected"),
+        pround(dev * dev / expected, 6).alias("chi2_term"),
+    )
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {x!r})" for d, x in enumerate(_BENFORD_P, start=1)
+)
+
+BENFORD_PRICE_AUDIT_SQL = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+t AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n FROM c),
+p AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS v(digit, pexp))
+SELECT t.digit, t.n_obs,
+       ROUND(CAST(t.n AS DOUBLE) * p.pexp, 6) AS expected,
+       ROUND((t.n_obs - CAST(t.n AS DOUBLE) * p.pexp)
+             * (t.n_obs - CAST(t.n AS DOUBLE) * p.pexp)
+             / (CAST(t.n AS DOUBLE) * p.pexp), 6) AS chi2_term
+FROM t JOIN p ON t.digit = p.digit
+"""
+
+
 ORACLES: dict[str, str] = {
+    "benford_price_audit": BENFORD_PRICE_AUDIT_SQL,
     "trend_mann_kendall": TREND_MANN_KENDALL_SQL,
     "revenue_anomalies": REVENUE_ANOMALIES_SQL,
     "price_decile_assignments": PRICE_DECILE_ASSIGNMENTS_SQL,
@@ -676,6 +749,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "benford_price_audit": benford_price_audit,
     "trend_mann_kendall": trend_mann_kendall,
     "revenue_anomalies": revenue_anomalies,
     "price_decile_assignments": price_decile_assignments,

@@ -84,6 +84,7 @@ _MODULES = [
 # ML model queries (rows-only by nature)
 _EXTRA_QUERIES = {
     "churn_model_metrics": ml_pipelines.churn_model_metrics,
+    "quality_classifier_scores": ml_pipelines.quality_classifier_scores,
 }
 
 
