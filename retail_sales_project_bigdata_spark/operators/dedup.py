@@ -614,7 +614,59 @@ FROM per_doc
 """
 
 
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase, strip non-printable
+    ASCII, collapse runs of whitespace, trim — THEN hash-group.  Catches
+    the trivially-reformatted duplicates (case, spacing, control chars)
+    that byte-exact :func:`dedup_exact` misses; the standard first rung
+    of a web-corpus dedup ladder below MinHash.
+
+    ``n_raw_variants`` counts distinct RAW texts collapsing into each
+    normalized group — groups with > 1 are the formatting-only
+    duplicates this stage newly catches.
+
+    Scale: map-only normalization fused into the scan, then ONE
+    hash-groupBy on the 16-byte normalized hash (same narrow-shuffle
+    argument as dedup_exact); the distinct-raw count is a second
+    aggregate expression in the same shuffle, not a second pass.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^ -~]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(norm.cast("binary")).alias("norm_hash"),
+            F.md5(F.col("text").cast("binary")).alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
+    )
+
+
+NORMALIZED_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^ -~]', '', 'g'), ' +', ' ', 'g')))
+         AS norm_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT md5(text)) AS n_raw_variants
+FROM documents
+GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
+    "normalized_dedup": NORMALIZED_DEDUP_SQL,
     "duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
     "incremental_dedup_new_docs": INCREMENTAL_DEDUP_NEW_DOCS_SQL,
@@ -626,6 +678,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "normalized_dedup": normalized_dedup,
     "duplicate_passages": duplicate_passages,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "incremental_dedup_new_docs": incremental_dedup_new_docs,

@@ -34,8 +34,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from retail_sales_project_bigdata_spark.functions import oracle_sum, stable_sum
-from retail_sales_project_bigdata_spark.sources import fan_out, read_events
+from retail_sales_project_bigdata_spark.functions import (
+    DAY_EPOCH,
+    oracle_sum,
+    stable_sum,
+)
+from retail_sales_project_bigdata_spark.sources import (
+    fan_out,
+    read_events,
+    read_table,
+)
 
 # Campaign grid over the events month (2024-01): campaign i starts at
 # epoch + i*7h and runs 10h — consecutive campaigns overlap by 3h.
@@ -122,10 +130,92 @@ GROUP BY c.campaign_id
 """
 
 
+MAX_FULFILL_DAYS = 90  # open-window clamp: bounds the per-row fan-out
+
+
+def open_lines_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-fulfillment inventory curve: for every calendar week, how
+    many lineitems were ordered but not yet shipped (order date ≤ some
+    day in the week < ship date), with their total quantity — the
+    backlog/WIP time series behind capacity planning.
+
+    This is the DUAL range-join shape to :func:`campaign_event_rollup`:
+    there the intervals were a small generated dim; here the intervals
+    ARE the fact rows and the "points" are the (implicit) week spine, so
+    the bucketed rewrite degenerates into pure interval→bucket
+    **explosion + hash aggregate** — no join at all.  The fan-out is
+    bounded by the ``MAX_FULFILL_DAYS`` clamp (≤ {max_weeks} weeks/row;
+    windows outside (0, 90] days are data errors in this synthetic feed
+    and are excluded — same rows excluded in the oracle).
+
+    Exactness/scale: week indexes are integer floor-divisions on day
+    counts from {epoch}; quantity is integral (cast long) so the rollup
+    is exact; ONE shuffle (the week aggregate) over the exploded frame,
+    which AQE coalesces — the orders⋈lineitem equi-join before it rides
+    the orderkey.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(DAY_EPOCH).cast("date")
+        ).alias("d0"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag"),
+    )
+    open_ = j.filter(
+        (F.col("lag") > 0) & (F.col("lag") <= MAX_FULFILL_DAYS)
+    ).select(
+        "qty",
+        F.explode(
+            F.sequence(
+                F.expr("d0 DIV 7"),
+                F.expr("(d0 + lag - 1) DIV 7"),
+            )
+        ).alias("week_no"),
+    )
+    return open_.groupBy("week_no").agg(
+        F.count(F.lit(1)).alias("n_open_lines"),
+        F.sum("qty").alias("open_qty"),
+    )
+
+
+open_lines_by_week.__doc__ = open_lines_by_week.__doc__.format(
+    max_weeks=MAX_FULFILL_DAYS // 7 + 2, epoch=DAY_EPOCH
+)
+
+
+OPEN_LINES_BY_WEEK_SQL = f"""
+WITH j AS (
+  SELECT CAST(l.l_quantity AS BIGINT) AS qty,
+         datediff('day', DATE '{DAY_EPOCH}', CAST(o.o_orderdate AS DATE)) AS d0,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+weeks AS (
+  SELECT qty, unnest(generate_series(d0 // 7, (d0 + lag - 1) // 7)) AS week_no
+  FROM j WHERE lag > 0 AND lag <= {MAX_FULFILL_DAYS}
+)
+SELECT week_no,
+       CAST(COUNT(*) AS BIGINT) AS n_open_lines,
+       CAST(SUM(qty) AS BIGINT) AS open_qty
+FROM weeks GROUP BY week_no
+"""
+
+
 ORACLES: dict[str, str] = {
     "campaign_event_rollup": CAMPAIGN_EVENT_ROLLUP_SQL,
+    "open_lines_by_week": OPEN_LINES_BY_WEEK_SQL,
 }
 
 QUERIES = {
     "campaign_event_rollup": campaign_event_rollup,
+    "open_lines_by_week": open_lines_by_week,
 }

@@ -75,11 +75,17 @@ def _range_with_pid(
     )
 
 
-def _grouped_offsets(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+def _grouped_offsets(
+    counts: DataFrame,
+    group_cols: list[str],
+    sub_cols: tuple[str, ...] = ("_rr_sub",),
+    out_cols: tuple[str, ...] = ("_rr_offset",),
+) -> DataFrame:
     """Exclusive prefix sum of per-(partition, group) subtotals: for each
     (pid, group), the sum of subtotals from SAME-group rows in LOWER
-    partitions.  The frame is (#partitions + #group-boundary splits)
-    rows — broadcastable at any data size."""
+    partitions (one output column per entry in ``sub_cols``).  The frame
+    is (#partitions + #group-boundary splits) rows — broadcastable at
+    any data size."""
     a, b = counts.alias("a"), counts.alias("b")
     same_group = [
         F.col(f"b.{g}").eqNullSafe(F.col(f"a.{g}")) for g in group_cols
@@ -93,7 +99,12 @@ def _grouped_offsets(counts: DataFrame, group_cols: list[str]) -> DataFrame:
             F.col("a._rr_pid").alias("_rr_pid"),
             *[F.col(f"a.{g}").alias(g) for g in group_cols],
         )
-        .agg(F.coalesce(F.sum("b._rr_sub"), F.lit(0)).alias("_rr_offset"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.{s}"), F.lit(0)).alias(o)
+                for s, o in zip(sub_cols, out_cols)
+            ]
+        )
     )
 
 
@@ -172,27 +183,57 @@ def grouped_prefix_sum(
     any split (addition is associative); for doubles the summation order
     changes with the partitioning, as with any distributed sum.
     """
+    return grouped_prefix_sums(
+        df,
+        group_cols,
+        order_cols,
+        [value_col],
+        [out],
+        exclusive=exclusive,
+        num_partitions=num_partitions,
+    )
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    value_cols: list[str],
+    outs: list[str],
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`grouped_prefix_sum` over SEVERAL value columns sharing ONE
+    range exchange — a caller cumulating k measures along the same order
+    (e.g. both samples' counts in a KS statistic) pays one distributed
+    sort instead of k."""
     ranged = _range_with_pid(df, group_cols, order_cols, num_partitions)
-    local = ranged.withColumn(
-        "_rr_local",
-        F.sum(value_col).over(
-            Window.partitionBy("_rr_pid", *group_cols)
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    w = (
+        Window.partitionBy("_rr_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = ranged
+    for i, v in enumerate(value_cols):
+        local = local.withColumn(f"_rr_local_{i}", F.sum(v).over(w))
     sums = ranged.groupBy("_rr_pid", *group_cols).agg(
-        F.sum(value_col).alias("_rr_sub")
+        *[F.sum(v).alias(f"_rr_sub_{i}") for i, v in enumerate(value_cols)]
     )
-    offsets = _grouped_offsets(sums, group_cols)
-    cum = F.col("_rr_local") + F.col("_rr_offset")
-    if exclusive:
-        cum = cum - F.col(value_col)
-    return (
-        _join_offsets(local, offsets, group_cols)
-        .withColumn(out, cum)
-        .drop("_rr_pid", "_rr_local", "_rr_offset")
+    offsets = _grouped_offsets(
+        sums,
+        group_cols,
+        tuple(f"_rr_sub_{i}" for i in range(len(value_cols))),
+        tuple(f"_rr_off_{i}" for i in range(len(value_cols))),
     )
+    res = _join_offsets(local, offsets, group_cols)
+    drop = ["_rr_pid"]
+    for i, (v, out) in enumerate(zip(value_cols, outs)):
+        cum = F.col(f"_rr_local_{i}") + F.col(f"_rr_off_{i}")
+        if exclusive:
+            cum = cum - F.col(v)
+        res = res.withColumn(out, cum)
+        drop += [f"_rr_local_{i}", f"_rr_off_{i}"]
+    return res.drop(*drop)
 
 
 def global_row_number(

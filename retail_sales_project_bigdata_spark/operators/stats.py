@@ -737,7 +737,383 @@ FROM t JOIN p ON t.digit = p.digit
 """
 
 
+MAD_K = 4.4478  # 3.0 robust-z cutoff × 1.4826 (normal consistency)
+
+
+def price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier profile per returnflag — the
+    robust twin of :func:`price_outliers_iqr` (median/MAD have a 50%
+    breakdown point vs the quartiles' 25%; the standard screen when the
+    tail itself is suspect).
+
+    Exactness: the median of integer cents is a multiple of 0.5, every
+    |p − med| is then a multiple of 0.5, and THEIR median (the MAD) a
+    multiple of 0.25 — all exactly representable, so both engines
+    interpolate to identical doubles.  The fence ``MAD_K · mad`` is one
+    correctly-rounded multiply of identical operands.
+
+    Scale: three passes over a 2-column scan — medians per flag, then
+    deviations + MAD (join on the broadcast 3-row medians frame), then
+    the outlier count against the broadcast fences.  MAD is inherently
+    two-level (median OF deviations FROM the median), so two of the
+    passes are irreducible; at 100 TB each pass is a map-side-combinable
+    3-group aggregate and the percentile switches to approx_percentile
+    like the IQR docstring notes.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("p")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("p", 0.5).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "dev", F.abs(F.col("p") - F.col("med"))
+    )
+    fences = (
+        dev.groupBy("l_returnflag")
+        .agg(F.first("med").alias("med"), F.percentile("dev", 0.5).alias("mad"))
+        .withColumn("fence", F.lit(MAD_K) * F.col("mad"))
+    )
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("median_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.sum(
+                F.when(F.abs(F.col("p") - F.col("med")) > F.col("fence"), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_share",
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+        )
+    )
+
+
+PRICE_OUTLIERS_MAD_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag, quantile_cont(p, 0.5) AS med
+  FROM base GROUP BY l_returnflag
+),
+fences AS (
+  SELECT b.l_returnflag, MIN(m.med) AS med,
+         quantile_cont(ABS(b.p - m.med), 0.5) AS mad
+  FROM base b JOIN med m USING (l_returnflag)
+  GROUP BY b.l_returnflag
+)
+SELECT b.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(f.med) AS median_cents,
+       MIN(f.mad) AS mad_cents,
+       CAST(SUM(CASE WHEN ABS(b.p - f.med) > {MAD_K} * f.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN ABS(b.p - f.med) > {MAD_K} * f.mad
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS outlier_share
+FROM base b JOIN fences f USING (l_returnflag)
+GROUP BY b.l_returnflag
+"""
+
+
+KS_CRIT_05 = 1.358  # two-sample Kolmogorov-Smirnov c(α) at α = 0.05
+
+
+def ks_test_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does the price distribution of
+    returned lineitems (flag R) differ from non-returned (flag N)?  The
+    standard nonparametric drift / A-B screen.
+
+    D = sup |ECDF_R − ECDF_N| evaluated on the pooled distinct values.
+    Exactness: the sup is maximized over |cum_R·n_N − cum_N·n_R| in
+    decimal(38,0)/HUGEINT (overflow-safe: cum ≤ 1e12 rows ⇒ product
+    ≤ 1e24 ≪ 1e38) and divided by n_R·n_N ONCE at the end; the critical
+    value is literal·sqrt of a single exact ratio (sqrt is correctly
+    rounded) — every float both engines compare is the identical
+    expression over identical operands.
+
+    Scale: one hash aggregate to per-value counts (domain-sized, ≪ rows),
+    then the ECDFs via :func:`ranking.grouped_prefix_sums` — ONE range
+    exchange for both running sums, no single-task global window — and a
+    1-row max-reduce.  This is the distributed-KS shape that survives a
+    value domain too large to collect.
+    """
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_prefix_sums,
+        with_total_count,
+    )
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .select("l_returnflag", _cents("l_extendedprice").alias("p"))
+    )
+    per_val = li.groupBy("p").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("c_r"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("c_n"),
+    )
+    cum = grouped_prefix_sums(
+        per_val, [], [F.asc("p")], ["c_r", "c_n"], ["cum_r", "cum_n"]
+    )
+    tot = per_val.agg(
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.sum("c_n").cast("long").alias("n_n"),
+    )
+    d_num = F.abs(
+        F.col("cum_r").cast(_D38) * F.col("n_n").cast(_D38)
+        - F.col("cum_n").cast(_D38) * F.col("n_r").cast(_D38)
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_r", "n_n")
+        .agg(F.max(d_num).alias("d_num"))
+    )
+    d_stat = agg["d_num"].cast("double") / (
+        F.col("n_r").cast("double") * F.col("n_n").cast("double")
+    )
+    crit = F.lit(KS_CRIT_05) * F.sqrt(
+        (F.col("n_r") + F.col("n_n")).cast("double")
+        / (F.col("n_r").cast("double") * F.col("n_n").cast("double"))
+    )
+    return agg.select(
+        "n_r",
+        "n_n",
+        pround(d_stat, 6).alias("d_stat"),
+        pround(crit, 6).alias("crit_05"),
+        (d_stat > crit).cast("int").alias("reject_05"),
+    )
+
+
+KS_TEST_RETURNFLAG_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+per_val AS (
+  SELECT p,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c_r,
+         SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c_n
+  FROM base GROUP BY p
+),
+cum AS (
+  SELECT SUM(c_r) OVER (ORDER BY p) AS cum_r,
+         SUM(c_n) OVER (ORDER BY p) AS cum_n
+  FROM per_val
+),
+tot AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_n) AS BIGINT) AS n_n
+  FROM per_val
+),
+m AS (
+  SELECT t.n_r, t.n_n,
+         MAX(ABS(CAST(c.cum_r AS HUGEINT) * t.n_n
+                 - CAST(c.cum_n AS HUGEINT) * t.n_r)) AS d_num
+  FROM cum c CROSS JOIN tot t
+  GROUP BY t.n_r, t.n_n
+)
+SELECT n_r, n_n,
+       ROUND(CAST(d_num AS DOUBLE)
+             / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)), 6) AS d_stat,
+       ROUND({KS_CRIT_05} * SQRT(CAST(n_r + n_n AS DOUBLE)
+             / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))), 6) AS crit_05,
+       CAST(CAST(d_num AS DOUBLE)
+              / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))
+            > {KS_CRIT_05} * SQRT(CAST(n_r + n_n AS DOUBLE)
+              / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))) AS INT)
+         AS reject_05
+FROM m
+"""
+
+
+def chi2_priority_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence: is order priority distributed the same
+    across customer regions?  Per (region, priority) cell: observed
+    count, expected count under independence, and the χ² contribution —
+    the contingency-table screen behind "does segment X behave
+    differently".
+
+    Exactness: observed counts and the row/col/grand totals are exact
+    integers; ``expected = row·col / total`` and the χ² term are computed
+    as the identical double expression on both engines (row·col cast to
+    double FIRST — two 1e12-scale totals overflow int64, the
+    ADVICE-r1 multiply discipline).
+
+    Scale: orders⋈customer is the only fact-side shuffle (customer is
+    hint-broadcast when small; at 100 TB it shuffles on custkey);
+    nation/region are broadcast dims; the contingency frame is
+    |regions|×|priorities| (dozens of rows), so the totals windows run
+    over a constant-size frame.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    row_tot = F.sum("n_obs").over(Window.partitionBy("r_name"))
+    col_tot = F.sum("n_obs").over(Window.partitionBy("o_orderpriority"))
+    grand = F.sum("n_obs").over(Window.partitionBy())
+    expected = row_tot.cast("double") * col_tot.cast("double") / grand.cast(
+        "double"
+    )
+    dev = F.col("n_obs").cast("double") - expected
+    return cells.select(
+        "r_name",
+        "o_orderpriority",
+        "n_obs",
+        pround(expected, 6).alias("expected"),
+        pround(dev * dev / expected, 6).alias("chi2_term"),
+    )
+
+
+CHI2_PRIORITY_REGION_SQL = """
+WITH cells AS (
+  SELECT r.r_name, o.o_orderpriority, COUNT(*) AS n_obs
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, o.o_orderpriority
+),
+t AS (
+  SELECT r_name, o_orderpriority, n_obs,
+         SUM(n_obs) OVER (PARTITION BY r_name) AS row_tot,
+         SUM(n_obs) OVER (PARTITION BY o_orderpriority) AS col_tot,
+         SUM(n_obs) OVER () AS grand
+  FROM cells
+)
+SELECT r_name, o_orderpriority, n_obs,
+       ROUND(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+             / CAST(grand AS DOUBLE), 6) AS expected,
+       ROUND((CAST(n_obs AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(grand AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(grand AS DOUBLE))
+             / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(grand AS DOUBLE)), 6) AS chi2_term
+FROM t
+"""
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per returnflag: clamp prices to [p05, p95] and
+    average — the outlier-robust location estimate feature pipelines use
+    before standardization (clipping, not dropping, keeps n stable).
+
+    Exactness: the clamped sum is decomposed as
+    ``Σ(mid, exact integer) + n_lo·p05 + n_hi·p95`` — the two boundary
+    products and two additions are the ONLY float ops before the single
+    division, written in the same association on both engines (a
+    row-wise SUM of clamped doubles would instead inherit the engines'
+    differing accumulation orders).  Quantile interpolation positions
+    follow the same engine-identical percentile formula the decile
+    query established.
+
+    Scale: two passes — a 3-group percentile aggregate (broadcast back),
+    then one map-side-combinable aggregate; no shuffle wider than the
+    3-row bounds join.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("p")
+    )
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("p", WINSOR_LO).alias("lo"),
+        F.percentile("p", WINSOR_HI).alias("hi"),
+    )
+    j = li.join(F.broadcast(q), "l_returnflag")
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum(
+            F.when(
+                (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")),
+                F.col("p"),
+            ).otherwise(0)
+        ).alias("sum_mid"),
+        F.sum(F.when(F.col("p") < F.col("lo"), 1).otherwise(0)).alias("n_lo"),
+        F.sum(F.when(F.col("p") > F.col("hi"), 1).otherwise(0)).alias("n_hi"),
+    )
+    wsum = (
+        agg["sum_mid"].cast("double")
+        + agg["n_lo"].cast("double") * agg["lo"]
+    ) + agg["n_hi"].cast("double") * agg["hi"]
+    return agg.select(
+        "l_returnflag",
+        "n",
+        pround("lo", 6).alias("p05_cents"),
+        pround("hi", 6).alias("p95_cents"),
+        "n_lo",
+        "n_hi",
+        pround(wsum / agg["n"].cast("double"), 6).alias("winsorized_mean_cents"),
+    )
+
+
+WINSORIZED_PRICE_STATS_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem
+),
+q AS (
+  SELECT l_returnflag,
+         quantile_cont(p, {WINSOR_LO}) AS lo,
+         quantile_cont(p, {WINSOR_HI}) AS hi
+  FROM base GROUP BY l_returnflag
+),
+a AS (
+  SELECT b.l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(q.lo) AS lo, MIN(q.hi) AS hi,
+         SUM(CASE WHEN b.p >= q.lo AND b.p <= q.hi THEN b.p ELSE 0 END)
+           AS sum_mid,
+         CAST(SUM(CASE WHEN b.p < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         CAST(SUM(CASE WHEN b.p > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+  FROM base b JOIN q USING (l_returnflag)
+  GROUP BY b.l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(lo, 6) AS p05_cents,
+       ROUND(hi, 6) AS p95_cents,
+       n_lo, n_hi,
+       ROUND(((CAST(sum_mid AS DOUBLE) + CAST(n_lo AS DOUBLE) * lo)
+              + CAST(n_hi AS DOUBLE) * hi) / CAST(n AS DOUBLE), 6)
+         AS winsorized_mean_cents
+FROM a
+"""
+
+
 ORACLES: dict[str, str] = {
+    "price_outliers_mad": PRICE_OUTLIERS_MAD_SQL,
+    "ks_test_returnflag": KS_TEST_RETURNFLAG_SQL,
+    "chi2_priority_region": CHI2_PRIORITY_REGION_SQL,
+    "winsorized_price_stats": WINSORIZED_PRICE_STATS_SQL,
     "benford_price_audit": BENFORD_PRICE_AUDIT_SQL,
     "trend_mann_kendall": TREND_MANN_KENDALL_SQL,
     "revenue_anomalies": REVENUE_ANOMALIES_SQL,
@@ -749,6 +1125,10 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "price_outliers_mad": price_outliers_mad,
+    "ks_test_returnflag": ks_test_returnflag,
+    "chi2_priority_region": chi2_priority_region,
+    "winsorized_price_stats": winsorized_price_stats,
     "benford_price_audit": benford_price_audit,
     "trend_mann_kendall": trend_mann_kendall,
     "revenue_anomalies": revenue_anomalies,

@@ -961,7 +961,84 @@ FROM td GROUP BY term
 """
 
 
+_D38 = "decimal(38,0)"
+
+
+def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio, Gini-
+    Simpson diversity, and top-token concentration — the corpus-health
+    metrics that flag template/boilerplate-dominated sources (low
+    diversity, high top-share) before they pollute a training mixture.
+
+    Deliberately Simpson, not Shannon: ``1 − Σc²/N²`` needs no
+    logarithms, so every statistic is exact-integer moments with one
+    final division — engine-portable without trusting either engine's
+    ``log`` rounding (the Benford discipline).  Σc² runs in
+    decimal(38,0)/HUGEINT: a 1e12-count token squares to 1e24 ≪ 1e38.
+
+    Scale: explode → ONE (source, token) hash aggregate (map-side
+    combinable, the dominant shuffle ~vocabulary-sized), then a
+    source-sized rollup.  No windows, no joins.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(_tokens()).alias("token")
+    )
+    per_token = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_token.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c").cast(_D38) * F.col("c").cast(_D38)).alias("sum_c2"),
+        F.max("c").alias("max_c"),
+    )
+    n_d = agg["n_tokens"].cast("double")
+    return agg.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        pround(agg["n_types"].cast("double") / n_d, 6).alias(
+            "type_token_ratio"
+        ),
+        pround(
+            F.lit(1.0) - agg["sum_c2"].cast("double") / (n_d * n_d), 6
+        ).alias("simpson_diversity"),
+        pround(agg["max_c"].cast("double") / n_d, 6).alias("top_token_share"),
+    )
+
+
+TOKEN_DIVERSITY_BY_SOURCE_SQL = """
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '[ ]+')) AS token
+  FROM documents
+),
+per_token AS (
+  SELECT source, token, COUNT(*) AS c
+  FROM tok GROUP BY source, token
+),
+agg AS (
+  SELECT source,
+         COUNT(*) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sum_c2,
+         MAX(c) AS max_c
+  FROM per_token GROUP BY source
+)
+SELECT source, n_types, n_tokens,
+       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS type_token_ratio,
+       ROUND(1.0 - CAST(sum_c2 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+         AS simpson_diversity,
+       ROUND(CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS top_token_share
+FROM agg
+"""
+
+
 ORACLES: dict[str, str] = {
+    "token_diversity_by_source": TOKEN_DIVERSITY_BY_SOURCE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
     "ngram_lm_counts": NGRAM_LM_COUNTS_SQL,
     "pii_scrub": PII_SCRUB_SQL,
@@ -977,6 +1054,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "token_diversity_by_source": token_diversity_by_source,
     "bm25_topk": bm25_topk,
     "inverted_index": inverted_index,
     "ngram_lm_counts": ngram_lm_counts,
