@@ -32,6 +32,7 @@ from retail_sales_project_bigdata_spark.operators import (
     expectations,
     funnel,
     graph,
+    modeleval,
     multimodal,
     olap,
     rangejoin,
@@ -70,6 +71,7 @@ _MODULES = [
     olap,
     funnel,
     graph,
+    modeleval,
     stats,
     calendar_mod,
     asof,
