@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from retail_sales_project_bigdata_spark.functions import (
     net_sales,
     oracle_sum,
+    pround,
     stable_sum,
 )
 from retail_sales_project_bigdata_spark.sources import read_table
@@ -108,12 +109,144 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+II_MIN_CO = 3  # minimum co-basket support for a neighbor pair
+II_TOP_K = 5
+
+
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering neighbors: top-{k} most similar
+    parts per part by BINARY COSINE over co-basket counts —
+    ``cos(a,b) = co(a,b) / √(n(a)·n(b))`` — the memory-based
+    recommender that complements the model-based ALS path
+    (ProductRecommendation.java:53-62 is the spec's only recommender;
+    this is the classical neighborhood twin).
+
+    Exactness: counts are exact integers; the denominator is
+    ``sqrt`` OF THE EXACT INTEGER PRODUCT (not √n·√m — the two-sqrt
+    form can round differently from the one-sqrt form), then ONE
+    division: identical correctly-rounded ops on both engines.  Ranking
+    ties (equal cosine) break on the neighbor id, so top-k membership
+    is engine-deterministic.
+
+    Scale: per-basket pair explosion is bounded by basket size (TPC-H
+    ≤ 7 lines/order; a retail feed caps basket length upstream), and
+    the ``II_MIN_CO`` support threshold prunes the pair frame before
+    the similarity math.  The per-item top-k window partitions on
+    partkey — |parts|-cardinality, so no single-task hazard — and
+    Spark's WindowGroupLimit pushes the rank filter map-side.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .persist()  # feeds item counts AND the self-join
+    )
+    item_n = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = pairs.alias("a"), pairs.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= II_MIN_CO)
+    )
+    na = item_n.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    sim = co.join(na, "pa").join(nb, "pb").select(
+        "pa",
+        "pb",
+        "co",
+        (
+            F.col("co").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+        ).alias("cos_raw"),
+    )
+    both = sim.select(
+        F.col("pa").alias("item"),
+        F.col("pb").alias("neighbor"),
+        "co",
+        "cos_raw",
+    ).unionByName(
+        sim.select(
+            F.col("pb").alias("item"),
+            F.col("pa").alias("neighbor"),
+            "co",
+            "cos_raw",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= II_TOP_K)
+        .select(
+            "item",
+            "neighbor",
+            "co",
+            pround("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+item_item_cosine_topk.__doc__ = item_item_cosine_topk.__doc__.format(
+    k=II_TOP_K
+)
+
+
+ITEM_ITEM_COSINE_TOPK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item_n AS (
+  SELECT l_partkey, COUNT(*) AS n FROM pairs GROUP BY l_partkey
+),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {II_MIN_CO}
+),
+sim AS (
+  SELECT c.pa, c.pb, c.co,
+         CAST(c.co AS DOUBLE) / SQRT(CAST(na.n * nb.n AS DOUBLE)) AS cos_raw
+  FROM co c
+  JOIN item_n na ON c.pa = na.l_partkey
+  JOIN item_n nb ON c.pb = nb.l_partkey
+),
+dirs AS (
+  SELECT pa AS item, pb AS neighbor, co, cos_raw FROM sim
+  UNION ALL
+  SELECT pb AS item, pa AS neighbor, co, cos_raw FROM sim
+),
+ranked AS (
+  SELECT item, neighbor, co, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY cos_raw DESC, neighbor) AS rank
+  FROM dirs
+)
+SELECT item, neighbor, co, ROUND(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {II_TOP_K}
+"""
+
+
 ORACLES: dict[str, str] = {
     "ratings": RATINGS_SQL,
+    "item_item_cosine_topk": ITEM_ITEM_COSINE_TOPK_SQL,
     # als_recommendations: rows-only (seeded ALS, engine-version-sensitive)
 }
 
 QUERIES = {
     "ratings": ratings,
     "als_recommendations": als_recommendations,
+    "item_item_cosine_topk": item_item_cosine_topk,
 }
