@@ -274,6 +274,77 @@ FROM ranked WHERE sample_rank <= {SAMPLE_PER_STRATUM}
 """
 
 
+PRIORITY_SAMPLE_K = 25  # kept items per source stratum
+
+
+def priority_sample_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling without replacement per ``source`` — priority
+    sampling (Duffield, Lund & Thorup, "Priority sampling for estimation
+    of arbitrary subset sums", JACM 2007): each item draws a uniform
+    ``u`` and gets priority ``u / w``; the k smallest priorities per
+    stratum form the sample, so heavier items (here ``n_chars`` — the
+    doc's size as its selection weight) are proportionally more likely
+    to survive.  This is how a curation pipeline takes a size-weighted
+    corpus sample deterministically: re-runs, engines, and cluster
+    layouts all pick the same docs.
+
+    Determinism/exactness: ``u`` is 60 bits of the md5 of the doc id
+    (engine-portable), the priority is a SINGLE IEEE division of that
+    exact integer by the integer weight — bit-identical in Spark and
+    DuckDB (see the single-division rule in ``functions``) — and ties
+    break on doc_id.
+
+    Scale: sources are FEW, so the per-stratum rank uses
+    :func:`ranking.grouped_row_number` (range exchange + local ranks +
+    broadcast offsets), not a single-task window; everything else is
+    map-only off the corpus scan.
+    """
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    pri = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("weight"),
+        (
+            F.conv(F.substring(_doc_hash(), 1, 15), 16, 10).cast("long")
+            / F.col("n_chars")
+        ).alias("priority"),
+    )
+    ranked = grouped_row_number(
+        pri,
+        ["source"],
+        [F.asc("priority"), F.asc("doc_id")],
+        "sample_rank",
+    )
+    return ranked.filter(F.col("sample_rank") <= PRIORITY_SAMPLE_K).select(
+        "doc_id", "source", "weight", "priority", "sample_rank"
+    )
+
+
+PRIORITY_SAMPLE_BY_SOURCE_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars AS weight,
+         CAST(CAST(('0x' || substr({_DOC_HASH_SQL}, 1, 15)) AS BIGINT) AS DOUBLE)
+           / n_chars AS priority
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT doc_id, source, weight, priority,
+         ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY priority, doc_id) AS sample_rank
+  FROM pri
+)
+SELECT doc_id, source, weight, priority, sample_rank
+FROM ranked WHERE sample_rank <= {PRIORITY_SAMPLE_K}
+"""
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing: per ``source`` shard, documents are
     concatenated in deterministic md5 order and cut into
@@ -1318,6 +1389,7 @@ ORACLES: dict[str, str] = {
     "dedup_survivors": DEDUP_SURVIVORS_SQL,
     "hash_split": HASH_SPLIT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "priority_sample_by_source": PRIORITY_SAMPLE_BY_SOURCE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "vocab_table": VOCAB_TABLE_SQL,
     "dataset_mixture": DATASET_MIXTURE_SQL,
@@ -1338,6 +1410,7 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
     "hash_split": hash_split,
     "stratified_sample": stratified_sample,
+    "priority_sample_by_source": priority_sample_by_source,
     "pack_sequences": pack_sequences,
     "vocab_table": vocab_table,
     "dataset_mixture": dataset_mixture,

@@ -1018,7 +1018,71 @@ GROUP BY e.q_id
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the storage step a 100 TB vector store runs before ANN serving (4×
+    smaller than float32, 8× smaller than float64; ADC-style scoring
+    then works on the int8 codes).
+
+    Per vector: ``scale = max(|v_i|)``; ``q_i = floor(v_i * 127 /
+    scale)``; plus a saturation count (elements hitting ±127) as the
+    quantization-health signal.  Map-only — one narrow projection over
+    the corpus scan, no shuffle, embarrassingly parallel at any scale.
+
+    Oracle exactness: every per-element step is a single exactly-rounded
+    IEEE double op (cast, multiply, divide, floor) evaluated in the same
+    order by Spark and DuckDB, so the int codes match bit-for-bit —
+    unlike summation-order-dependent dot products, no fold is involved.
+    """
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    base = emb.select("vec_id", v.alias("v"))
+    scaled = base.withColumn(
+        "scale", F.expr("array_max(transform(v, x -> abs(x)))")
+    )
+    quantized = scaled.withColumn(
+        "quant",
+        F.expr(
+            "CASE WHEN scale = 0 THEN transform(v, x -> 0)"
+            " ELSE transform(v, x -> cast(floor(x * 127.0 / scale) as int))"
+            " END"
+        ),
+    )
+    return quantized.select(
+        "vec_id",
+        "scale",
+        "quant",
+        F.expr(
+            "cast(aggregate(quant, 0,"
+            " (acc, y) -> acc + CASE WHEN abs(y) >= 127 THEN 1 ELSE 0 END)"
+            " as bigint)"
+        ).alias("n_sat"),
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM base
+), quantized AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale) AS INT))
+         END AS quant
+  FROM scaled
+)
+SELECT vec_id, scale, quant,
+       CAST(list_sum(list_transform(quant,
+            y -> CASE WHEN abs(y) >= 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
+FROM quantized
+"""
+
+
 ORACLES: dict[str, str] = {
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
@@ -1032,6 +1096,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "embedding_quantize_int8": embedding_quantize_int8,
     "ann_recall_eval": ann_recall_eval,
     "ann_mmr_topk": ann_mmr_topk,
     "semantic_dedup": semantic_dedup,

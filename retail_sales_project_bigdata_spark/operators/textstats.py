@@ -1037,7 +1037,99 @@ FROM agg
 """
 
 
+COMMON_BIGRAM_PCT = 5  # a bigram is "common" if >= 5% of docs contain it
+
+
+def bigram_coverage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM-coverage quality score (the count-based cousin of
+    CCNet's perplexity filter): the share of a doc's DISTINCT bigrams
+    that are "common" in the corpus (document frequency >=
+    {COMMON_BIGRAM_PCT}% of docs).  Low coverage = unusual token
+    transitions = likely noise/boilerplate/foreign material; the score
+    feeds the same keep/drop decision a perplexity filter would, without
+    a trained LM.
+
+    Shape: per-doc distinct bigrams (narrow array transform + explode +
+    distinct), ONE hash agg for corpus document frequency, join back on
+    the bigram key, per-doc re-agg — two shuffles on corpus-cardinality
+    keys, no windows, no Python.  The df >= pct * n_docs comparison is
+    kept in INTEGER form (df * 100 >= pct * n_docs) and the score is a
+    single IEEE division, so the oracle matches bit-for-bit.
+
+    At 100 TB: the bigram df table is the hash-agg output (vocabulary²
+    upper bound, Zipf-small in practice); everything joins on the bigram
+    string — skew on ultra-common bigrams is bounded because the per-doc
+    side is already distinct.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks_df = docs.select("doc_id", _tokens().alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    doc_bg = (
+        toks_df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    n_docs_df = toks_df.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_counts = doc_bg.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    covered_flag = (
+        doc_bg.join(df_counts, "bg")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "is_common",
+            (
+                F.col("doc_freq") * 100
+                >= F.lit(COMMON_BIGRAM_PCT) * F.col("n_docs")
+            ).cast("int"),
+        )
+    )
+    return covered_flag.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("is_common").alias("covered"),
+        (
+            F.sum("is_common").cast("double") / F.count(F.lit(1))
+        ).alias("coverage_score"),
+    )
+
+
+BIGRAM_COVERAGE_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[ ]+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(text), '[ ]+')) >= 2
+), doc_bg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM toks
+), df AS (
+  SELECT bg, COUNT(*) AS doc_freq FROM doc_bg GROUP BY bg
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN f.doc_freq * 100 >= {COMMON_BIGRAM_PCT} * n.n_docs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+       CAST(SUM(CASE WHEN f.doc_freq * 100 >= {COMMON_BIGRAM_PCT} * n.n_docs
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage_score
+FROM doc_bg d JOIN df f USING (bg) CROSS JOIN n
+GROUP BY d.doc_id
+"""
+
+
 ORACLES: dict[str, str] = {
+    "bigram_coverage_scores": BIGRAM_COVERAGE_SCORES_SQL,
     "token_diversity_by_source": TOKEN_DIVERSITY_BY_SOURCE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
     "ngram_lm_counts": NGRAM_LM_COUNTS_SQL,
@@ -1054,6 +1146,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "bigram_coverage_scores": bigram_coverage_scores,
     "token_diversity_by_source": token_diversity_by_source,
     "bm25_topk": bm25_topk,
     "inverted_index": inverted_index,
