@@ -78,6 +78,38 @@ def _prepare_features(features: DataFrame) -> DataFrame:
     return features
 
 
+def strip_training_summary(model) -> None:
+    """Drop a fitted model's driver-side training summary, in place
+    (recurses into ``PipelineModel`` stages).
+
+    Why this must happen before every ``transform``: HasTrainingSummary
+    models (LogisticRegression, RandomForest, KMeans, ...) keep a summary
+    that references the SparkSession, and the scoring UDF closure
+    serializes the model — which fails with ``NotSerializableException:
+    org.apache.spark.sql.classic.ObservationManager`` once ANY
+    ``df.observe`` has been used on the session (Spark 4.1 materializes
+    ``SparkSession.observationManager`` lazily; it is null — and thus
+    serializable — until the first Observation, which is why the bug is
+    order-dependent).  Scoring must never depend on driver-side training
+    state anyway.  ``model.copy()`` is NOT a reliable substitute: some
+    models (LogisticRegressionModel) re-attach the summary in ``copy``.
+    """
+    from pyspark import SparkContext
+
+    stages = getattr(model, "stages", None)
+    for st in stages if stages is not None else [model]:
+        jobj = getattr(st, "_java_obj", None)
+        if jobj is None:
+            continue
+        try:
+            if jobj.hasSummary():
+                jobj.setSummary(
+                    SparkContext._active_spark_context._jvm.scala.Option.empty()
+                )
+        except Exception:
+            continue  # model type without a summary slot
+
+
 def train_and_evaluate_churn(features: DataFrame) -> tuple[object, float]:
     """M4: 80/20 split + AUC — ChurnPrediction.java:321-337."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
@@ -85,16 +117,11 @@ def train_and_evaluate_churn(features: DataFrame) -> tuple[object, float]:
     features = _prepare_features(features)
     train, test = features.randomSplit([0.8, 0.2], seed=SPLIT_SEED)
     model = build_churn_pipeline().fit(train)
+    strip_training_summary(model)  # see docstring: scoring-closure hygiene
     evaluator = BinaryClassificationEvaluator(
         labelCol="label", metricName="areaUnderROC"
     )
-    # Score with a summary-free copy: the fitted RF's trainingSummary
-    # holds a SparkSession reference, and serializing that session into
-    # the scoring closure fails once ANY Observation has been used on it
-    # (Spark 4.1: SparkSession.observationManager is lazily materialized
-    # and not serializable).  Model.copy() drops the summary — scoring
-    # must never depend on driver-side training state anyway.
-    auc = float(evaluator.evaluate(model.copy().transform(test)))
+    auc = float(evaluator.evaluate(model.transform(test)))
     return model, auc
 
 
@@ -180,6 +207,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     model = pipe.fit(train)
+    strip_training_summary(model)  # LR summary holds the session; see helper
     scored = model.transform(train)
     return scored.select(
         "doc_id",

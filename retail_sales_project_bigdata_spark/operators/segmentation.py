@@ -179,6 +179,13 @@ def _run_sweep(spark: SparkSession, sf_dir: str):
         scaled.unpersist()
     best = max(rows, key=lambda r: (r[1], -r[2]))  # silhouette max, WSSSE tie
     best_k = best[0]
+    # trainingCost has been read; drop the summary so later transforms
+    # never serialize the session (ml.pipelines.strip_training_summary).
+    from retail_sales_project_bigdata_spark.ml.pipelines import (
+        strip_training_summary,
+    )
+
+    strip_training_summary(models[best_k])
     result = (rows, best_k, models[best_k])
     _SWEEP_CACHE[key] = result
     return result

@@ -33,3 +33,23 @@ def test_quality_classifier_deterministic_refit(spark):
     a = sorted(map(tuple, quality_classifier_scores(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, quality_classifier_scores(spark, SF_SMALL).collect()))
     assert a == b
+
+
+def test_scores_after_session_observation(spark):
+    """Regression: scoring must survive a session that has used
+    ``df.observe``.  Spark 4.1's SparkSession.observationManager is
+    created lazily and is NOT serializable; an LR model's trainingSummary
+    references the session, so ``model.transform`` blew up with
+    ``NotSerializableException: ObservationManager`` whenever any
+    Observation ran earlier in the session (order-dependent — the full
+    suite runs observe-based tests first).  Fixed by
+    ``ml.pipelines.strip_training_summary`` after every fit."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 5  # observationManager is now materialized
+
+    rows = quality_classifier_scores(spark, SF_SMALL).limit(5).collect()
+    assert rows
