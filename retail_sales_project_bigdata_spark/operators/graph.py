@@ -472,13 +472,108 @@ def _kcore_sql() -> str:
 KCORE_MEMBERS_SQL = _kcore_sql()
 
 
+HITS_TOP_K = 20
+
+
+def hits_bipartite_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact HITS round (Kleinberg's hubs-and-authorities) over the
+    customer→part purchase bipartite graph, in INTEGER arithmetic:
+
+    - ``auth_1(p)`` = distinct buyers of part p (degree — the uniform-init
+      authority update);
+    - ``hub_1(c)``  = Σ ``auth_1`` over the parts customer c bought (a
+      customer is a good hub when they buy widely-bought parts);
+    - ``auth_2(p)`` = Σ ``hub_1`` over p's buyers (a part is a good
+      authority when good hubs buy it).
+
+    Returns the top-{HITS_TOP_K} parts by ``auth_2`` (total order: score
+    desc, partkey asc).  Complements :func:`pagerank_copurchase`: HITS
+    scores the BIPARTITE structure directly — no projection to a
+    part-part graph, so no projected-edge blowup — and the unnormalized
+    integer form makes the query oracle-exact where float PageRank can't
+    be.  (Classical HITS iterates with L2 normalization; one unnormalized
+    round preserves the ranking of the first iterate exactly.)
+
+    Shape: one distinct on the edge set, then two groupBy/join waves over
+    edges — every shuffle key is corpus-cardinality (custkey / partkey),
+    no windows, no iteration state.  At 100 TB the scores stay exact
+    BIGINTs (Σ over ≤|edges| terms each ≤|customers| — overflow needs
+    ~10^18, i.e. a quadrillion-edge graph).
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .persist()  # three consumers: auth_1, hub_1 join, auth_2 join
+    )
+    auth1 = edges.groupBy("partkey").agg(
+        F.count(F.lit(1)).alias("auth_1")
+    )
+    hub1 = (
+        edges.join(auth1, "partkey")
+        .groupBy("custkey")
+        .agg(F.sum("auth_1").alias("hub_1"))
+    )
+    auth2 = (
+        edges.join(hub1, "custkey")
+        .groupBy("partkey")
+        .agg(F.sum("hub_1").alias("auth_2"))
+    )
+    return (
+        auth2.join(auth1, "partkey")
+        .join(F.broadcast(part), auth2.partkey == part.p_partkey)
+        .select("partkey", "p_name", "auth_1", "auth_2")
+        .orderBy(F.desc("auth_2"), F.asc("partkey"))
+        .limit(HITS_TOP_K)
+    )
+
+
+HITS_BIPARTITE_SCORES_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+auth1 AS (
+  SELECT partkey, COUNT(*) AS auth_1 FROM edges GROUP BY 1
+),
+hub1 AS (
+  SELECT e.custkey, CAST(SUM(a.auth_1) AS BIGINT) AS hub_1
+  FROM edges e JOIN auth1 a ON e.partkey = a.partkey
+  GROUP BY 1
+),
+auth2 AS (
+  SELECT e.partkey, CAST(SUM(h.hub_1) AS BIGINT) AS auth_2
+  FROM edges e JOIN hub1 h ON e.custkey = h.custkey
+  GROUP BY 1
+)
+SELECT a2.partkey, p.p_name, a1.auth_1, a2.auth_2
+FROM auth2 a2
+JOIN auth1 a1 ON a2.partkey = a1.partkey
+JOIN part p ON a2.partkey = p.p_partkey
+ORDER BY a2.auth_2 DESC, a2.partkey ASC
+LIMIT {HITS_TOP_K}
+"""
+
+
 ORACLES: dict[str, str] = {
+    "hits_bipartite_scores": HITS_BIPARTITE_SCORES_SQL,
     "triangle_counts": TRIANGLE_COUNTS_SQL,
     "clustering_coefficients": CLUSTERING_COEFFICIENTS_SQL,
     "kcore_members": KCORE_MEMBERS_SQL,
 }
 
 QUERIES = {
+    "hits_bipartite_scores": hits_bipartite_scores,
     "pagerank_copurchase": pagerank_copurchase,
     "triangle_counts": triangle_counts,
     "clustering_coefficients": clustering_coefficients,

@@ -1109,7 +1109,136 @@ FROM a
 """
 
 
+def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of each nation's weekly revenue — the
+    standard companion ESTIMATOR to the Mann-Kendall trend TEST
+    (:func:`trend_mann_kendall`): the median of all pairwise slopes,
+    insensitive to ~29% outliers where OLS is wrecked by one bad week.
+
+    Exactness: revenue is exact integer cents, so every pairwise slope
+    is ONE IEEE division of an exact BIGINT difference by an exact int
+    week gap — engine-identical doubles (single-division rule).  The
+    median picks the middle rank(s) explicitly (ties in slope VALUE are
+    interchangeable, so the tie-broken rank is value-stable), and the
+    even-count midpoint is one add + one halving — both exactly rounded
+    identically in Spark and DuckDB.
+
+    Scale: identical posture to Mann-Kendall — the pair join is over the
+    per-nation WEEKLY aggregate, so the quadratic lives in the
+    calendar-bounded time dimension, not the data volume; the per-nation
+    median ranks via :func:`ranking.grouped_row_number` (range exchange
+    + local ranks), never a one-task-per-nation window.
+    """
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_row_number,
+    )
+
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit(DAY_EPOCH)) + 1
+    weekly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("week_no", F.ceil(day / F.lit(7.0)).cast("int"))
+        .groupBy("n_name", "week_no")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev"))
+        .persist()  # two pair sides + the per-nation week count
+    )
+    a = weekly.select(
+        "n_name", F.col("week_no").alias("w_i"), F.col("rev").alias("x_i")
+    )
+    b = weekly.select(
+        "n_name", F.col("week_no").alias("w_j"), F.col("rev").alias("x_j")
+    )
+    pairs = (
+        a.join(b, "n_name")
+        .filter(F.col("w_i") < F.col("w_j"))
+        .select(
+            "n_name",
+            "w_i",
+            "w_j",
+            (
+                (F.col("x_j") - F.col("x_i"))
+                / (F.col("w_j") - F.col("w_i"))
+            ).alias("slope"),
+        )
+    )
+    ranked = grouped_row_number(
+        pairs,
+        ["n_name"],
+        [F.asc("slope"), F.asc("w_i"), F.asc("w_j")],
+        "rk",
+    )
+    counts = pairs.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_weeks = weekly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_weeks")
+    )
+    mid = ranked.join(F.broadcast(counts), "n_name").filter(
+        (F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        | (F.col("rk") == F.floor((F.col("n_pairs") + 2) / 2))
+    )
+    sen = mid.groupBy("n_name", "n_pairs").agg(
+        pround(F.avg("slope"), 6).alias("sen_slope_cents")
+    )
+    return (
+        sen.join(F.broadcast(n_weeks), "n_name")
+        .select("n_name", "n_weeks", "n_pairs", "sen_slope_cents")
+    )
+
+
+THEIL_SEN_WEEKLY_TREND_SQL = f"""
+WITH weekly AS (
+  SELECT n.n_name,
+         CAST(CEIL((datediff('day', DATE '{DAY_EPOCH}',
+                             CAST(o.o_orderdate AS DATE)) + 1) / 7.0)
+              AS INT) AS week_no,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.n_name, a.week_no AS w_i, b.week_no AS w_j,
+         CAST(b.rev - a.rev AS DOUBLE) / (b.week_no - a.week_no) AS slope
+  FROM weekly a JOIN weekly b
+    ON a.n_name = b.n_name AND a.week_no < b.week_no
+),
+ranked AS (
+  SELECT n_name, slope,
+         ROW_NUMBER() OVER (
+             PARTITION BY n_name ORDER BY slope, w_i, w_j) AS rk
+  FROM pairs
+),
+counts AS (
+  SELECT n_name, COUNT(*) AS n_pairs FROM pairs GROUP BY 1
+),
+wk AS (
+  SELECT n_name, COUNT(*) AS n_weeks FROM weekly GROUP BY 1
+)
+SELECT r.n_name, wk.n_weeks, c.n_pairs,
+       ROUND(AVG(r.slope), 6) AS sen_slope_cents
+FROM ranked r
+JOIN counts c ON r.n_name = c.n_name
+JOIN wk ON r.n_name = wk.n_name
+WHERE r.rk = CAST(floor((c.n_pairs + 1) / 2.0) AS BIGINT)
+   OR r.rk = CAST(floor((c.n_pairs + 2) / 2.0) AS BIGINT)
+GROUP BY r.n_name, wk.n_weeks, c.n_pairs
+"""
+
+
 ORACLES: dict[str, str] = {
+    "theil_sen_weekly_trend": THEIL_SEN_WEEKLY_TREND_SQL,
     "price_outliers_mad": PRICE_OUTLIERS_MAD_SQL,
     "ks_test_returnflag": KS_TEST_RETURNFLAG_SQL,
     "chi2_priority_region": CHI2_PRIORITY_REGION_SQL,
@@ -1125,6 +1254,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "theil_sen_weekly_trend": theil_sen_weekly_trend,
     "price_outliers_mad": price_outliers_mad,
     "ks_test_returnflag": ks_test_returnflag,
     "chi2_priority_region": chi2_priority_region,
