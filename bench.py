@@ -129,14 +129,27 @@ def main() -> None:
         ),
     }
     line = json.dumps(payload, separators=(",", ":"))
-    # Also persist to disk: the driver's stdout capture truncates long
-    # lines (BENCH_r01.json recorded parsed=null), so the round artifact
-    # has a machine-readable fallback (VERDICT r1 item 3).
+    # Full payload (all per-query medians) goes to disk; stdout gets a
+    # SHORT line.  The driver's stdout capture keeps only a ~4 KB tail,
+    # so round 1's full 150+-query line arrived decapitated and recorded
+    # parsed=null (VERDICT r1 item 3: "keep the stdout line minimal
+    # (summary + path)").  The short line carries the headline metric
+    # plus the slowest queries; everything else is in queries_file.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_out.json")
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
-    print(line)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = dict(
+        payload,
+        queries=slowest,
+        n_queries=len(timings),
+        queries_truncated_to="10 slowest; full set in queries_file",
+        queries_file=out_path,
+    )
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

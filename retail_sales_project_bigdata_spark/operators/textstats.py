@@ -1128,7 +1128,139 @@ GROUP BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-LM perplexity scoring (CCNet-style quality filter): score every
+# document by how well an add-one-smoothed bigram LM trained on the
+# corpus itself predicts it.  High bits-per-token ⇒ the document is
+# unlike the corpus (noise, boilerplate soup, foreign matter) — the
+# canonical perplexity-filter signal, here with an ENGINE-EXACT
+# quantization so the driver's strict double comparator holds.
+# ---------------------------------------------------------------------------
+
+PPX_BITS_THRESHOLD = 9.0  # flag docs whose quantized bits/token exceeds this
+
+
+def _floor_log2(col: F.Column) -> F.Column:
+    """EXACT floor(log2(n)) for a positive BIGINT column: the length of
+    its binary string minus one (``bin`` exists with identical semantics
+    in Spark and DuckDB).  No libm — ``log``/``log2`` differ across
+    engines in the last ulp, which the strict comparator would see."""
+    return (F.length(F.bin(col)) - F.lit(1)).cast("long")
+
+
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy under an add-one bigram count LM.
+
+    For each in-doc bigram (ctx, nxt) with corpus count ``cnt`` and
+    context total ``ctx_total``, the smoothed probability is
+    ``(cnt+1)/(ctx_total+V)``; the per-token cost is quantized to whole
+    bits as ``floor(log2(ctx_total+V)) - floor(log2(cnt+1))`` — an
+    integer within 1 bit of the true -log2 p, summed EXACTLY as BIGINT
+    (float logprob sums are addition-order-dependent across engines; the
+    integer surrogate is not).  ``bits_per_token`` is then ONE IEEE
+    divide.  Production swap-in: replace ``_floor_log2`` with
+    ``F.log2`` for fractional bits — same plan, same shuffles.
+
+    Shape: bigram construction is a narrow array transform; the model
+    (bigram counts + context totals) is ONE hash agg each over the same
+    exploded frame; V is a 1-row broadcast.  The doc-bigrams ⋈ model
+    join shuffles on the bigram key — vocabulary-scaled, so a plain
+    shuffle join by design (AQE broadcasts it when the model actually
+    fits).  Mirrors the reference's text-scoring role (no direct
+    reference twin; north-star curation op).
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _tokens().alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a as ctx, b as nxt))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.ctx", "g.nxt")
+    counts = pairs.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.groupBy("ctx").agg(F.sum("cnt").alias("ctx_total"))
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .agg(F.count_distinct("token").alias("v_size"))
+    )
+    model = counts.join(tot, "ctx")
+    bits = _floor_log2(F.col("ctx_total") + F.col("v_size")) - _floor_log2(
+        F.col("cnt") + F.lit(1)
+    )
+    per_doc = (
+        pairs.join(model, ["ctx", "nxt"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).alias("sum_bits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_bits",
+        (F.col("sum_bits").cast("double") / F.col("n_bigrams")).alias(
+            "bits_per_token"
+        ),
+        (
+            F.col("sum_bits").cast("double") / F.col("n_bigrams")
+            > PPX_BITS_THRESHOLD
+        )
+        .cast("int")
+        .alias("high_ppx_flag"),
+    )
+
+
+LM_PERPLEXITY_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '{_TOKENIZE}') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(text), '{_TOKENIZE}')) >= 2
+),
+pairs AS (
+  SELECT doc_id, t[i] AS ctx, t[i + 1] AS nxt
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+counts AS (
+  SELECT ctx, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY ctx, nxt
+),
+tot AS (
+  SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ctx_total FROM counts GROUP BY ctx
+),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v_size
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '{_TOKENIZE}')) AS token
+        FROM documents)
+),
+per_doc AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM( (length(bin(t.ctx_total + v.v_size)) - 1)
+                 - (length(bin(c.cnt + 1)) - 1) ) AS BIGINT) AS sum_bits
+  FROM pairs p
+  JOIN counts c ON p.ctx = c.ctx AND p.nxt = c.nxt
+  JOIN tot t ON p.ctx = t.ctx
+  CROSS JOIN vocab v
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_bigrams, sum_bits,
+       CAST(sum_bits AS DOUBLE) / n_bigrams AS bits_per_token,
+       CAST(CAST(sum_bits AS DOUBLE) / n_bigrams > {PPX_BITS_THRESHOLD}
+            AS INT) AS high_ppx_flag
+FROM per_doc
+"""
+
+
 ORACLES: dict[str, str] = {
+    "lm_perplexity_scores": LM_PERPLEXITY_SCORES_SQL,
     "bigram_coverage_scores": BIGRAM_COVERAGE_SCORES_SQL,
     "token_diversity_by_source": TOKEN_DIVERSITY_BY_SOURCE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
@@ -1146,6 +1278,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "lm_perplexity_scores": lm_perplexity_scores,
     "bigram_coverage_scores": bigram_coverage_scores,
     "token_diversity_by_source": token_diversity_by_source,
     "bm25_topk": bm25_topk,

@@ -31,12 +31,14 @@ from retail_sales_project_bigdata_spark.operators import (
     dunnhumby,
     expectations,
     funnel,
+    governance,
     graph,
     modeleval,
     multimodal,
     olap,
     rangejoin,
     recommend,
+    retrieval,
     reports,
     rfm,
     segmentation,
@@ -66,10 +68,12 @@ _MODULES = [
     curation,
     expectations,
     similarity,
+    retrieval,
     sessions,
     multimodal,
     olap,
     funnel,
+    governance,
     graph,
     modeleval,
     stats,

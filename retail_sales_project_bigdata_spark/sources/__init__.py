@@ -461,6 +461,41 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     return path
 
 
+def upload_to_fs(
+    spark: SparkSession,
+    local_path: str,
+    dest_uri: str,
+    overwrite: bool = True,
+) -> str:
+    """Engine-side twin of the reference's HDFS staging shell (S11,
+    ``scripts/upload_to_hdfs.sh:9-10``: ``hdfs dfs -put <local> <dest>``)
+    — copies a local file or directory onto any Hadoop-FS URI through
+    py4j (``FileSystem.copyFromLocalFile``), so the one step the
+    reference leaves to a shell script is callable from the engine
+    (closes SURVEY §2 S11, previously "out of engine scope").
+
+    The destination filesystem comes from the URI scheme (local path /
+    ``file://`` / ``hdfs://`` / any object-store connector on the
+    classpath); the copy itself is a driver-side stream — this stages
+    INPUT files (the reference uploads raw CSVs before a run), it is not
+    a distributed write path.
+    """
+    import os as _os
+
+    if not _os.path.exists(local_path):
+        raise FileNotFoundError(local_path)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    src = HPath("file://" + _os.path.abspath(local_path))
+    dst = HPath(dest_uri)
+    fs = dst.getFileSystem(hconf)
+    if not overwrite and fs.exists(dst):
+        raise FileExistsError(dest_uri)
+    fs.copyFromLocalFile(False, overwrite, src, dst)
+    return dest_uri
+
+
 def with_provenance(df: DataFrame) -> DataFrame:
     """Attach row-level provenance: the source file path each row came
     from (``input_file_name()`` — resolved per split at scan time, free)

@@ -336,6 +336,41 @@ def test_write_single_file_hadoop_fs_uri(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_upload_to_fs_stages_local_files(spark, tmp_path):
+    """S11 (scripts/upload_to_hdfs.sh:9-10): staging a local file onto a
+    Hadoop-FS URI — file and directory sources, overwrite semantics, and
+    a loud error when overwrite=False hits an existing target."""
+    import pytest
+
+    from retail_sales_project_bigdata_spark.sources import upload_to_fs
+
+    src = tmp_path / "raw.csv"
+    src.write_text("a,b\n1,2\n")
+    dest = f"file://{tmp_path}/staged/raw.csv"
+    assert upload_to_fs(spark, str(src), dest) == dest
+    assert (tmp_path / "staged" / "raw.csv").read_text() == "a,b\n1,2\n"
+
+    # overwrite=True replaces; overwrite=False refuses
+    src.write_text("a,b\n3,4\n")
+    upload_to_fs(spark, str(src), dest)
+    assert (tmp_path / "staged" / "raw.csv").read_text() == "a,b\n3,4\n"
+    with pytest.raises(FileExistsError):
+        upload_to_fs(spark, str(src), dest, overwrite=False)
+    with pytest.raises(FileNotFoundError):
+        upload_to_fs(spark, str(tmp_path / "missing.csv"), dest)
+
+    # directory source: the whole tree lands under the destination
+    d = tmp_path / "batch"
+    d.mkdir()
+    (d / "p1.csv").write_text("x\n")
+    (d / "p2.csv").write_text("y\n")
+    up = f"file://{tmp_path}/staged/batch"
+    upload_to_fs(spark, str(d), up)
+    assert sorted(
+        p.name for p in (tmp_path / "staged" / "batch").iterdir()
+    ) == ["p1.csv", "p2.csv"]
+
+
 def test_bucketed_join_elides_exchange(spark):
     """Co-located bucketed join: writing both sides bucketed on the join
     key must let Catalyst plan the join with NO Exchange on either side
