@@ -22,6 +22,7 @@ The synthetic corpus derives a binary payload from ``documents.text``
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,16 +47,20 @@ from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 ARROW_TARGET_BATCH_BYTES = 32 << 20
 ARROW_ROWS_MIN, ARROW_ROWS_MAX = 64, 10_000
 
-# One media-scoped clone per parent session (sessions live for the
-# process; the dict stays size-1 in practice).
-_MEDIA_SESSIONS: dict[int, SparkSession] = {}
+# One media-scoped clone per parent session.  Keyed by the session OBJECT
+# in a WeakKeyDictionary (not ``id(spark)``): entries evict when the parent
+# session is garbage-collected, so a recycled id() can never hand a new
+# session a stale clone.
+_MEDIA_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _media_session(spark: SparkSession) -> SparkSession:
-    clone = _MEDIA_SESSIONS.get(id(spark))
+    clone = _MEDIA_SESSIONS.get(spark)
     if clone is None:
         clone = spark.newSession()
-        _MEDIA_SESSIONS[id(spark)] = clone
+        _MEDIA_SESSIONS[spark] = clone
     return clone
 
 

@@ -168,3 +168,26 @@ def test_image_phash_pairs_crafted_near_dups(spark):
     assert got[(1, 4)] == 0  # exact duplicate
     assert (1, 2) in got and got[(1, 2)] <= 6  # near duplicate found
     assert all(3 not in pair for pair in got)  # unrelated image excluded
+
+
+def test_media_session_cache_evicts_with_parent(spark):
+    """Two distinct parent sessions never share a clone, and the cache
+    entry evicts when its parent session object is garbage-collected
+    (guards against id() reuse handing a new session a stale clone)."""
+    import gc
+
+    from retail_sales_project_bigdata_spark.operators import multimodal as mm
+
+    clone_a = mm._media_session(spark)
+    assert clone_a is not spark
+    assert mm._media_session(spark) is clone_a  # memoized per parent
+
+    other = spark.newSession()
+    clone_b = mm._media_session(other)
+    assert clone_b is not clone_a  # distinct parents -> distinct clones
+
+    before = len(mm._MEDIA_SESSIONS)
+    del other, clone_b
+    gc.collect()
+    assert len(mm._MEDIA_SESSIONS) < before  # weak key evicted
+    assert mm._media_session(spark) is clone_a  # survivor untouched
