@@ -38,10 +38,13 @@ from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.sources import read_table
 
-# Deterministic forget-set rule: every data subject whose id ≡ 3
-# (mod 10).  A real deployment swaps this predicate for the erasure
-# request table; the modulus keeps the testdata selective (~10%) at
-# every scale factor.
+# Deterministic forget-set rule: every data subject PRESENT IN THE EVENT
+# LOG whose id ≡ 3 (mod 10) — the forget-set is drawn from ``events``
+# only (the table an erasure handler actually receives ids from), so a
+# customer matching the rule with zero event rows is out of scope of the
+# audit by design.  A real deployment swaps this predicate for the
+# erasure request table; the modulus keeps the testdata selective (~10%)
+# at every scale factor.
 FORGET_MOD = 10
 FORGET_REMAINDER = 3
 

@@ -487,12 +487,21 @@ def upload_to_fs(
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
-    src = HPath("file://" + _os.path.abspath(local_path))
+    # Source URI via java.io.File(...).toURI() — proper percent-encoding,
+    # so local paths containing '#', '%', or spaces survive (a string
+    # concat "file://" + path would let Hadoop Path parse '#' as a URI
+    # fragment separator).  Path(URI) skips string re-parsing entirely.
+    src = HPath(jvm.java.io.File(_os.path.abspath(local_path)).toURI())
     dst = HPath(dest_uri)
     fs = dst.getFileSystem(hconf)
-    if not overwrite and fs.exists(dst):
-        raise FileExistsError(dest_uri)
-    fs.copyFromLocalFile(False, overwrite, src, dst)
+    try:
+        # overwrite=False is enforced ATOMICALLY by the filesystem inside
+        # copyFromLocalFile (no exists() pre-check → no TOCTOU window).
+        fs.copyFromLocalFile(False, overwrite, src, dst)
+    except Exception as err:  # py4j Py4JJavaError
+        if not overwrite and fs.exists(dst):
+            raise FileExistsError(dest_uri) from err
+        raise
     return dest_uri
 
 

@@ -370,6 +370,18 @@ def test_upload_to_fs_stages_local_files(spark, tmp_path):
         p.name for p in (tmp_path / "staged" / "batch").iterdir()
     ) == ["p1.csv", "p2.csv"]
 
+    # hostile local names: '#' (URI fragment), '%' (escape), spaces must
+    # survive — the source Path is built from java.io.File(...).toURI(),
+    # not string concatenation
+    for name in ("report #3.csv", "50%off.csv", "two words.csv"):
+        hostile = tmp_path / name
+        hostile.write_text("h\n")
+        hdest = f"file://{tmp_path}/staged/hostile_{name.replace('%', 'p').replace('#', 'n').replace(' ', '_')}"
+        upload_to_fs(spark, str(hostile), hdest)
+        from urllib.parse import urlparse
+
+        assert open(urlparse(hdest).path).read() == "h\n"
+
 
 def test_bucketed_join_elides_exchange(spark):
     """Co-located bucketed join: writing both sides bucketed on the join

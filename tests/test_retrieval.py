@@ -113,3 +113,26 @@ def test_rrf_fusion_invariants(spark):
         if leaders:
             top = min(rs, key=lambda r: r.fused_rank)
             assert top.doc_id in leaders
+
+
+def test_rrf_legs_plan_as_window_group_limit(spark):
+    """Both RRF legs' per-query rank windows must plan as
+    WindowGroupLimit (map-side partial top-k before the shuffle) — the
+    same plan contract bm25_topk and ngram_lm_counts already assert; a
+    planner regression to a full per-partition window would otherwise
+    ship every (q_id, doc_id) score through the exchange."""
+    from retail_sales_project_bigdata_spark.operators.retrieval import (
+        _dense_ranks,
+        _lexical_ranks,
+        rrf_hybrid_topk,
+    )
+    from retail_sales_project_bigdata_spark.plans import physical_plan
+
+    assert "WindowGroupLimit" in physical_plan(_dense_ranks(spark, SF_SMALL))
+    assert "WindowGroupLimit" in physical_plan(
+        _lexical_ranks(spark, SF_SMALL)
+    )
+    # and the fused ranking itself
+    assert "WindowGroupLimit" in physical_plan(
+        rrf_hybrid_topk(spark, SF_SMALL)
+    )
