@@ -66,6 +66,12 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("norm", F.sqrt(_dot_expr("v", "v")))
 
 
+def _vectors_from_matrix_rows(df: DataFrame) -> DataFrame:
+    """Attach the fold-exact norm to an arbitrary (vec_id, v) frame —
+    lets tests drive the vector operators with crafted matrices."""
+    return df.withColumn("norm", F.sqrt(_dot_expr("v", "v")))
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (vec_id < 10).
 
@@ -130,6 +136,13 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
         x = (x * 1103515245 + 12345) & 0x7FFFFFFF
         vals.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
     return vals
+
+
+def _plane_sql(p: int) -> str:
+    """Hyperplane as a DuckDB double-list literal — same repr round-trip
+    literals as the Spark plan, so both engines dot against identical
+    doubles."""
+    return "[" + ", ".join(repr(x) for x in _hyperplane(EMBEDDING_DIM, p)) + "]"
 
 
 def _bucket_expr(vec_col: str = "v") -> F.Column:
@@ -456,7 +469,9 @@ def embedding_near_dup_pairs(
 
     vecs = _vectors(spark, sf_dir)
     guard_anchor_rows(
-        vecs, "embedding_near_dup_pairs", "ann_lsh_topk (bucketed LSH)",
+        vecs,
+        "embedding_near_dup_pairs",
+        "embedding_near_dup_pairs_lsh (banded LSH pair join)",
         default_bound=200_000,
     )
     a = vecs.select(
@@ -486,6 +501,198 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
 FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+# Banded hyperplane-LSH parameters for the near-dup PAIRS scale path.
+# Two vectors are candidates when ALL planes of at least ONE band agree
+# on their side — P(candidate | cosine c) = 1 - (1 - p^R)^B with
+# p = 1 - acos(c)/pi.  At R=6, B=12: recall ~1.00 at c=0.95, ~0.998 at
+# 0.9, ~0.97 at 0.8; random pairs (c~0) collide in ~1.6% of bands.  At
+# a 100 TB corpus you raise R (sharper bands) and B (recovered recall);
+# the shape — narrow signature frame, equi-join on (band, bucket),
+# exact verify on the candidate set only — is unchanged.
+NEAR_DUP_BANDS = 12
+NEAR_DUP_BAND_PLANES = 6
+_NEAR_DUP_PLANE_BASE = 100  # disjoint from the ann_lsh planes (0..3)
+
+
+def _band_plane_idx(band: int, r: int) -> int:
+    return _NEAR_DUP_PLANE_BASE + band * NEAR_DUP_BAND_PLANES + r
+
+
+def _near_dup_pairs_lsh_from(vecs: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidate generation + exact verify over a prepared
+    (vec_id, v, norm) frame — split out so property tests can drive it
+    with crafted near-duplicate clusters."""
+    # Planes travel as a broadcast DATA table (72 rows x 64 doubles),
+    # not as plan literals: inlining B*R plane arrays into the per-row
+    # projection hands janino a ~5k-literal-node tree per join side
+    # (measured: +4s codegen/analysis at ANY row count).  As data, the
+    # literals materialize once, the dot/bucket expression stays 7 nodes,
+    # and the broadcast + partial agg are map-side — same FLOPs, small
+    # plan.  Bucket bits are exact integers, so SUM order is irrelevant.
+    spark = vecs.sparkSession
+    planes = spark.createDataFrame(
+        [
+            (b, r, _hyperplane(EMBEDDING_DIM, _band_plane_idx(b, r)))
+            for b in range(NEAR_DUP_BANDS)
+            for r in range(NEAR_DUP_BAND_PLANES)
+        ],
+        "band int, bit int, p array<double>",
+    )
+    sig = (
+        vecs.select("vec_id", "v")
+        .join(F.broadcast(planes))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.when(
+                    _dot_expr("v", "p") > 0,
+                    F.expr("shiftleft(1, bit)"),
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+    )
+    cand = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()  # a pair colliding in k bands verifies once, not k times
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine_raw",
+            _dot_expr("v_a", "v_b") / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("cosine_raw") >= threshold)
+        .select("id_a", "id_b", pround("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
+) -> DataFrame:
+    """Bucketed-LSH twin of :func:`embedding_near_dup_pairs` — the SCALE
+    path for the embedding near-dup pair contract (id_a, id_b, cosine).
+
+    The ``minhash_lsh_pairs`` shape (dedup.py) applied to vectors:
+    banded random-hyperplane signatures → equi-join candidates on
+    (band, bucket) → exact cosine verify of candidates only.  Pair space
+    is Σ|bucket|² per band, never n²; every stage is a shuffle-or-
+    broadcast relational op, no driver collection.  Deterministic planes
+    (:func:`_hyperplane`) make even the bucketing oracle-exact in DuckDB
+    — missed pairs are missed identically in both engines, so the gate
+    hash-matches despite the algorithm being approximate by design.
+    """
+    return _near_dup_pairs_lsh_from(_vectors(spark, sf_dir), threshold)
+
+
+_PLANES_VALUES_SQL = ", ".join(
+    f"({b}, {r}, {_plane_sql(_band_plane_idx(b, r))})"
+    for b in range(NEAR_DUP_BANDS)
+    for r in range(NEAR_DUP_BAND_PLANES)
+)
+
+EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+),
+planes(band, bit, p) AS (VALUES {_PLANES_VALUES_SQL}),
+sig AS (
+  SELECT vec_id, band,
+         CAST(SUM(CASE WHEN list_dot_product(v, p) > 0
+                       THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
+  FROM vecs CROSS JOIN planes
+  GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM sig x JOIN sig y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+FROM cand c
+JOIN vecs a ON c.id_a = a.vec_id
+JOIN vecs b ON c.id_b = b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def embedding_near_dup_recall_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-level recall of the LSH near-dup path against the exact
+    all-pairs anchor — the same monitored-recall story ``ann_recall_eval``
+    gives retrieval, for dedup.  One row: true pair count, found count,
+    recall.  Both inputs are deterministic, so the recall number itself
+    is oracle-exact.
+
+    Scale note: the ANCHOR side is the guarded quadratic — this eval runs
+    at sample scale (or on a hash-sampled slice at 100 TB) to certify the
+    LSH parameters; the LSH side is the production path.
+    """
+    true_pairs = embedding_near_dup_pairs(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    found = embedding_near_dup_pairs_lsh(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
+    )
+    return (
+        true_pairs.join(F.broadcast(found), ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_true",
+            "n_found",
+            F.when(
+                F.col("n_true") > 0,
+                pround(
+                    F.col("n_found").cast("double") / F.col("n_true"), 6
+                ),
+            ).alias("recall"),
+        )
+    )
+
+
+EMBEDDING_NEAR_DUP_RECALL_LSH_SQL = f"""
+WITH anchor AS ({EMBEDDING_NEAR_DUP_PAIRS_SQL}),
+lsh AS ({EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL}),
+joined AS (
+  SELECT a.id_a, a.id_b, l.id_a AS hit
+  FROM anchor a LEFT JOIN lsh l ON a.id_a = l.id_a AND a.id_b = l.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(hit) AS BIGINT) AS n_found,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(COUNT(hit) AS DOUBLE) / COUNT(*), 6) END AS recall
+FROM joined
 """
 
 
@@ -573,7 +780,7 @@ def embedding_near_dup_pairs_numpy(
     guard_anchor_rows(
         vecs,
         "embedding_near_dup_pairs_numpy",
-        "ann_lsh_topk (bucketed LSH)",
+        "embedding_near_dup_pairs_lsh (banded LSH pair join)",
         default_bound=200_000,
     )
     all_rows = vecs.select("vec_id", "v", "norm").collect()
@@ -607,13 +814,6 @@ def embedding_near_dup_pairs_numpy(
     return vecs.select("vec_id", "v", "norm").mapInPandas(
         block, schema="id_a long, id_b long, cosine double"
     )
-
-
-def _plane_sql(p: int) -> str:
-    """Hyperplane as a DuckDB double-list literal — same repr round-trip
-    literals as the Spark plan, so both engines dot against identical
-    doubles."""
-    return "[" + ", ".join(repr(x) for x in _hyperplane(EMBEDDING_DIM, p)) + "]"
 
 
 # Bucket expression mirror: DuckDB list_dot_product is the same
@@ -1088,6 +1288,8 @@ ORACLES: dict[str, str] = {
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
+    "embedding_near_dup_pairs_lsh": EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL,
+    "embedding_near_dup_recall_lsh": EMBEDDING_NEAR_DUP_RECALL_LSH_SQL,
     "lsh_signatures": LSH_SIGNATURES_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     # ann_ivf_topk: rows-only (quantizer centroids are computed at run
@@ -1109,4 +1311,6 @@ QUERIES = {
     "lsh_signatures": lsh_signatures,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_near_dup_pairs_lsh": embedding_near_dup_pairs_lsh,
+    "embedding_near_dup_recall_lsh": embedding_near_dup_recall_lsh,
 }

@@ -240,3 +240,66 @@ def test_ann_mmr_topk_matches_reference(spark):
         rows.sort()
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         assert rows[0][2] == max(r[2] for r in rows)
+
+
+def test_near_dup_pairs_lsh_recall_on_crafted_clusters(spark):
+    """Banded-LSH near-dup pairs on crafted clusters: 20 seeded base
+    vectors, each with 4 small-perturbation copies (within-cluster cosine
+    >= ~0.95) plus 60 random decoys.  The LSH twin must (a) emit ONLY
+    pairs that truly clear the threshold with numpy-exact cosines, and
+    (b) recall >= 95% of the true pairs — the analytic recall at R=6,
+    B=12 for c >= 0.95 is ~1.0, so 95% leaves slack for the perturbation
+    tail, not the algorithm."""
+    import numpy as np
+
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        _near_dup_pairs_lsh_from,
+        _vectors_from_matrix_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(20):
+        base = rng.standard_normal(EMBEDDING_DIM)
+        base /= np.linalg.norm(base)
+        for i in range(5):  # base + 4 perturbed copies
+            # sigma=0.04/dim over 64 dims: cosine ~ 1/sqrt(1 + 64*.0016)
+            # ~ 0.95 to the base, ~0.90 between two copies
+            v = base + (0.0 if i == 0 else 0.04) * rng.standard_normal(
+                EMBEDDING_DIM
+            )
+            rows.append(v)
+    for _ in range(60):
+        rows.append(rng.standard_normal(EMBEDDING_DIM))
+    mat = np.array(rows)
+
+    tau = 0.9
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    iu = np.triu_indices(len(mat), k=1)
+    truth = {
+        (int(a), int(b)): sims[a, b]
+        for a, b in zip(*iu)
+        if sims[a, b] >= tau
+    }
+    assert len(truth) >= 100  # the clusters actually produce near-dups
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in _near_dup_pairs_lsh_from(
+            _vectors_from_matrix_rows(df), threshold=tau
+        ).collect()
+    }
+    # (a) no false positives, values exact to the rounding grid
+    for pair, cos in got.items():
+        assert pair in truth or abs(cos - tau) < 1e-6
+        if pair in truth:
+            assert abs(cos - truth[pair]) < 1e-5
+    # (b) recall on the crafted clusters
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} below 0.95"
