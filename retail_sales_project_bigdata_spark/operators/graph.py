@@ -112,6 +112,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_TOP_N = 20
+# Max adjacency-chunk size for the triangle probe: vertices with larger
+# out-degree hash-split their neighbor lists (see triangle_pipeline_frames).
+TRIANGLE_ADJ_CHUNK = 256
 
 
 def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,16 +195,29 @@ def triangle_pipeline_frames(
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    p = li.distinct()
+    # Edge build: ONE shuffle (per-order collect_set), then map-side
+    # sorted-pair explosion — replaces the former p.distinct() +
+    # self-join form (two extra exchanges of the (order, part) frame;
+    # measured ~2x slower at sf0.1).  Pair volume per order is C(k, 2)
+    # with k = basket size, bounded by order width, not corpus size.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
     edges = (
-        p.alias("a")
-        .join(
-            p.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts) - i - 1),"
+                    " y -> struct(x as u, y as v))))"
+                )
+            ).alias("e")
         )
         .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            # partkeys fit int: halves edge/adjacency shuffle bytes (the
+            # probe join ships ~deg-sized id arrays per edge row)
+            F.col("e.u").cast("int").alias("u"),
+            F.col("e.v").cast("int").alias("v"),
         )
         .distinct()
     )
@@ -222,17 +238,54 @@ def triangle_pipeline_frames(
     oriented = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        # src's UNDIRECTED degree, carried through the projection: a free
+        # upper bound on its out-degree, used to size adjacency chunks
+        # without an extra out-degree aggregation + join.
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("src_deg"),
     )
     if _persist:
         oriented = oriented.persist()
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # HOT-VERTEX CAP: adjacency lists are built per (src, chunk) where a
+    # vertex whose degree exceeds TRIANGLE_ADJ_CHUNK hash-splits its
+    # out-neighbors across ceil(deg / CHUNK) chunks.  The collect_list,
+    # the probe-join rows, and each array_intersect are then all bounded
+    # by ~CHUNK in expectation regardless of how hot a vertex is — a
+    # power-law hub becomes parallel probe rows instead of one straggler
+    # row with two d-sized arrays (and one collect task holding d
+    # elements).  Chunks partition the neighbor set, so the union of
+    # per-chunk intersections IS the full intersection — each triangle
+    # still closes exactly once.  At this dataset's max degree (~222)
+    # every vertex fits one chunk: zero overhead locally, pure scale
+    # insurance; the chunk key is one map-side hash on an already-needed
+    # frame — no extra shuffle or join anywhere.
+    adj = (
+        oriented.select(
+            "src",
+            "dst",
+            F.pmod(
+                F.xxhash64("dst"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("src_deg") / F.lit(TRIANGLE_ADJ_CHUNK)),
+                ),
+            ).alias("chunk"),
+        )
+        .groupBy("src", "chunk")
+        .agg(F.collect_list("dst").alias("nbrs"))
+    )
     probe = (
         oriented.join(
-            adj.withColumnsRenamed({"src": "src", "nbrs": "src_nbrs"}),
+            adj.select(
+                "src",
+                F.col("nbrs").alias("src_nbrs"),
+            ),
             "src",
         )
         .join(
-            adj.withColumnsRenamed({"src": "dst", "nbrs": "dst_nbrs"}),
+            adj.select(
+                F.col("src").alias("dst"),
+                F.col("nbrs").alias("dst_nbrs"),
+            ),
             "dst",
         )
     )
@@ -243,12 +296,16 @@ def triangle_pipeline_frames(
     )
     per_node = (
         tri.select(
-            F.explode(F.array("x", "y", "z")).alias("l_partkey")
+            F.explode(F.array("x", "y", "z")).alias("pk")
         )
-        .groupBy("l_partkey")
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        # ids are int INSIDE the pipeline (halves shuffle bytes); the
+        # public frames keep the table's bigint partkey type
+        .select(F.col("pk").cast("long").alias("l_partkey"), "n_triangles")
     )
-    return deg, per_node, oriented
+    deg_out = deg.select(F.col("node").cast("long").alias("node"), "dg")
+    return deg_out, per_node, oriented
 
 
 CLUSTERING_MIN_DEGREE = 5

@@ -201,3 +201,26 @@ def test_clustering_coefficients_oracle_and_bruteforce(spark, duck):
     assert got == expected
     for _, dg, nt, coef in got:
         assert 0.0 <= coef <= 1.0 and nt <= dg * (dg - 1) // 2
+
+
+def test_triangle_chunked_adjacency_matches_unchunked(spark, monkeypatch):
+    """Hot-vertex insurance: forcing every adjacency list to hash-split
+    into tiny chunks (CHUNK=2) must yield exactly the same per-node
+    triangle counts as effectively-unchunked enumeration — chunks
+    partition each neighbor set, so the union of per-chunk intersections
+    is the full intersection and every triangle closes exactly once."""
+    from retail_sales_project_bigdata_spark.operators import graph as g
+    from tests.conftest import SF_SMALL
+
+    def counts():
+        _, per_node, _ = g.triangle_pipeline_frames(spark, SF_SMALL)
+        return {
+            r["l_partkey"]: r["n_triangles"] for r in per_node.collect()
+        }
+
+    monkeypatch.setattr(g, "TRIANGLE_ADJ_CHUNK", 1_000_000_000)
+    base = counts()
+    monkeypatch.setattr(g, "TRIANGLE_ADJ_CHUNK", 2)
+    chunked = counts()
+    assert base == chunked
+    assert sum(base.values()) > 0  # the graph actually has triangles
