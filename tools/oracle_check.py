@@ -21,9 +21,52 @@ TABLES = [
 ]
 
 
+def _fast_equal(s_pdf, d_pdf) -> bool | None:
+    """Vectorized multiset equality: serialize each row to one string —
+    float64 columns via their RAW BITS (so the check is exactly as strict
+    as the repr() path: ±0.0 differ, every ulp differs), everything else
+    via str() — then compare the sorted serializations.  Returns None
+    (undecidable → use the slow path) when a column holds lists/arrays
+    or engine dtypes disagree in a way str() may mask."""
+    import numpy as np
+
+    def rows(pdf):
+        cols = []
+        for c in pdf.columns:
+            col = pdf[c]
+            if col.dtype == "float64":
+                cols.append(
+                    np.char.mod(
+                        "%d", col.to_numpy(np.float64).view(np.int64)
+                    )
+                )
+            elif col.dtype == "object":
+                vals = col.to_numpy()
+                if len(vals) and isinstance(
+                    vals[0], (list, tuple, np.ndarray, bytes)
+                ):
+                    return None
+                if any(isinstance(v, float) for v in vals[:50]):
+                    return None  # mixed/NULL-float object column
+                cols.append(np.array([str(v) for v in vals]))
+            else:
+                cols.append(col.to_numpy().astype(str))
+        out = np.asarray(cols[0], dtype=str)
+        for c in cols[1:]:
+            out = np.char.add(
+                np.char.add(out, "\x1f"), np.asarray(c, dtype=str)
+            )
+        return np.sort(out)
+
+    a, b = rows(s_pdf), rows(d_pdf)
+    if a is None or b is None:
+        return None
+    return bool(np.array_equal(a, b))
+
+
 def compare(spark_df, duck_df, name: str) -> list[str]:
     problems: list[str] = []
-    s_pdf = spark_df.toPandas()
+    s_pdf = spark_df if not hasattr(spark_df, "toPandas") else spark_df.toPandas()
     d_pdf = duck_df
     if len(s_pdf) != len(d_pdf):
         problems.append(f"rowcount spark={len(s_pdf)} duck={len(d_pdf)}")
@@ -33,6 +76,12 @@ def compare(spark_df, duck_df, name: str) -> list[str]:
         return problems
     s_pdf = s_pdf[s_cols]
     d_pdf = d_pdf[s_cols]
+    if len(s_pdf) == len(d_pdf):
+        fast = _fast_equal(s_pdf, d_pdf)
+        if fast is True:
+            return problems
+        # fast is False or None: fall through to the exact slow path for
+        # the authoritative verdict + diagnostics
     s_rows = sorted(map(_norm_row, s_pdf.itertuples(index=False)))
     d_rows = sorted(map(_norm_row, d_pdf.itertuples(index=False)))
     n_bad = sum(1 for a, b in zip(s_rows, d_rows) if a != b)
@@ -69,7 +118,16 @@ def _norm_row(row):
 
 
 def main() -> int:
+    import os
+
     import duckdb
+
+    # Gate mode ON by default for this tool: ML sweeps shrink (smaller
+    # k-sweep, 1-point CV grid) so the FULL registry sweep fits a gate
+    # budget.  Only rows-only trainers are affected — every SQL-oracled
+    # comparison is identical either way.  Disable with
+    # SPARK_GRAFT_GATE_MODE=0 to reproduce the driver's exact costs.
+    os.environ.setdefault("SPARK_GRAFT_GATE_MODE", "1")
 
     import __spark_entry__ as entrymod
     from retail_sales_project_bigdata_spark.session import get_spark
@@ -77,7 +135,16 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle_check")
+    # Gate sessions run tiny SFs where 32-wide shuffles are pure task-
+    # scheduling overhead (measured ~1.8x on a mid-weight subset at
+    # sf0.01).  Narrower shuffle width changes no values and no logical
+    # plans — the plan-budget suite audits plans under the standard conf.
+    spark = get_spark(
+        "oracle_check",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_GATE_SHUFFLE", "8")
+        ),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -85,6 +152,23 @@ def main() -> int:
         )
 
     import time
+
+    # bench.py's warmup discipline: initialize JIT/codegen/shuffle and the
+    # Python worker pool BEFORE the first timed query, so the alphabetical
+    # first entry doesn't absorb session startup in its number.
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.crossJoin(
+        F.broadcast(warm.select(F.col("r_regionkey").alias("k")))
+    ).groupBy("k").count().collect()
+    spark.range(32, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    duck_pool = ThreadPoolExecutor(max_workers=1)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -100,9 +184,16 @@ def main() -> int:
             print(f"{name:<28} ROWS-ONLY rows={n}  [{timings[name]}s]")
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            ddf = con.execute(oracles[name]).df()
-            problems = compare(sdf, ddf, name)
+            # DuckDB runs on a worker thread WHILE Spark executes — the
+            # oracle side is pure read-only SQL over the same parquet, so
+            # the overlap halves the serial tail (all duck work stays on
+            # ONE thread; the connection is never used concurrently).
+            fut = duck_pool.submit(
+                lambda sql=oracles[name]: con.execute(sql).df()
+            )
+            s_pdf = fn(spark, sf_dir).toPandas()
+            ddf = fut.result()
+            problems = compare(s_pdf, ddf, name)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
         timings[name] = round(time.perf_counter() - t0, 3)
