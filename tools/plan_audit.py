@@ -17,6 +17,8 @@ sys.path.insert(0, "/root/repo")
 
 HEADLINE = [
     "ann_recall_eval",
+    "embedding_near_dup_pairs_lsh",
+    "embedding_near_dup_recall_lsh",
     "revenue_anomalies",
     "pareto_suppliers",
     "trend_mann_kendall",
