@@ -186,3 +186,43 @@ def net_sales(price: Column | str = "l_extendedprice",
     p = F.col(price) if isinstance(price, str) else price
     d = F.col(discount) if isinstance(discount, str) else discount
     return p * (F.lit(1.0) - d)
+
+
+def collect_item_sets(df, key: str, item: str, items_col: str = "items"):
+    """(key, sorted distinct item array) in ONE shuffle — ``collect_set``
+    dedups, so no upstream ``distinct`` is needed.  The shared base of
+    the pair-explosion paths; multi-consumer callers persist it once
+    (it feeds both item counts — one explode — and pair counts)."""
+    return df.groupBy(key).agg(
+        F.sort_array(F.collect_set(item)).alias(items_col)
+    )
+
+
+def pair_explode_sets(sets, a: str = "item_a", b: str = "item_b",
+                      items_col: str = "items"):
+    """MAP-SIDE ordered-pair explosion (x < y) of a prebuilt
+    (key, item array) frame — zero additional shuffles."""
+    return sets.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({items_col}, (x, i) ->"
+                f" transform(slice({items_col}, i + 2,"
+                f" size({items_col}) - i - 1),"
+                f" y -> struct(x as {a}, y as {b}))))"
+            )
+        ).alias("__e")
+    ).select(f"__e.{a}", f"__e.{b}")
+
+
+def copair_explode(df, key: str, item: str, a: str = "item_a",
+                   b: str = "item_b"):
+    """All within-group ordered item pairs (x < y) via ONE shuffle:
+    ``groupBy(key).collect_set`` then a MAP-SIDE sorted-pair explosion.
+
+    Replaces the distinct + self-join pair build (which exchanges the
+    (key, item) frame twice more; measured ~2x slower at sf0.1) in the
+    triangle, itemset, and item-item co-occurrence paths.  Pair volume
+    per group is C(k, 2) with k = group size — bounded by basket/order
+    width, not corpus size, so the explosion never concentrates work.
+    """
+    return pair_explode_sets(collect_item_sets(df, key, item), a=a, b=b)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.functions import copair_explode
 from retail_sales_project_bigdata_spark.sources import read_table
 
 # The reference uses minSupport 0.01 on Dunnhumby (MarketBasketAnalysis.java:86).
@@ -115,18 +116,12 @@ def _frequent_pairs(pairs: DataFrame, n_baskets: DataFrame) -> DataFrame:
     pruned = pairs.join(F.broadcast(freq1), "l_partkey").select(
         "l_orderkey", "l_partkey"
     )
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    # co-occurrence counts via ONE per-basket shuffle + map-side pair
+    # explosion (functions.copair_explode) instead of the self-join's
+    # two extra exchanges; the oracle SQL keeps the join form
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
-        )
+        copair_explode(pruned, "l_orderkey", "l_partkey")
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return (

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.functions import copair_explode
 from retail_sales_project_bigdata_spark.sources import read_table
 
 DAMPING = 0.85
@@ -196,28 +197,16 @@ def triangle_pipeline_frames(
         "l_orderkey", "l_partkey"
     )
     # Edge build: ONE shuffle (per-order collect_set), then map-side
-    # sorted-pair explosion — replaces the former p.distinct() +
-    # self-join form (two extra exchanges of the (order, part) frame;
-    # measured ~2x slower at sf0.1).  Pair volume per order is C(k, 2)
-    # with k = basket size, bounded by order width, not corpus size.
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
+    # sorted-pair explosion (functions.copair_explode) — replaces the
+    # former p.distinct() + self-join form (two extra exchanges of the
+    # (order, part) frame; measured ~2x slower at sf0.1).
     edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) ->"
-                    " transform(slice(parts, i + 2, size(parts) - i - 1),"
-                    " y -> struct(x as u, y as v))))"
-                )
-            ).alias("e")
-        )
+        copair_explode(li, "l_orderkey", "l_partkey", a="u", b="v")
         .select(
             # partkeys fit int: halves edge/adjacency shuffle bytes (the
             # probe join ships ~deg-sized id arrays per edge row)
-            F.col("e.u").cast("int").alias("u"),
-            F.col("e.v").cast("int").alias("v"),
+            F.col("u").cast("int").alias("u"),
+            F.col("v").cast("int").alias("v"),
         )
         .distinct()
     )

@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.functions import (
+    collect_item_sets,
     net_sales,
     oracle_sum,
+    pair_explode_sets,
     pround,
     stable_sum,
 )
@@ -139,23 +141,27 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    pairs = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
-        .persist()  # feeds item counts AND the self-join
+    # ONE per-basket shuffle builds the sorted item sets (collect_set
+    # dedups — no upstream distinct); the persisted sets feed BOTH the
+    # per-item basket counts (one explode) and the co-basket pair counts
+    # (map-side pair explosion).  Replaces distinct + self-join: one
+    # fact exchange instead of three.  The oracle keeps the self-join
+    # form, proving the rewrite equivalent.
+    sets = collect_item_sets(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        "l_orderkey",
+        "l_partkey",
+    ).persist()
+    item_n = (
+        sets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    item_n = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a, b = pairs.alias("a"), pairs.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        pair_explode_sets(sets, a="pa", b="pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= II_MIN_CO)
     )
