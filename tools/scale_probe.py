@@ -86,6 +86,15 @@ def main() -> None:
         # shared across probe runs, and accumulated caches eventually
         # stall allocation (GCLocker) in a long in-process sweep.
         spark.catalog.clearCache()
+        # and clear the memoized trainers (BPE, triangle, segmentation):
+        # otherwise run 2 of min-of-N hits the memo and records a cache
+        # read as the query's cost (the old triangle rows measured 0.03s
+        # at every SF — the checkpoint hit, not the pipeline).
+        from retail_sales_project_bigdata_spark.registry import (
+            clear_session_memos,
+        )
+
+        clear_session_memos()
         return elapsed
 
     # warm the stack (JIT, codegen, python workers) on the smallest SF
