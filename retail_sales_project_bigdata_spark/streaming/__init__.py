@@ -664,7 +664,88 @@ FROM feats GROUP BY source
 """
 
 
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental corpus dedup — the stream-static twin of
+    ``operators.dedup.incremental_dedup_new_docs``: new documents arrive
+    as a file stream (the drop-folder ingest pattern), each row is
+    fingerprinted (md5) and LEFT-joined against the STATIC corpus
+    fingerprint set — the only state an incremental dedup carries at
+    100 TB (16 bytes per ingested doc, broadcast); a complete-mode
+    aggregate tracks the dedup funnel per class: rows seen, distinct
+    fingerprints, novel docs, in-batch duplicates.
+
+    Oracle == the batch semantics over the bounded source (exact — the
+    funnel is pure counting on deterministic fingerprints).  Scale note:
+    ``collect_set(fp)`` state grows with the new batch's DISTINCT
+    fingerprints — per-ingest-window state, reset when the window's
+    fingerprints merge into the corpus set; swap in
+    ``approx_count_distinct`` when only the funnel is needed.
+    """
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    new_batch = raw.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    corpus_fps = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    joined = new_batch.join(F.broadcast(corpus_fps), "fp", "left")
+    agg = joined.groupBy(
+        F.when(F.col("in_corpus") == 1, "dup_of_corpus")
+        .otherwise("new")
+        .alias("dedup_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.collect_set("fp").alias("_fps"),
+    )
+    out = agg.select(
+        "dedup_class",
+        "n_rows",
+        F.size("_fps").alias("distinct_fps"),
+        F.when(F.col("dedup_class") == "new", F.size("_fps"))
+        .otherwise(F.lit(0))
+        .alias("novel"),
+        (F.col("n_rows") - F.size("_fps")).alias("dup_in_batch"),
+    )
+    name, _ = _run_to_memory(out, "complete")
+    return spark.table(name)
+
+
+STREAMING_INCREMENTAL_DEDUP_SQL = """
+WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
+nb AS (
+  SELECT n.doc_id, n.fp,
+         CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus' ELSE 'new' END
+           AS dedup_class
+  FROM (SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0) n
+  LEFT JOIN corpus c ON n.fp = c.fp
+)
+SELECT dedup_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT fp) AS INT) AS distinct_fps,
+       CAST(CASE WHEN dedup_class = 'new' THEN COUNT(DISTINCT fp)
+                 ELSE 0 END AS INT) AS novel,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_in_batch
+FROM nb GROUP BY dedup_class
+"""
+
+
 ORACLES: dict[str, str] = {
+    "streaming_incremental_dedup": STREAMING_INCREMENTAL_DEDUP_SQL,
     "streaming_corpus_quality": STREAMING_CORPUS_QUALITY_SQL,
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
@@ -676,6 +757,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "streaming_incremental_dedup": streaming_incremental_dedup,
     "streaming_corpus_quality": streaming_corpus_quality,
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sliding_value": streaming_sliding_value,

@@ -160,3 +160,33 @@ def test_ingest_available_now_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n1 + n2
     assert got.select("c_custkey").distinct().count() == n1 + n2
+
+
+def test_streaming_incremental_dedup_reconciles_with_batch(spark):
+    """The streaming dedup funnel must reconcile exactly with the batch
+    per-doc classification (incremental_dedup_new_docs): same novel
+    count, same in-batch dup count, same corpus-dup rows."""
+    from collections import Counter
+
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        incremental_dedup_new_docs,
+    )
+    from retail_sales_project_bigdata_spark.streaming import (
+        streaming_incremental_dedup,
+    )
+    from tests.conftest import SF_SMALL
+
+    batch = Counter(
+        r["status"]
+        for r in incremental_dedup_new_docs(spark, SF_SMALL).collect()
+    )
+    funnel = {
+        r["dedup_class"]: r
+        for r in streaming_incremental_dedup(spark, SF_SMALL).collect()
+    }
+    assert funnel["new"]["novel"] == batch["novel"]
+    assert funnel["new"]["dup_in_batch"] == batch["dup_in_batch"]
+    assert funnel.get("dup_of_corpus", {"n_rows": 0})["n_rows"] == batch[
+        "dup_of_corpus"
+    ]
+    assert funnel["new"]["n_rows"] == batch["novel"] + batch["dup_in_batch"]
