@@ -900,15 +900,26 @@ GROUP BY label, pos
 # near-dup ONLY within clusters — the shape that turns the O(n²) pair
 # space into sum-of-squared-cluster-sizes (the entire point of
 # cluster-then-dedup at 100 TB).  Fully deterministic and oracle-exact:
-# pivots are the NUM_PIVOTS vectors with the smallest md5(vec_id)
+# pivots are the ceil(sqrt(n)) vectors with the smallest md5(vec_id)
 # (engine-portable hash order, no seeded kmeans), assignment is exact
 # rounded cosine with pivot-id tie-break, and the survivor rule is
 # greedy-by-id: a vector is dropped iff a LOWER-id vector in its cluster
 # is ≥ SEMDEDUP_COS similar.
 # ---------------------------------------------------------------------------
 
-NUM_PIVOTS = 16
+# Pivot count scales as ceil(sqrt(n)) with a floor — the SemDeDup
+# balance point: assignment work is n·k, within-cluster pair work is
+# Σ|cluster|² ≈ n²/k, so k = √n makes BOTH ~n^1.5 (the fixed k=16 of
+# rounds 1-3 left pair work quadratic — the 4.8x sf1-step ratio in
+# SCALING.md r4).  The count() that sizes k is parquet-metadata-only.
+MIN_PIVOTS = 16
 SEMDEDUP_COS = 0.4  # synthetic corpus: exercises the drop path (max pair cos ~0.49)
+
+
+def _num_pivots(n: int) -> int:
+    import math
+
+    return max(MIN_PIVOTS, math.isqrt(max(n, 1) - 1) + 1)
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,8 +928,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns one row per vector: (vec_id, cluster, n_dups_below,
     is_survivor).
 
-    Scale: pivot selection is a tiny top-K by hash (broadcastable at any
-    corpus size when NUM_PIVOTS scales as n / target-cluster-size);
+    Scale: pivot count is ceil(sqrt(n)) (see _num_pivots — balances
+    assignment n*k against pair work n^2/k at n^1.5 each), selected as a
+    tiny top-K by hash, broadcastable at any corpus size;
     assignment is corpus × broadcast-pivots — linear, map-only after the
     broadcast; the near-dup self-join is shuffled on ``cluster`` so each
     task owns whole (bounded) clusters and the pair space is
@@ -927,6 +939,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves these semantics.
     """
     vecs = _vectors(spark, sf_dir)
+    n_vecs = read_table(spark, sf_dir, "embeddings").count()  # metadata-only
     pivots = (
         vecs.select(
             F.col("vec_id").alias("p_id"),
@@ -935,7 +948,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("vec_id").cast("string")).alias("_h"),
         )
         .orderBy(F.asc("_h"), F.asc("p_id"))
-        .limit(NUM_PIVOTS)
+        .limit(_num_pivots(n_vecs))
         .drop("_h")
     )
     assigned = (
@@ -1008,10 +1021,13 @@ WITH vecs AS (
   FROM embeddings
 ),
 pivots AS (
-  SELECT vec_id AS p_id, v AS p_v, norm AS p_norm
-  FROM vecs
-  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-  LIMIT {NUM_PIVOTS}
+  SELECT p_id, p_v, p_norm FROM (
+    SELECT vec_id AS p_id, v AS p_v, norm AS p_norm,
+           ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS _prk
+    FROM vecs
+  ) WHERE _prk <= GREATEST({MIN_PIVOTS},
+                           CAST(CEIL(SQRT((SELECT COUNT(*) FROM vecs))) AS BIGINT))
 ),
 assigned AS (
   SELECT vec_id, v, norm, p_id AS cluster

@@ -143,14 +143,14 @@ def test_semantic_dedup_contract(spark):
     greedy-by-id (a dropped vector always has a LOWER-id near-dup in its
     own cluster — so per cluster the minimum id always survives)."""
     from retail_sales_project_bigdata_spark.operators.similarity import (
-        NUM_PIVOTS,
+        _num_pivots,
         semantic_dedup,
     )
     from tests.conftest import SF_SMALL
 
     out = semantic_dedup(spark, SF_SMALL).collect()
     assert len(out) == len({r.vec_id for r in out})
-    assert len({r.cluster for r in out}) <= NUM_PIVOTS
+    assert len({r.cluster for r in out}) <= _num_pivots(len(out))
     by_cluster = {}
     for r in out:
         by_cluster.setdefault(r.cluster, []).append(r)
