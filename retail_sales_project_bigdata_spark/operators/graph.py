@@ -38,24 +38,15 @@ PAGERANK_TOP_N = 50
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric (src, dst) part pairs that co-occur in an order."""
+    """Symmetric (src, dst) part pairs that co-occur in an order —
+    built via the shared map-side pair explosion (one per-order shuffle;
+    see functions.copair_explode) instead of a fact self-join."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    pairs = copair_explode(
+        li, "l_orderkey", "l_partkey", a="src", b="dst"
+    ).distinct()
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
