@@ -474,6 +474,14 @@ def embedding_near_dup_pairs(
         "embedding_near_dup_pairs_lsh (banded LSH pair join)",
         default_bound=200_000,
     )
+    return _near_dup_pairs_exact_from(vecs, threshold)
+
+
+def _near_dup_pairs_exact_from(
+    vecs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact all-pairs near-dup scan over a prepared (vec_id, v, norm)
+    frame — quadratic; callers guard or sample their input."""
     a = vecs.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), F.col("norm").alias("norm_a")
     )
@@ -643,6 +651,11 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 """
 
 
+# Cap on the recall eval's sample: both pair paths run on at most this
+# many vectors (deterministic vec_id modulus — mirrored in the oracle).
+RECALL_EVAL_MAX_VECS = 20_000
+
+
 def embedding_near_dup_recall_lsh(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -652,14 +665,25 @@ def embedding_near_dup_recall_lsh(
     recall.  Both inputs are deterministic, so the recall number itself
     is oracle-exact.
 
-    Scale note: the ANCHOR side is the guarded quadratic — this eval runs
-    at sample scale (or on a hash-sampled slice at 100 TB) to certify the
-    LSH parameters; the LSH side is the production path.
+    Scale note: the ANCHOR side is quadratic, so the eval runs BOTH paths
+    on a deterministic modulus sample capped at RECALL_EVAL_MAX_VECS
+    vectors (vec_id % ceil(n / cap) == 0 —
+    engine-portable, identical in the DuckDB mirror).  Below the cap the
+    sample is the whole corpus (the gate SFs are unchanged); above it the
+    eval certifies the LSH parameters on a fixed-cost slice instead of
+    dying on the anchor's guard — recall on a uniform slice estimates
+    corpus recall because hyperplane collision probability depends only
+    on the pair's angle.
     """
-    true_pairs = embedding_near_dup_pairs(spark, sf_dir).select(
-        "id_a", "id_b"
+    n_vecs = read_table(spark, sf_dir, "embeddings").count()  # metadata-only
+    step = max(1, -(-n_vecs // RECALL_EVAL_MAX_VECS))  # ceil div
+    vecs = _vectors(spark, sf_dir).filter(
+        F.col("vec_id") % F.lit(step) == 0
     )
-    found = embedding_near_dup_pairs_lsh(spark, sf_dir).select(
+    true_pairs = _near_dup_pairs_exact_from(
+        vecs, NEAR_DUP_THRESHOLD
+    ).select("id_a", "id_b")
+    found = _near_dup_pairs_lsh_from(vecs, NEAR_DUP_THRESHOLD).select(
         "id_a", "id_b", F.lit(1).alias("_hit")
     )
     return (
@@ -681,9 +705,18 @@ def embedding_near_dup_recall_lsh(
     )
 
 
+# Both legs run over the SAME deterministic modulus sample the Spark
+# eval applies (a no-op until the corpus exceeds RECALL_EVAL_MAX_VECS).
+_RECALL_SAMPLED_EMBEDDINGS = f"""(
+  SELECT * FROM embeddings
+  WHERE vec_id % GREATEST(1, CAST(CEIL(
+          CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+          / {RECALL_EVAL_MAX_VECS}) AS BIGINT)) = 0
+) AS embeddings"""
+
 EMBEDDING_NEAR_DUP_RECALL_LSH_SQL = f"""
-WITH anchor AS ({EMBEDDING_NEAR_DUP_PAIRS_SQL}),
-lsh AS ({EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL}),
+WITH anchor AS ({EMBEDDING_NEAR_DUP_PAIRS_SQL.replace("FROM embeddings", "FROM " + _RECALL_SAMPLED_EMBEDDINGS)}),
+lsh AS ({EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL.replace("FROM embeddings", "FROM " + _RECALL_SAMPLED_EMBEDDINGS)}),
 joined AS (
   SELECT a.id_a, a.id_b, l.id_a AS hit
   FROM anchor a LEFT JOIN lsh l ON a.id_a = l.id_a AND a.id_b = l.id_b
