@@ -109,6 +109,7 @@ def main() -> None:
     )
     per_run: list[dict[str, float]] = []
     per_run_build: list[float] = []
+    per_run_build_q: list[dict[str, float]] = []
     cold_last: dict[str, float] = {}
     warm_last: dict[str, float] = {}
     for _ in range(n_runs):
@@ -138,13 +139,14 @@ def main() -> None:
         final = {
             n: min(cold[n], warm.get(n, cold[n])) for n in cold
         }
-        build = sum(
-            max(0.0, cold[n] - warm[n])
+        build_per_q = {
+            n: round(max(0.0, cold[n] - warm[n]), 3)
             for n in warm
             if n in MEMO_TRAINER_QUERIES
-        )
+        }
         per_run.append(final)
-        per_run_build.append(round(build, 3))
+        per_run_build.append(round(sum(build_per_q.values()), 3))
+        per_run_build_q.append(build_per_q)
         cold_last, warm_last = cold, warm
         # Memo sharing between the queries of ONE run is engine design
         # (bpe pair, triangle pair, segmentation sweep); carrying memos
@@ -175,6 +177,19 @@ def main() -> None:
         "runs": n_runs,
         "run_totals": totals,
         "pipeline_build_s": round(median(per_run_build), 3),
+        # Per-query build delta (cold - warm) for each memoized trainer:
+        # their headline ``queries`` value is the warm (memo-hit) time by
+        # protocol design, so THIS map carries the real per-query build
+        # cost instead of leaving it smeared into one aggregate — a
+        # reader sees warm + build side by side per trainer.
+        "trainer_build_s": {
+            n: round(
+                median([r.get(n, 0.0) for r in per_run_build_q]), 3
+            )
+            for n in sorted(
+                set().union(*per_run_build_q) if per_run_build_q else set()
+            )
+        },
         "cold_pass": cold_last,
         "warm_retimed": warm_last,
         "protocol": (

@@ -177,6 +177,28 @@ def _triangle_pipeline(
     return result
 
 
+_INT32_MAX = 2_147_483_647
+
+
+def _int_id(name: str):
+    """Narrow a bigint vertex id to int32 — LOUDLY.  Under Spark's
+    default non-ANSI cast, long→int silently wraps once partkeys exceed
+    2^31 (TPC-H sf ~>10,700), which would corrupt edge/triangle counts
+    exactly at the scale this module targets.  ``assert_true`` turns the
+    would-be wrap into a job failure naming the fix; it costs one
+    codegen'd comparison per row and keeps the shuffle-byte savings for
+    every corpus whose keys fit."""
+    c = F.col(name)
+    guard = F.assert_true(
+        c <= F.lit(_INT32_MAX),
+        F.lit(
+            "vertex id exceeds int32 — widen triangle-pipeline ids to "
+            "bigint (operators/graph.py:_int_id)"
+        ),
+    )
+    return F.when(guard.isNull(), c.cast("int"))
+
+
 def triangle_pipeline_frames(
     spark: SparkSession, sf_dir: str, _persist: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -196,8 +218,8 @@ def triangle_pipeline_frames(
         .select(
             # partkeys fit int: halves edge/adjacency shuffle bytes (the
             # probe join ships ~deg-sized id arrays per edge row)
-            F.col("u").cast("int").alias("u"),
-            F.col("v").cast("int").alias("v"),
+            _int_id("u").alias("u"),
+            _int_id("v").alias("v"),
         )
         .distinct()
     )

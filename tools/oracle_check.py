@@ -20,6 +20,17 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Rows-only queries whose OUTPUT changes under gate mode (shrunk k-sweep,
+# 1-point CV grid, smaller maxIter — see session.gate_mode call sites):
+# their printed row counts here must not be read as production values.
+GATE_MODE_SENSITIVE = {
+    "als_recommendations",
+    "kmeans_sweep",
+    "segment_assignments",
+    "churn_model_metrics",
+    "quality_classifier_scores",
+}
+
 
 def _fast_equal(s_pdf, d_pdf) -> bool | None:
     """Vectorized multiset equality: serialize each row to one string —
@@ -51,11 +62,21 @@ def _fast_equal(s_pdf, d_pdf) -> bool | None:
                 cols.append(np.array([str(v) for v in vals]))
             else:
                 cols.append(col.to_numpy().astype(str))
-        out = np.asarray(cols[0], dtype=str)
-        for c in cols[1:]:
-            out = np.char.add(
-                np.char.add(out, "\x1f"), np.asarray(c, dtype=str)
+        # Length-prefix every field ("<len>:<value>") before joining:
+        # with a bare separator, a string VALUE containing the separator
+        # could make two different rows serialize identically — a false
+        # PASS that would short-circuit the authoritative slow path.
+        # Prefixing makes the row serialization injective regardless of
+        # value content.
+        def prefixed(c):
+            c = np.asarray(c, dtype=str)
+            return np.char.add(
+                np.char.add(np.char.mod("%d", np.char.str_len(c)), ":"), c
             )
+
+        out = prefixed(cols[0])
+        for c in cols[1:]:
+            out = np.char.add(out, prefixed(c))
         return np.sort(out)
 
     a, b = rows(s_pdf), rows(d_pdf)
@@ -128,6 +149,16 @@ def main() -> int:
     # comparison is identical either way.  Disable with
     # SPARK_GRAFT_GATE_MODE=0 to reproduce the driver's exact costs.
     os.environ.setdefault("SPARK_GRAFT_GATE_MODE", "1")
+    gate_on = os.environ["SPARK_GRAFT_GATE_MODE"] not in ("", "0")
+    if gate_on:
+        print(
+            "=== GATE MODE ON (SPARK_GRAFT_GATE_MODE=1): rows-only ML "
+            "sweeps run shrunk (smaller k-sweep / CV grid / maxIter) — "
+            "row counts and model outputs for the queries tagged "
+            "[gate-mode-sensitive] below are NOT the production/driver "
+            "values.  Set SPARK_GRAFT_GATE_MODE=0 to reproduce them. "
+            "Every SQL-oracled comparison is identical either way. ==="
+        )
 
     import __spark_entry__ as entrymod
     from retail_sales_project_bigdata_spark.session import get_spark
@@ -181,7 +212,12 @@ def main() -> int:
         if name not in oracles:
             n = fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"{name:<28} ROWS-ONLY rows={n}  [{timings[name]}s]")
+            tag = (
+                "  [gate-mode-sensitive]"
+                if gate_on and name in GATE_MODE_SENSITIVE
+                else ""
+            )
+            print(f"{name:<28} ROWS-ONLY rows={n}  [{timings[name]}s]{tag}")
             continue
         try:
             # DuckDB runs on a worker thread WHILE Spark executes — the
