@@ -63,6 +63,22 @@ BPE_NUM_MERGES = 8  # merge-table size for the training loop
 BPE_MIN_PAIR_COUNT = 2  # stop when the best pair is this rare
 
 
+def bpe_train_max_docs() -> int:
+    """Trainer corpus cap (env-overridable for tests).  Each BPE merge
+    round re-aggregates pair counts over the trainer's vocabulary frame,
+    so an UNCAPPED trainer is the one driver loop whose per-round cost
+    grows with the corpus.  Nobody trains a tokenizer on 100 TB — the
+    standard practice is a representative sample — so past the cap the
+    trainer sees a deterministic ``doc_id``-modulus sample (the
+    RECALL_EVAL_MAX_VECS pattern, similarity.py).  A no-op at every
+    driver testdata SF (≤5k docs), so the property tests against the
+    pure-Python trainer stay exact; at the synthesized sf1 (50k docs)
+    and beyond the per-round cost is bounded by the cap."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BPE_MAX_DOCS", "20000"))
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance weight toward the {DSIR_TARGET_LANG}
     slice, plus the deterministic top-{DSIR_SELECT_N} selection.
@@ -323,11 +339,20 @@ def _learn_merges(
     of every multi-symbol distinct word (so corpus encoding is a join,
     not a re-application of the merge chain).
     """
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, bpe_train_max_docs())
     hit = _MERGES_CACHE.get(key)
     if hit is not None:
         return hit
     docs = fan_out(read_table(spark, sf_dir, "documents"))
+    # Deterministic trainer-corpus cap (see bpe_train_max_docs): past the
+    # cap, train on every step-th doc_id.  The count is one cheap
+    # column-less scan, paid once per (session, sf_dir) thanks to the
+    # memo; step == 1 (no-op) at every driver testdata SF.
+    cap = bpe_train_max_docs()
+    n_docs = docs.count()
+    step = max(1, -(-n_docs // cap))  # ceil div
+    if step > 1:
+        docs = docs.filter(F.col("doc_id") % F.lit(step) == F.lit(0))
     vocab = (
         docs.select(F.explode(_tokens()).alias("word"))
         .groupBy("word")
@@ -459,12 +484,25 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    # Words ABSENT from the trainer frame encode by applying the learned
+    # merge chain directly: K bounded ``_apply_merge`` folds over the
+    # split word (evaluated per-row only when the join misses).  On an
+    # uncapped trainer every multi-symbol word is present, so the misses
+    # are single-symbol words where the chain is the identity (size 1 —
+    # value-identical to the former ``lit(1)`` default); on a CAPPED
+    # trainer (bpe_train_max_docs) this is the correct out-of-sample
+    # encoding, not an undercount.
+    oos_syms = F.filter(F.split(F.col("word"), ""), lambda s: s != "")
+    for _rank, a, b, merged_sym, _cnt in _merges:
+        oos_syms = _apply_merge(oos_syms, a, b, merged_sym)
     per_source = (
         word_counts.join(encoded, "word", "left")
         .select(
             "source",
             "wcnt",
-            F.coalesce("n_merged_tokens", F.lit(1)).alias("n_bpe_tokens"),
+            F.coalesce(
+                F.col("n_merged_tokens"), F.size(oos_syms).cast("long")
+            ).alias("n_bpe_tokens"),
             F.length("word").cast("long").alias("n_chars"),
         )
         .groupBy("source")

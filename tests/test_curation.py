@@ -217,6 +217,80 @@ def test_bpe_encode_stats_matches_reference(spark):
         assert toks <= chars and cpt >= 1.0 and fert >= 1.0
 
 
+def test_bpe_capped_trainer_out_of_sample_encode(spark, monkeypatch, tmp_path):
+    """With the trainer-corpus cap engaged (SPARK_GRAFT_BPE_MAX_DOCS
+    below the doc count), the merge table must equal the pure-Python
+    trainer run on the SAME doc_id-modulus sample, and encode_stats must
+    encode the FULL corpus — out-of-sample words via the merge chain,
+    never the old single-token default.  Uses a crafted corpus because
+    the driver testdata's vocabulary is too small to leave any word out
+    of even a tiny sample."""
+    from retail_sales_project_bigdata_spark.operators.curation import (
+        BPE_MIN_PAIR_COUNT,
+        BPE_NUM_MERGES,
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
+    from retail_sales_project_bigdata_spark.registry import (
+        clear_session_memos,
+    )
+
+    # 10 docs, cap 5 → step 2 → the trainer sees even doc_ids only.
+    # Odd docs carry words ("inter", "estim") built from the merges the
+    # even docs teach — out-of-sample and multi-token under the chain —
+    # plus "zq", untouched by any merge.
+    docs = []
+    for i in range(10):
+        text = (
+            "interest interest estimate rate rate rates"
+            if i % 2 == 0
+            else "inter estim zq interest"
+        )
+        docs.append((i, text, "en", f"src{i % 2}", len(text)))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf_dir = str(tmp_path)
+
+    monkeypatch.setenv("SPARK_GRAFT_BPE_MAX_DOCS", "5")
+    clear_session_memos()
+    try:
+        got_merges = [
+            tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()
+        ]
+        got_stats = {
+            r["source"]: (r["total_words"], r["total_tokens"])
+            for r in bpe_encode_stats(spark, sf_dir).collect()
+        }
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BPE_MAX_DOCS")
+        clear_session_memos()
+
+    sample_counts = collections.Counter(
+        w for i, text, *_ in docs if i % 2 == 0 for w in text.split(" ")
+    )
+    merges = _reference_bpe(
+        sample_counts, BPE_NUM_MERGES, BPE_MIN_PAIR_COUNT
+    )
+    assert got_merges == merges and merges, "sampled trainer mismatch"
+
+    expected = collections.defaultdict(lambda: [0, 0])
+    oos_multi = False
+    for _i, text, _l, src, _n in docs:
+        for w in text.split(" "):
+            acc = expected[src]
+            acc[0] += 1
+            n_tok = len(_encode_word(w, merges))
+            acc[1] += n_tok
+            if w not in sample_counts and n_tok > 1:
+                oos_multi = True
+    assert oos_multi, "fixture lacks out-of-sample multi-token words"
+    assert got_stats == {s: tuple(v) for s, v in expected.items()}
+
+
 def test_webapp_command_builders():
     from retail_sales_project_bigdata_spark.webapp import (
         MANUAL_FEATURES,
