@@ -484,6 +484,72 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.join(rolling, "day")
 
 
+HLL_LG_K = 13  # datasketches lgConfigK: ~1.6% rel. std. error, 2^13 regs
+
+
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch twin of :func:`rolling_distinct_users` — the
+    production path once daily actives stop fitting a hash aggregate.
+
+    The exact rewrite expands every distinct (day, user) PAIR into its
+    ≤{ROLLING_WINDOW_DAYS} window-ends, so its shuffled state grows with
+    users × span (the worst persistent SCALING trend at sf1: 4.2x per
+    10x data).  Here each day is first collapsed to ONE fixed-size HLL
+    sketch (``hll_sketch_agg`` — partial-merges map-side, so the only
+    corpus-sized stage ships #partitions × #days sketches); the window
+    expansion, union-merge (``hll_union_agg``) and estimation then run
+    on the DAY-count-sized frame — sublinear in users, linear in days,
+    ~2.5 KB of state per group at lgK={HLL_LG_K} regardless of corpus.
+
+    Rows-only (DuckDB's HLL is a different implementation, so estimates
+    cannot hash-match); property-tested against the exact twin with the
+    sketch's published error bound.
+    """
+    ev = read_events(spark, sf_dir)
+    day_sk = (
+        ev.select(
+            F.expr(f"ts_us DIV {_US_PER_DAY}").alias("day"), "user_id"
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"))
+        # three consumers (expansion, day dimension, 1d estimates):
+        # persist the day-count-sized sketch frame so the corpus is
+        # scanned ONCE, not once per consumer
+        .persist()
+    )
+    days = day_sk.select("day")
+    rolling = (
+        day_sk.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.lit(ROLLING_WINDOW_DAYS - 1),
+                )
+            ).alias("window_day"),
+            "sk",
+        )
+        .join(
+            F.broadcast(days.withColumnRenamed("day", "window_day")),
+            "window_day",
+        )
+        .groupBy("window_day")
+        .agg(F.hll_union_agg("sk").alias("sk7"))
+    )
+    return (
+        rolling.join(
+            # day-count-sized (one sketch per day) — broadcast, not
+            # shuffle, however large the corpus underneath it was
+            F.broadcast(day_sk.withColumnRenamed("day", "window_day")),
+            "window_day",
+        )
+        .select(
+            F.col("window_day").alias("day"),
+            F.hll_sketch_estimate("sk").alias("active_users_1d_est"),
+            F.hll_sketch_estimate("sk7").alias("active_users_7d_est"),
+        )
+    )
+
+
 ROLLING_DISTINCT_USERS_SQL = f"""
 WITH pairs AS (
   SELECT DISTINCT epoch_us(ts) // {_US_PER_DAY} AS day, user_id FROM events
@@ -577,6 +643,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "top_session_paths": top_session_paths,
     "rolling_distinct_users": rolling_distinct_users,
+    "rolling_distinct_users_hll": rolling_distinct_users_hll,
     "event_type_islands": event_type_islands,
     "customer_order_lifecycle": customer_order_lifecycle,
     "sessionize": sessionize,

@@ -46,3 +46,30 @@ def test_hll_rollup_accuracy_and_merge(spark):
     }
     for flag, nd in per_flag_exact.items():
         assert abs(got[flag][0] - nd) / nd < 0.05
+
+
+def test_rolling_distinct_users_hll_tracks_exact(spark):
+    """The mergeable-sketch twin must cover exactly the exact twin's day
+    set and stay inside the sketch's published error envelope (~3x the
+    relative standard error at lgK=13 ≈ 5%, with slack for union noise).
+    At the test SF the sketch is in sparse mode, so the estimates are in
+    fact exact — the bound is the contract, the equality is a bonus."""
+    from retail_sales_project_bigdata_spark.operators.sessions import (
+        rolling_distinct_users,
+        rolling_distinct_users_hll,
+    )
+
+    exact = {
+        r.day: (r.active_users_1d, r.active_users_7d)
+        for r in rolling_distinct_users(spark, SF_SMALL).collect()
+    }
+    est = {
+        r.day: (r.active_users_1d_est, r.active_users_7d_est)
+        for r in rolling_distinct_users_hll(spark, SF_SMALL).collect()
+    }
+    assert set(exact) == set(est)
+    assert exact, "no active days — test data drifted"
+    for day, (e1, e7) in exact.items():
+        g1, g7 = est[day]
+        assert abs(g1 - e1) <= max(2.0, 0.05 * e1)
+        assert abs(g7 - e7) <= max(2.0, 0.05 * e7)
