@@ -24,6 +24,21 @@ from retail_sales_project_bigdata_spark.functions import pround
 
 _counter = itertools.count()
 
+# Last executed MICRO-BATCH physical plan per memory-sink stream, captured
+# just before the stream stops.  Batch plan budgets can't see these (a
+# finished streaming query returns a memory-scan table; the real plans are
+# compiled per trigger), so tests/test_streaming_plans.py asserts the same
+# scale facts — no row-at-a-time Python eval, no cartesian product — on
+# the plans that actually executed.
+LAST_MICROBATCH_PLANS: dict[str, str] = {}
+
+
+def _capture_microbatch_plan(name: str, q) -> None:
+    try:
+        LAST_MICROBATCH_PLANS[name] = q._jsq.explainInternal(True)
+    except Exception:  # plan capture must never fail the query itself
+        LAST_MICROBATCH_PLANS[name] = ""
+
 # events.parquet has shipped ``ts`` both as INT64 TIMESTAMP(NANOS) — read
 # as raw nanos long (spark.sql.legacy.parquet.nanosAsLong) — and as plain
 # microsecond TIMESTAMP (read as TIMESTAMP_NTZ).  readStream needs an
@@ -97,6 +112,7 @@ def _run_to_memory(agg: DataFrame, mode: str) -> tuple[str, object]:
             .start()
         )
         q.processAllAvailable()
+        _capture_microbatch_plan(name, q)
     finally:
         if q is not None:
             q.stop()  # always release stream state, even on failure

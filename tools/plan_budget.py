@@ -40,8 +40,10 @@ def budgeted_names(queries: dict) -> list[str]:
     """Every registered query EXCEPT the streaming set: a streaming
     query's builder runs a memory-sink stream to completion and returns
     the result table, so its "plan" is a memory scan — the real
-    micro-batch plans are compiled per-trigger at runtime and are
-    covered by the streaming/stateful test suites instead."""
+    micro-batch plans are compiled per-trigger at runtime.  Those are
+    held to the same python_eval/cartesian facts by
+    tests/test_streaming_plans.py, which asserts on the LAST EXECUTED
+    micro-batch plan captured in streaming.LAST_MICROBATCH_PLANS."""
     return sorted(n for n in queries if not n.startswith("streaming_"))
 
 

@@ -64,6 +64,17 @@ PROBES = [
     ("expectations_report_all", "N rules → one agg pass + stack melt"),
     ("salted_event_category_rollup", "salted shuffle join on hot key"),
     ("temperature_mixture_sample", "count agg + sqrt quota + grouped rank"),
+    # round-5 additions: the most expensive honest bench entries that had
+    # no trend row (VERDICT r4 missing #1), plus the two new bounded paths
+    ("embedding_near_dup_pairs_lsh", "hyperplane-LSH band join + exact verify"),
+    ("embedding_near_dup_recall_lsh", "capped recall eval (fixed-cost slice)"),
+    ("item_item_cosine_topk", "shared pair explosion → cosine per-item top-k"),
+    ("source_overlap_kmv", "KMV sketch merge pair overlap"),
+    ("kcore_members", "iterative k-core peel"),
+    ("theil_sen_weekly_trend", "pairwise weekly slopes (|weeks|² per nation)"),
+    ("hits_bipartite_scores", "iterative HITS on bipartite edges"),
+    ("bpe_train_merges", "capped K-round BPE merge trainer"),
+    ("rolling_distinct_users_hll", "per-day HLL sketch + window union merge"),
 ]
 
 
