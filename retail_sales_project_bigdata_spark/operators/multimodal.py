@@ -64,10 +64,57 @@ def _media_session(spark: SparkSession) -> SparkSession:
     return clone
 
 
-def _arrow_rows_for(media: DataFrame) -> int:
+# Memoized Arrow batch sizing per (clone session, sf_dir): the sizing
+# aggregate is one extra Spark job per media query otherwise — six media
+# queries in a gate sweep paid it six times for the same answer.
+_ARROW_ROWS_CACHE: dict[tuple[int, str], int] = {}
+
+
+def _arrow_rows_for(media: DataFrame, sf_dir: str | None = None) -> int:
+    key = (id(media.sparkSession), sf_dir or "")
+    if sf_dir is not None and key in _ARROW_ROWS_CACHE:
+        return _ARROW_ROWS_CACHE[key]
     avg = media.agg(F.avg("payload_bytes")).first()[0] or 1.0
     rows = int(ARROW_TARGET_BATCH_BYTES / max(avg, 1.0))
-    return max(ARROW_ROWS_MIN, min(ARROW_ROWS_MAX, rows))
+    rows = max(ARROW_ROWS_MIN, min(ARROW_ROWS_MAX, rows))
+    if sf_dir is not None:
+        _ARROW_ROWS_CACHE[key] = rows
+    return rows
+
+
+def _media_source(
+    spark: SparkSession, sf_dir: str, modality: str | None = None
+) -> DataFrame:
+    """The clamped media frame every Arrow op starts from: cloned session
+    (batch-size conf isolated from the caller), memoized batch sizing,
+    and — when an op consumes ONE modality — the modality filter applied
+    BEFORE the Python boundary, so the decode step never ships or decodes
+    payloads the op will drop (the manual analog of predicate pushdown,
+    which cannot cross a mapInPandas)."""
+    scoped = _media_session(spark)
+    media = media_table(scoped, sf_dir)
+    scoped.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(_arrow_rows_for(media, sf_dir)),
+    )
+    if modality is not None:
+        media = media.filter(F.col("modality") == modality)
+    return media
+
+
+def _compose_batches(*stages):
+    """Chain Iterator[pd.DataFrame] → Iterator[pd.DataFrame] stages inside
+    ONE mapInPandas: each extra mapInPandas node is a full JVM→Python→JVM
+    Arrow round trip, so decode→transform pipelines fuse here instead of
+    stacking plan nodes.  Stages stay individually testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        it = batches
+        for stage in stages:
+            it = stage(it)
+        return it
+
+    return run
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,6 +173,35 @@ def _fake_decode(payload: bytes, modality: str) -> dict:
     return {"width": 320, "height": 240, "frames": 24 + (checksum * 7 + n) % 240}
 
 
+_DECODED_SCHEMA = (
+    "media_id long, modality string, payload_bytes long,"
+    " width long, height long, frames long"
+)
+
+
+def _decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The decode stage body (binary payload in → typed properties out),
+    module-level so single-modality ops can fuse it with their own stage
+    via :func:`_compose_batches`."""
+    for pdf in batches:
+        props = [
+            _fake_decode(p, m)
+            for p, m in zip(pdf["payload"], pdf["modality"])
+        ]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "payload_bytes": pdf["payload_bytes"],
+                "width": [r["width"] for r in props],
+                "height": [r["height"] for r in props],
+                "frames": [r["frames"] for r in props],
+            }
+        )
+
+
 def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode step over ``mapInPandas``: binary in → typed properties out.
 
@@ -133,44 +209,19 @@ def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the real production shape: per-partition, Arrow-batched, zero JVM
     deserialization of payloads.
     """
-    scoped = _media_session(spark)
-    media = media_table(scoped, sf_dir)
-    scoped.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch",
-        str(_arrow_rows_for(media)),
-    )
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            props = [
-                _fake_decode(p, m)
-                for p, m in zip(pdf["payload"], pdf["modality"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "modality": pdf["modality"],
-                    "payload_bytes": pdf["payload_bytes"],
-                    "width": [r["width"] for r in props],
-                    "height": [r["height"] for r in props],
-                    "frames": [r["frames"] for r in props],
-                }
-            )
-
-    return media.mapInPandas(
-        decode_batches,
-        schema=(
-            "media_id long, modality string, payload_bytes long,"
-            " width long, height long, frames long"
-        ),
+    return _media_source(spark, sf_dir).mapInPandas(
+        _decode_batches, schema=_DECODED_SCHEMA
     )
 
 
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling step: one output row per sampled frame (every 24th),
     video only — the explode-shaped media op (1 input row → N output rows),
-    again as mapInPandas so a real sampler slots in per-batch."""
-    decoded = decode_media(spark, sf_dir).filter(F.col("modality") == "video")
+    again as mapInPandas so a real sampler slots in per-batch.
+
+    Fused: the video filter runs BEFORE the Python boundary and the
+    decode + sample stages share one mapInPandas (see _compose_batches)."""
+    media = _media_source(spark, sf_dir, "video")
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -199,8 +250,8 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return decoded.mapInPandas(
-        sample_batches,
+    return media.mapInPandas(
+        _compose_batches(_decode_batches, sample_batches),
         schema="media_id long, frame_no long, width long, height long",
     )
 
@@ -217,8 +268,11 @@ def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle mirrors it exactly; the byte size scales by
     pixel ratio as the stand-in for the re-encoded payload (a real
     deployment swaps the batch body for PIL/ffmpeg — the mapInPandas
-    signature, Arrow batching, and schema stay as-is)."""
-    decoded = decode_media(spark, sf_dir).filter(F.col("modality") == "image")
+    signature, Arrow batching, and schema stay as-is).
+
+    Fused: image filter before the Python boundary; decode + resize share
+    one mapInPandas (_compose_batches)."""
+    media = _media_source(spark, sf_dir, "image")
 
     def resize_batches(
         batches: Iterator[pd.DataFrame],
@@ -247,8 +301,8 @@ def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return decoded.mapInPandas(
-        resize_batches,
+    return media.mapInPandas(
+        _compose_batches(_decode_batches, resize_batches),
         schema=(
             "media_id long, width long, height long,"
             " new_width long, new_height long, resized_bytes long"
@@ -334,7 +388,7 @@ def audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Energy stub = ``(payload_bytes * 31 + window_no * 17) % 1000 / 1000``
     — integer math, mirrored exactly in the oracle."""
-    decoded = decode_media(spark, sf_dir).filter(F.col("modality") == "audio")
+    media = _media_source(spark, sf_dir, "audio")
 
     def window_batches(
         batches: Iterator[pd.DataFrame],
@@ -370,8 +424,8 @@ def audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return decoded.mapInPandas(
-        window_batches,
+    return media.mapInPandas(
+        _compose_batches(_decode_batches, window_batches),
         schema="media_id long, window_no long, n_samples long, energy double",
     )
 
@@ -521,13 +575,7 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation is the stubbed Python decode step); value-checked in
     tests against a pure-Python reference pipeline, both on the corpus
     and on crafted near-duplicate payloads."""
-    scoped = _media_session(spark)
-    media = media_table(scoped, sf_dir).filter(F.col("modality") == "image")
-    scoped.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch",
-        str(_arrow_rows_for(media)),
-    )
-    return _phash_pairs_from(media)
+    return _phash_pairs_from(_media_source(spark, sf_dir, "image"))
 
 
 ORACLES: dict[str, str] = {

@@ -26,7 +26,7 @@ from retail_sales_project_bigdata_spark.functions import (
 from retail_sales_project_bigdata_spark.sources import read_table
 
 KMEANS_K_RANGE = range(2, 9)  # SegmentationModel.java:95 (k ∈ {2..8})
-KMEANS_K_RANGE_GATE = range(2, 5)  # gate-mode sweep (session.gate_mode)
+KMEANS_K_RANGE_GATE = range(2, 4)  # gate-mode sweep (session.gate_mode)
 KMEANS_SEED = 123  # SegmentationModel.java:113
 
 FEATURE_COLS = [
