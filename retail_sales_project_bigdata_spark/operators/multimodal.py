@@ -185,9 +185,10 @@ def _decode_batches(
     """The decode stage body (binary payload in → typed properties out),
     module-level so single-modality ops can fuse it with their own stage
     via :func:`_compose_batches`."""
+    use_real = _real_decode_enabled()
     for pdf in batches:
         props = [
-            _fake_decode(p, m)
+            (use_real and _try_real_decode(p, m)) or _fake_decode(p, m)
             for p, m in zip(pdf["payload"], pdf["modality"])
         ]
         yield pd.DataFrame(
@@ -200,6 +201,50 @@ def _decode_batches(
                 "frames": [r["frames"] for r in props],
             }
         )
+
+
+_REAL_DECODE_STATE: list = []  # lazily-resolved [bool], per Python process
+
+
+def _real_decode_enabled() -> bool:
+    """True when a real image codec (Pillow) is importable and
+    ``SPARK_GRAFT_REAL_DECODE`` isn't 0.  Resolved once per Python
+    process (driver AND each Arrow worker resolve independently — the
+    batch functions below are shipped to workers, where the driver's
+    answer would be meaningless)."""
+    if not _REAL_DECODE_STATE:
+        import importlib.util
+        import os
+
+        _REAL_DECODE_STATE.append(
+            os.environ.get("SPARK_GRAFT_REAL_DECODE", "1") != "0"
+            and importlib.util.find_spec("PIL") is not None
+        )
+    return _REAL_DECODE_STATE[0]
+
+
+def _try_real_decode(payload: bytes, modality: str) -> dict | None:
+    """Import-gated real decode: Pillow for images when installed (not in
+    this container — the gate keeps the stub as the tested path), None on
+    any failure so the caller falls back to :func:`_fake_decode`.  The
+    gate-SF payloads are synthetic text bytes, which no codec accepts, so
+    the oracle-mirrored stub keeps producing the gate values even when a
+    codec IS installed; real corpora get real dimensions."""
+    if modality != "image":
+        return None  # audio/video codecs: not gated in yet
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(bytes(payload))) as im:
+            return {
+                "width": int(im.width),
+                "height": int(im.height),
+                "frames": int(getattr(im, "n_frames", 1)),
+            }
+    except Exception:
+        return None
 
 
 def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:

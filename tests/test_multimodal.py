@@ -191,3 +191,77 @@ def test_media_session_cache_evicts_with_parent(spark):
     gc.collect()
     assert len(mm._MEDIA_SESSIONS) < before  # weak key evicted
     assert mm._media_session(spark) is clone_a  # survivor untouched
+
+
+def test_decode_batches_real_codec_gate(monkeypatch):
+    """Both sides of the import gate, driver-side (the batch functions
+    are plain Iterator[pd.DataFrame] transforms): with a (faked) Pillow
+    importable, images decode through it; without it — this container's
+    reality — every row falls back to the oracle-mirrored stub.  Also:
+    a payload the codec rejects falls back per-row even when the codec
+    is importable (the gate-SF text payloads rely on this)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    import retail_sales_project_bigdata_spark.operators.multimodal as mm
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "modality": ["image", "audio", "image"],
+            "payload": [b"PNGISH-8x6", b"wav-bytes", b"not-an-image"],
+            "payload_bytes": [10, 9, 12],
+        }
+    )
+
+    # --- stub path (PIL genuinely absent in this container) ---
+    monkeypatch.setattr(mm, "_REAL_DECODE_STATE", [])
+    assert mm._real_decode_enabled() is False
+    stub_rows = list(mm._decode_batches(iter([pdf])))[0]
+    exp = [
+        mm._fake_decode(p, m)
+        for p, m in zip(pdf["payload"], pdf["modality"])
+    ]
+    assert list(stub_rows["width"]) == [r["width"] for r in exp]
+    assert list(stub_rows["frames"]) == [r["frames"] for r in exp]
+
+    # --- real path: fake Pillow that accepts only the PNGISH payload ---
+    class _FakeImage:
+        def __init__(self, data):
+            if not data.startswith(b"PNGISH"):
+                raise OSError("cannot identify image file")
+            self.width, self.height, self.n_frames = 8, 6, 2
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    import importlib.machinery
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.__spec__ = importlib.machinery.ModuleSpec("PIL", None)
+    fake_pil.Image = types.SimpleNamespace(
+        open=lambda buf: _FakeImage(buf.getvalue())
+    )
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    monkeypatch.setattr(mm, "_REAL_DECODE_STATE", [])
+    assert mm._real_decode_enabled() is True
+    real_rows = list(mm._decode_batches(iter([pdf])))[0]
+    # row 1: real-decoded; row 2: non-image (stub); row 3: codec reject → stub
+    assert (
+        real_rows.loc[0, "width"],
+        real_rows.loc[0, "height"],
+        real_rows.loc[0, "frames"],
+    ) == (8, 6, 2)
+    assert real_rows.loc[1, "frames"] == exp[1]["frames"]
+    assert real_rows.loc[2, "width"] == exp[2]["width"]
+
+    # --- env kill-switch wins over an importable codec ---
+    monkeypatch.setenv("SPARK_GRAFT_REAL_DECODE", "0")
+    monkeypatch.setattr(mm, "_REAL_DECODE_STATE", [])
+    assert mm._real_decode_enabled() is False
