@@ -516,12 +516,24 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 # Two vectors are candidates when ALL planes of at least ONE band agree
 # on their side — P(candidate | cosine c) = 1 - (1 - p^R)^B with
 # p = 1 - acos(c)/pi.  At R=6, B=12: recall ~1.00 at c=0.95, ~0.998 at
-# 0.9, ~0.97 at 0.8; random pairs (c~0) collide in ~1.6% of bands.  At
-# a 100 TB corpus you raise R (sharper bands) and B (recovered recall);
-# the shape — narrow signature frame, equi-join on (band, bucket),
-# exact verify on the candidate set only — is unchanged.
-NEAR_DUP_BANDS = 12
-NEAR_DUP_BAND_PLANES = 6
+# 0.9, ~0.97 at 0.8; random pairs (c~0) collide in ~1.6% of bands.
+#
+# SCALE KNOB: random-pair candidates are collision-bounded at
+# ~B·n²/2^R — sub-exact by 2^R/B but still quadratic at FIXED (R, B),
+# and the sf1 probe measured exactly that (SCALING.md).  At a growing
+# corpus you raise R (sharper bands: each +1 bit halves random
+# collisions) and B (recovered recall), sized so 2^R tracks n.  Both
+# knobs are env-tunable AT IMPORT: the DuckDB oracle literals below are
+# generated from the same constants, so Spark and the oracle stay
+# hash-exact at ANY setting, and embedding_near_dup_recall_lsh
+# certifies the recall a chosen (R, B) actually delivers.  Defaults
+# unchanged (gate values stable).
+import os as _os
+
+NEAR_DUP_BANDS = int(_os.environ.get("SPARK_GRAFT_NEAR_DUP_BANDS", "12"))
+NEAR_DUP_BAND_PLANES = int(
+    _os.environ.get("SPARK_GRAFT_NEAR_DUP_BAND_PLANES", "6")
+)
 _NEAR_DUP_PLANE_BASE = 100  # disjoint from the ann_lsh planes (0..3)
 
 
@@ -653,7 +665,15 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 
 # Cap on the recall eval's sample: both pair paths run on at most this
 # many vectors (deterministic vec_id modulus — mirrored in the oracle).
-RECALL_EVAL_MAX_VECS = 20_000
+# Sized so the eval's EXACT anchor (sample²/2 cosine pairs ≈ 8M at the
+# cap) is genuinely fixed-cost: the r5 probe caught the previous 20k cap
+# admitting the whole 20k-vector sf1 corpus — a 200M-pair anchor, 156 s.
+# 4k vectors still certify pair-level recall (hyperplane collision
+# probability depends only on a pair's angle, so a uniform slice's
+# recall estimates corpus recall) on thousands of true pairs.
+RECALL_EVAL_MAX_VECS = int(
+    _os.environ.get("SPARK_GRAFT_RECALL_EVAL_MAX_VECS", "4000")
+)
 
 
 def embedding_near_dup_recall_lsh(

@@ -303,3 +303,22 @@ def test_near_dup_pairs_lsh_recall_on_crafted_clusters(spark):
     # (b) recall on the crafted clusters
     recall = len(set(got) & set(truth)) / len(truth)
     assert recall >= 0.95, f"LSH recall {recall:.3f} below 0.95"
+
+
+def test_near_dup_lsh_oracle_literals_track_constants():
+    """The DuckDB plane literals are generated at import from the SAME
+    (bands, planes-per-band) constants the Spark plan uses — the property
+    that keeps the oracle hash-exact when the env knobs re-tune the band
+    geometry.  Structural check: one literal tuple per (band, bit), and
+    the band/bit ids cover the full grid."""
+    import re
+
+    from retail_sales_project_bigdata_spark.operators import similarity as s
+
+    tuples = re.findall(r"\((\d+), (\d+), \[", s._PLANES_VALUES_SQL)
+    assert len(tuples) == s.NEAR_DUP_BANDS * s.NEAR_DUP_BAND_PLANES
+    assert {(int(b), int(r)) for b, r in tuples} == {
+        (b, r)
+        for b in range(s.NEAR_DUP_BANDS)
+        for r in range(s.NEAR_DUP_BAND_PLANES)
+    }

@@ -183,6 +183,34 @@ def main() -> None:
         "- `unigram_freq_scores` 3.3x: explode -> hash-agg over 10x tokens,",
         "  sub-data-proportional; fine.",
         "",
+        "Round-5 sf1-step findings (first probe of the round-4 heavy",
+        "paths; the r5 fixes are already in the numbers above):",
+        "",
+        "- `embedding_near_dup_recall_lsh` measured 43x/156s on the first",
+        "  r5 probe: the 20k-vector sample cap exactly admitted the whole",
+        "  20k-vector sf1 corpus, so the eval's EXACT anchor ran in full",
+        "  (200M pairs).  FIXED: cap lowered to 4k vectors (8M-pair",
+        "  anchor, ~24s, fixed-cost at every larger corpus; recall 0.874",
+        "  certified on 2846 true pairs at sf1).",
+        "- `embedding_near_dup_pairs_lsh`: random-pair candidates are",
+        "  collision-bounded at ~B*n^2/2^R — sub-exact by 2^R/B (5.3x at",
+        "  the defaults) but still quadratic at FIXED (R, B).  The scale",
+        "  knob is R (each +1 bit halves random collisions) + B",
+        "  (recovered recall), now env-tunable at import with the DuckDB",
+        "  oracle literals generated from the same constants (hash-exact",
+        "  at any setting; verified at R=7, B=10), and the recall eval",
+        "  certifies whatever (R, B) a deployment picks.  Very large",
+        "  corpora route through `semantic_dedup`'s sqrt-n pivot",
+        "  clustering instead.",
+        "- `triangle_counts` at sf1 owns the heaviest cell: linear in",
+        "  wedges (edges x capped out-degree) — the expected enumeration",
+        "  shape; watch.",
+        "- `rolling_distinct_users_hll` (new): flat across all four SFs —",
+        "  the mergeable-sketch twin is the sub-linear production path",
+        "  for the exact query's users x span state growth.",
+        "- `bpe_train_merges` (new): flat — the r5 trainer-corpus cap",
+        "  bounds per-round pair aggregation past 20k docs.",
+        "",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(out))
