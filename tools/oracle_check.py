@@ -41,6 +41,12 @@ def _fast_equal(s_pdf, d_pdf) -> bool | None:
     or engine dtypes disagree in a way str() may mask."""
     import numpy as np
 
+    if len(s_pdf) == 0:
+        # caller verified equal row counts, so both are empty — decided.
+        # (Also dodges numpy's empty-array char ops, which come back
+        # float64 and poison the string pipeline below.)
+        return True
+
     def rows(pdf):
         cols = []
         for c in pdf.columns:
