@@ -576,38 +576,40 @@ def _near_dup_pairs_lsh_from(vecs: DataFrame, threshold: float) -> DataFrame:
             .alias("bucket")
         )
     )
-    cand = (
-        sig.alias("x")
-        .join(
-            sig.alias("y"),
+    # VERIFY INSIDE THE BAND JOIN.  The candidate space is ~B*n²/2^R id
+    # pairs; shipping it through a distinct plus two vector-fetch joins
+    # made THREE candidate-sized shuffles (the r5 sf1 probe: 76 s, and
+    # all of it in those exchanges).  Instead the (band, bucket) join
+    # carries each side's vector — the signature frame grows to B
+    # vector copies per id (n*B rows, corpus-linear), tiny next to the
+    # candidate set — and the cosine + threshold filter run IN the join
+    # projection, so the only candidate-sized data is streamed through
+    # codegen and dies map-side; every later shuffle (the pair dedup)
+    # sees survivors only.  A pair colliding in k bands computes its
+    # cosine k times (k is small: band collisions are rare by design) —
+    # the same in-order fold each time, so dropDuplicates on the pair
+    # keeps a deterministic identical value and the result set is
+    # row-for-row what the old distinct-then-verify form produced.
+    sigv = sig.join(vecs.select("vec_id", "v", "norm"), "vec_id")
+    x, y = sigv.alias("x"), sigv.alias("y")
+    return (
+        x.join(
+            y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
-        .distinct()  # a pair colliding in k bands verifies once, not k times
-    )
-    a = vecs.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("v_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("v_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
         .withColumn(
             "cosine_raw",
-            _dot_expr("v_a", "v_b") / (F.col("norm_a") * F.col("norm_b")),
+            _dot_expr("x.v", "y.v") / (F.col("x.norm") * F.col("y.norm")),
         )
         .filter(F.col("cosine_raw") >= threshold)
-        .select("id_a", "id_b", pround("cosine_raw", 6).alias("cosine"))
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            pround("cosine_raw", 6).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -194,14 +194,21 @@ def main() -> None:
         "  certified on 2846 true pairs at sf1).",
         "- `embedding_near_dup_pairs_lsh`: random-pair candidates are",
         "  collision-bounded at ~B*n^2/2^R — sub-exact by 2^R/B (5.3x at",
-        "  the defaults) but still quadratic at FIXED (R, B).  The scale",
-        "  knob is R (each +1 bit halves random collisions) + B",
-        "  (recovered recall), now env-tunable at import with the DuckDB",
-        "  oracle literals generated from the same constants (hash-exact",
-        "  at any setting; verified at R=7, B=10), and the recall eval",
-        "  certifies whatever (R, B) a deployment picks.  Very large",
-        "  corpora route through `semantic_dedup`'s sqrt-n pivot",
-        "  clustering instead.",
+        "  the defaults) but still quadratic at FIXED (R, B).  Two r5",
+        "  responses: (1) the verify now runs INSIDE the band join (the",
+        "  signature frame carries its vectors; cosine + threshold die",
+        "  map-side, so no candidate-sized exchange exists — measured",
+        "  76s -> 34s at sf1, and the id-pair distinct + two vector-fetch",
+        "  joins are gone); (2) the geometry knob R (each +1 bit halves",
+        "  random collisions) + B (recovered recall) is env-tunable at",
+        "  import with the DuckDB oracle literals generated from the same",
+        "  constants (hash-exact at any setting; verified at R=7, B=10),",
+        "  and the recall eval certifies whatever (R, B) a deployment",
+        "  picks.  Very large corpora route through `semantic_dedup`'s",
+        "  sqrt-n pivot clustering instead.",
+        "  (Tried and rejected: an unrolled 64-term codegen dot product —",
+        "  3x SLOWER than the in-order aggregate fold in an A/B at 2M",
+        "  pairs; the fold stays.)",
         "- `triangle_counts` at sf1 owns the heaviest cell: linear in",
         "  wedges (edges x capped out-degree) — the expected enumeration",
         "  shape; watch.",
