@@ -458,13 +458,17 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape (the trainer's own working state, reused for encoding):
     the corpus is NOT encoded row-by-row, and the merge chain is NOT
-    re-applied — the trainer's final vocabulary frame ALREADY holds every
-    multi-symbol distinct word in fully-merged form, so encoding is one
-    (source, word) frequency scan joined to that vocabulary-sized frame
-    (AQE broadcasts it when the vocab fits).  Words absent from the
-    trainer frame are single-symbol (len 1) and encode to exactly one
-    token — the COALESCE below.  Encode cost is O(|vocab|), independent
-    of corpus row count.
+    re-applied to words the trainer saw — its final vocabulary frame
+    ALREADY holds every multi-symbol distinct word it trained on in
+    fully-merged form, so encoding is one (source, word) frequency scan
+    joined to that vocabulary-sized frame (AQE broadcasts it when the
+    vocab fits).  Words ABSENT from the trainer frame — single-symbol
+    words always, plus genuine out-of-sample words when the trainer ran
+    capped (bpe_train_max_docs) — encode via the learned merge chain
+    applied directly in the COALESCE fallback (K bounded folds,
+    evaluated per row only on join misses; the identity for
+    single-symbol words).  Encode cost is O(|vocab|) plus the miss set,
+    independent of corpus row count.
 
     All counts are exact BIGINTs; the two ratios are single IEEE
     divisions — deterministic across engines.  Rows-only for the driver

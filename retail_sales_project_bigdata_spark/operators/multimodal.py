@@ -64,21 +64,23 @@ def _media_session(spark: SparkSession) -> SparkSession:
     return clone
 
 
-# Memoized Arrow batch sizing per (clone session, sf_dir): the sizing
-# aggregate is one extra Spark job per media query otherwise — six media
-# queries in a gate sweep paid it six times for the same answer.
-_ARROW_ROWS_CACHE: dict[tuple[int, str], int] = {}
+# Memoized Arrow batch sizing per (clone session, sf_dir, modality): the
+# sizing aggregate is one extra Spark job per media query otherwise — six
+# media queries in a gate sweep paid it six times for the same answer.
+# Keyed by modality so a single-modality op sizes its batches from ITS
+# payload distribution (on a corpus where video payloads dwarf images,
+# the all-modality average would undershoot the image path's target).
+_ARROW_ROWS_CACHE: dict[tuple[int, str, str], int] = {}
 
 
-def _arrow_rows_for(media: DataFrame, sf_dir: str | None = None) -> int:
-    key = (id(media.sparkSession), sf_dir or "")
-    if sf_dir is not None and key in _ARROW_ROWS_CACHE:
-        return _ARROW_ROWS_CACHE[key]
+def _arrow_rows_for(media: DataFrame, cache_key: tuple | None = None) -> int:
+    if cache_key is not None and cache_key in _ARROW_ROWS_CACHE:
+        return _ARROW_ROWS_CACHE[cache_key]
     avg = media.agg(F.avg("payload_bytes")).first()[0] or 1.0
     rows = int(ARROW_TARGET_BATCH_BYTES / max(avg, 1.0))
     rows = max(ARROW_ROWS_MIN, min(ARROW_ROWS_MAX, rows))
-    if sf_dir is not None:
-        _ARROW_ROWS_CACHE[key] = rows
+    if cache_key is not None:
+        _ARROW_ROWS_CACHE[cache_key] = rows
     return rows
 
 
@@ -93,12 +95,16 @@ def _media_source(
     which cannot cross a mapInPandas)."""
     scoped = _media_session(spark)
     media = media_table(scoped, sf_dir)
-    scoped.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch",
-        str(_arrow_rows_for(media, sf_dir)),
-    )
     if modality is not None:
         media = media.filter(F.col("modality") == modality)
+    scoped.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(
+            _arrow_rows_for(
+                media, (id(scoped), sf_dir, modality or "*")
+            )
+        ),
+    )
     return media
 
 

@@ -525,15 +525,28 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 # collisions) and B (recovered recall), sized so 2^R tracks n.  Both
 # knobs are env-tunable AT IMPORT: the DuckDB oracle literals below are
 # generated from the same constants, so Spark and the oracle stay
-# hash-exact at ANY setting, and embedding_near_dup_recall_lsh
-# certifies the recall a chosen (R, B) actually delivers.  Defaults
-# unchanged (gate values stable).
+# hash-exact at any setting inside the guarded R <= 30 range (the
+# bucket is an int32 bitmask; see the import guard), and
+# embedding_near_dup_recall_lsh certifies the recall a chosen (R, B)
+# actually delivers.  Past what R <= 30 can absorb, partition the
+# corpus (IVF lists / semantic_dedup pivots) rather than widen the
+# mask.  Defaults unchanged (gate values stable).
 import os as _os
 
 NEAR_DUP_BANDS = int(_os.environ.get("SPARK_GRAFT_NEAR_DUP_BANDS", "12"))
 NEAR_DUP_BAND_PLANES = int(
     _os.environ.get("SPARK_GRAFT_NEAR_DUP_BAND_PLANES", "6")
 )
+# the bucket is a SUM of shiftleft(1, bit) cast to INT: R >= 31 would
+# silently wrap (Spark wraps the shift count mod 32; DuckDB differs) —
+# fail at import instead of corrupting candidate sets.  2^30 buckets per
+# band is far past any corpus this geometry serves.
+if not (1 <= NEAR_DUP_BAND_PLANES <= 30):
+    raise ValueError(
+        "SPARK_GRAFT_NEAR_DUP_BAND_PLANES must be in [1, 30]: the bucket "
+        "is an int32 bitmask and wider shifts wrap differently across "
+        f"engines (got {NEAR_DUP_BAND_PLANES})"
+    )
 _NEAR_DUP_PLANE_BASE = 100  # disjoint from the ann_lsh planes (0..3)
 
 

@@ -33,11 +33,18 @@ _counter = itertools.count()
 LAST_MICROBATCH_PLANS: dict[str, str] = {}
 
 
+_MICROBATCH_PLANS_KEEP = 64  # bound the dict: keys are never reused, so a
+# long-lived driver (multi-run bench, repeated gate sweeps) would other-
+# wise accumulate one multi-KB plan string per stream forever.
+
+
 def _capture_microbatch_plan(name: str, q) -> None:
     try:
         LAST_MICROBATCH_PLANS[name] = q._jsq.explainInternal(True)
     except Exception:  # plan capture must never fail the query itself
         LAST_MICROBATCH_PLANS[name] = ""
+    while len(LAST_MICROBATCH_PLANS) > _MICROBATCH_PLANS_KEEP:
+        LAST_MICROBATCH_PLANS.pop(next(iter(LAST_MICROBATCH_PLANS)))
 
 # events.parquet has shipped ``ts`` both as INT64 TIMESTAMP(NANOS) — read
 # as raw nanos long (spark.sql.legacy.parquet.nanosAsLong) — and as plain

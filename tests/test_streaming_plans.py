@@ -46,6 +46,13 @@ def test_microbatch_plan_within_budget(spark, name):
     assert new, f"{name} started no captured stream"
     for sink, plan in new.items():
         assert plan, f"{name}/{sink}: micro-batch plan capture failed"
+        # a stream that executed ZERO micro-batches explains as a
+        # "No physical plan" placeholder — that would pass the budget
+        # checks vacuously, so require an actually-executed plan
+        assert "== Physical Plan ==" in plan and "No physical plan" not in plan, (
+            f"{name}/{sink}: no micro-batch ever executed; capture is "
+            "not load-bearing:\n" + plan[:500]
+        )
         s = summarize(plan)
         assert s["python_eval"] == 0, (
             f"{name}/{sink}: Python eval node in a micro-batch plan:\n"
