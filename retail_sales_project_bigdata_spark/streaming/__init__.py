@@ -687,6 +687,134 @@ FROM feats GROUP BY source
 """
 
 
+def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN — the streaming leg of the similarity stack: a stream
+    of query embeddings is stream-static joined against the LSH-bucketed
+    corpus (same deterministic hyperplane buckets as the batch
+    ``ann_lsh_topk``), exact-cosine scored in the join projection, and a
+    per-query TOP-{10} is maintained in EXPLICIT BOUNDED STATE via
+    ``applyInPandasWithState`` — K (cosine, neighbor) entries per query
+    key, merged per micro-batch, regardless of how many candidates the
+    stream ever delivers.  That bounded-merge state is what a complete-
+    mode ``collect_list`` could not give (its state grows with total
+    candidates); this is the 100 TB-posture design for "queries arrive
+    forever, corpus is the big static side".
+
+    Rows-only (streams have no SQL oracle); property-tested equal to the
+    batch ``ann_lsh_topk`` result — same buckets, same rounded-cosine
+    ranking, same (desc cosine, asc neighbor) tie order.
+    """
+    import os
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+        _bucket_expr,
+        _dot_expr,
+        _vectors,
+    )
+
+    corpus = (
+        _vectors(spark, sf_dir)
+        .withColumn("bucket", _bucket_expr())
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("c_v"),
+            F.col("norm").alias("c_norm"),
+            "bucket",
+        )
+    )
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    q = (
+        raw.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_v"),
+        )
+        .withColumn("q_norm", F.sqrt(_dot_expr("q_v", "q_v")))
+        .withColumn("q_bucket", _bucket_expr("q_v"))
+    )
+    cand = q.join(
+        corpus,
+        (F.col("q_bucket") == F.col("bucket"))
+        & (F.col("q_id") != F.col("neighbor_id")),
+    ).select(
+        "q_id",
+        "neighbor_id",
+        pround(
+            _dot_expr("q_v", "c_v") / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine"),
+    )
+
+    def topk(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            cos, nid, n_seen = state.get
+            cur = list(zip(cos, nid))
+        else:
+            cur, n_seen = [], 0
+        for pdf in pdfs:
+            if len(pdf):
+                n_seen += len(pdf)
+                cur.extend(
+                    zip(pdf["cosine"].tolist(), pdf["neighbor_id"].tolist())
+                )
+        # rounded cosine desc, neighbor id asc — the batch twin's order
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:TOP_K]
+        state.update(
+            (
+                [float(c) for c, _ in cur],
+                [int(n) for _, n in cur],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "q_id": [int(key[0])] * len(cur),
+                "neighbor_id": [int(n) for _, n in cur],
+                "cosine": [float(c) for c, _ in cur],
+                "rank": list(range(1, len(cur) + 1)),
+                "n_seen": [n_seen] * len(cur),
+            }
+        )
+
+    agg = cand.groupBy("q_id").applyInPandasWithState(
+        topk,
+        outputStructType=(
+            "q_id long, neighbor_id long, cosine double, rank int,"
+            " n_seen long"
+        ),
+        stateStructType="cos array<double>, nid array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name, _ = _run_to_memory(agg, "update")
+    # update mode re-emits a query's snapshot whenever its state changes;
+    # the row set with the LARGEST n_seen is the final top-k per query
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id")
+    return (
+        spark.table(name)
+        .withColumn("max_seen", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("max_seen"))
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental corpus dedup — the stream-static twin of
     ``operators.dedup.incremental_dedup_new_docs``: new documents arrive
@@ -780,6 +908,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "streaming_ann_topk": streaming_ann_topk,
     "streaming_incremental_dedup": streaming_incremental_dedup,
     "streaming_corpus_quality": streaming_corpus_quality,
     "streaming_hourly_counts": streaming_hourly_counts,

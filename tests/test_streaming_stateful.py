@@ -119,3 +119,27 @@ def test_pq_ann_recall_and_score_parity(spark):
     assert all(len(v) <= TOP_K for v in per_q.values())
     hits = sum(1 for r in pq_rows if (r.q_id, r.neighbor_id) in bf)
     assert hits > 0
+
+
+def test_streaming_ann_topk_equals_batch_twin(spark):
+    """Online ANN (stream-static LSH join + bounded stateful top-k) must
+    emit exactly the batch ann_lsh_topk result: same hyperplane buckets,
+    same rounded-cosine ranking, same (desc cosine, asc neighbor) tie
+    order — the full (q_id, neighbor, cosine, rank) tuple set."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        ann_lsh_topk,
+    )
+    from retail_sales_project_bigdata_spark.streaming import (
+        streaming_ann_topk,
+    )
+
+    got = {
+        (r.q_id, r.neighbor_id, r.cosine, r["rank"])
+        for r in streaming_ann_topk(spark, SF_SMALL).collect()
+    }
+    exp = {
+        (r.q_id, r.neighbor_id, r.cosine, r["rank"])
+        for r in ann_lsh_topk(spark, SF_SMALL).collect()
+    }
+    assert exp, "batch twin returned nothing — fixture drifted"
+    assert got == exp
