@@ -178,6 +178,7 @@ def _triangle_pipeline(
 
 
 _INT32_MAX = 2_147_483_647
+_INT32_MIN = -2_147_483_648
 
 
 def _int_id(name: str):
@@ -190,9 +191,9 @@ def _int_id(name: str):
     every corpus whose keys fit."""
     c = F.col(name)
     guard = F.assert_true(
-        c <= F.lit(_INT32_MAX),
+        c.between(F.lit(_INT32_MIN), F.lit(_INT32_MAX)),
         F.lit(
-            "vertex id exceeds int32 — widen triangle-pipeline ids to "
+            "vertex id outside int32 — widen triangle-pipeline ids to "
             "bigint (operators/graph.py:_int_id)"
         ),
     )
