@@ -54,6 +54,29 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def warm_python_workers(spark) -> None:
+    """Fork the Python worker pool + Arrow serialization path, and trigger
+    the heavy imports (numpy/pandas) inside every worker, so a mapInPandas
+    query measures compute, not 32x fork+import cost.  Called once before
+    the cold pass AND again before the warm re-time pass: the worker pool
+    can decay while hundreds of JVM-only queries run between two media
+    queries, and a re-timed query that pays the ~10s refork records a
+    worker-pool artifact, not its own cost (BENCH_r05's resize_media at
+    11.98s vs a 1.4s steady state)."""
+
+    def _warm_imports(batches):
+        import numpy  # noqa: F401  (worker-side import warmup)
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    materialize(
+        spark.range(32, numPartitions=32).mapInPandas(
+            _warm_imports, schema="id long"
+        )
+    )
+
+
 def warmup(spark) -> None:
     """One small end-to-end job before timing: JVM JIT, codegen compiler,
     shuffle machinery, and the parquet footer cache all initialize here
@@ -66,20 +89,7 @@ def warmup(spark) -> None:
         .groupBy("k")
         .count()
     )
-    # Fork the Python worker pool + Arrow serialization path once, and
-    # trigger the heavy imports (numpy/pandas) inside every worker, so the
-    # first mapInPandas query measures compute, not 32x import cost.
-    def _warm_imports(batches):
-        import numpy  # noqa: F401  (worker-side import warmup)
-        import pandas  # noqa: F401
-
-        yield from batches
-
-    materialize(
-        spark.range(32, numPartitions=32).mapInPandas(
-            _warm_imports, schema="id long"
-        )
-    )
+    warm_python_workers(spark)
 
 
 def main() -> None:
@@ -135,6 +145,7 @@ def main() -> None:
         retime = sorted(
             set(slowest) | (MEMO_TRAINER_QUERIES & set(cold))
         )
+        warm_python_workers(spark)  # see docstring: refork != query cost
         warm = {name: timed(name) for name in retime}
         final = {
             n: min(cold[n], warm.get(n, cold[n])) for n in cold

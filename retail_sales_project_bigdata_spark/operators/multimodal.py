@@ -47,20 +47,29 @@ from retail_sales_project_bigdata_spark.sources import fan_out, read_table
 ARROW_TARGET_BATCH_BYTES = 32 << 20
 ARROW_ROWS_MIN, ARROW_ROWS_MAX = 64, 10_000
 
-# One media-scoped clone per parent session.  Keyed by the session OBJECT
-# in a WeakKeyDictionary (not ``id(spark)``): entries evict when the parent
-# session is garbage-collected, so a recycled id() can never hand a new
-# session a stale clone.
-_MEDIA_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
-    weakref.WeakKeyDictionary()
-)
+# One media-scoped clone per (parent session, modality).  Keyed by the
+# parent session OBJECT in a WeakKeyDictionary (not ``id(spark)``): entries
+# evict when the parent session is garbage-collected, so a recycled id()
+# can never hand a new session a stale clone.  Keyed by modality because
+# Spark reads ``maxRecordsPerBatch`` at EXECUTION time, not frame-build
+# time — with one shared clone, two media frames built before either
+# executes (e.g. an image resize and a video frame-sample) would both run
+# with the last writer's batch size; a clone per modality makes the
+# per-modality sizing stick to the frame that asked for it.
+_MEDIA_SESSIONS: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, SparkSession]]"
+) = weakref.WeakKeyDictionary()
 
 
-def _media_session(spark: SparkSession) -> SparkSession:
-    clone = _MEDIA_SESSIONS.get(spark)
+def _media_session(spark: SparkSession, modality: str = "*") -> SparkSession:
+    per_modality = _MEDIA_SESSIONS.get(spark)
+    if per_modality is None:
+        per_modality = {}
+        _MEDIA_SESSIONS[spark] = per_modality
+    clone = per_modality.get(modality)
     if clone is None:
         clone = spark.newSession()
-        _MEDIA_SESSIONS[spark] = clone
+        per_modality[modality] = clone
     return clone
 
 
@@ -70,17 +79,35 @@ def _media_session(spark: SparkSession) -> SparkSession:
 # Keyed by modality so a single-modality op sizes its batches from ITS
 # payload distribution (on a corpus where video payloads dwarf images,
 # the all-modality average would undershoot the image path's target).
-_ARROW_ROWS_CACHE: dict[tuple[int, str, str], int] = {}
+# A WeakKeyDictionary on the CLONE session object (not ``id(clone)``):
+# entries evict with their session, so a recycled id() can never serve a
+# batch size computed for dead-session state.  Deliberately NOT a plain
+# ``*_CACHE`` dict, so ``registry.clear_session_memos`` leaves it alone:
+# the memo is a measurement of the table (avg payload bytes), not
+# pipeline state — re-probing it between benchmark runs would charge the
+# sizing job to whichever media query runs first in every run.
+_ARROW_ROWS_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], int]]"
+) = weakref.WeakKeyDictionary()
 
 
-def _arrow_rows_for(media: DataFrame, cache_key: tuple | None = None) -> int:
-    if cache_key is not None and cache_key in _ARROW_ROWS_CACHE:
-        return _ARROW_ROWS_CACHE[cache_key]
+def _arrow_rows_for(
+    media: DataFrame,
+    scoped: SparkSession | None = None,
+    cache_key: tuple[str, str] | None = None,
+) -> int:
+    per_session = (
+        _ARROW_ROWS_CACHE.setdefault(scoped, {})
+        if scoped is not None
+        else {}
+    )
+    if cache_key is not None and cache_key in per_session:
+        return per_session[cache_key]
     avg = media.agg(F.avg("payload_bytes")).first()[0] or 1.0
     rows = int(ARROW_TARGET_BATCH_BYTES / max(avg, 1.0))
     rows = max(ARROW_ROWS_MIN, min(ARROW_ROWS_MAX, rows))
     if cache_key is not None:
-        _ARROW_ROWS_CACHE[cache_key] = rows
+        per_session[cache_key] = rows
     return rows
 
 
@@ -88,22 +115,19 @@ def _media_source(
     spark: SparkSession, sf_dir: str, modality: str | None = None
 ) -> DataFrame:
     """The clamped media frame every Arrow op starts from: cloned session
-    (batch-size conf isolated from the caller), memoized batch sizing,
-    and — when an op consumes ONE modality — the modality filter applied
-    BEFORE the Python boundary, so the decode step never ships or decodes
-    payloads the op will drop (the manual analog of predicate pushdown,
-    which cannot cross a mapInPandas)."""
-    scoped = _media_session(spark)
+    (batch-size conf isolated from the caller AND from other modalities),
+    memoized batch sizing, and — when an op consumes ONE modality — the
+    modality filter applied BEFORE the Python boundary, so the decode step
+    never ships or decodes payloads the op will drop (the manual analog of
+    predicate pushdown, which cannot cross a mapInPandas)."""
+    mod_key = modality or "*"
+    scoped = _media_session(spark, mod_key)
     media = media_table(scoped, sf_dir)
     if modality is not None:
         media = media.filter(F.col("modality") == modality)
     scoped.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch",
-        str(
-            _arrow_rows_for(
-                media, (id(scoped), sf_dir, modality or "*")
-            )
-        ),
+        str(_arrow_rows_for(media, scoped, (sf_dir, mod_key))),
     )
     return media
 
@@ -213,44 +237,95 @@ _REAL_DECODE_STATE: list = []  # lazily-resolved [bool], per Python process
 
 
 def _real_decode_enabled() -> bool:
-    """True when a real image codec (Pillow) is importable and
-    ``SPARK_GRAFT_REAL_DECODE`` isn't 0.  Resolved once per Python
-    process (driver AND each Arrow worker resolve independently — the
-    batch functions below are shipped to workers, where the driver's
-    answer would be meaningless)."""
+    """True when the user OPTS IN with ``SPARK_GRAFT_REAL_DECODE=1`` and
+    at least one real codec (Pillow / soundfile / PyAV) is importable.
+    Default OFF: real-decoded properties diverge from the oracle-mirrored
+    stub on any payload a codec accepts, so an environment with codecs
+    installed and decodable payloads would silently fail the DuckDB
+    correctness gate if this defaulted on — deterministic stub by
+    default, real codecs on request.  Resolved once per Python process
+    (driver AND each Arrow worker resolve independently — the batch
+    functions below are shipped to workers, where the driver's answer
+    would be meaningless)."""
     if not _REAL_DECODE_STATE:
         import importlib.util
         import os
 
         _REAL_DECODE_STATE.append(
-            os.environ.get("SPARK_GRAFT_REAL_DECODE", "1") != "0"
-            and importlib.util.find_spec("PIL") is not None
+            os.environ.get("SPARK_GRAFT_REAL_DECODE", "0") == "1"
+            and any(
+                importlib.util.find_spec(m) is not None
+                for m in ("PIL", "soundfile", "av")
+            )
         )
     return _REAL_DECODE_STATE[0]
 
 
 def _try_real_decode(payload: bytes, modality: str) -> dict | None:
-    """Import-gated real decode: Pillow for images when installed (not in
-    this container — the gate keeps the stub as the tested path), None on
-    any failure so the caller falls back to :func:`_fake_decode`.  The
-    gate-SF payloads are synthetic text bytes, which no codec accepts, so
-    the oracle-mirrored stub keeps producing the gate values even when a
-    codec IS installed; real corpora get real dimensions."""
-    if modality != "image":
-        return None  # audio/video codecs: not gated in yet
+    """Import-gated real decode, one codec per modality — Pillow for
+    images, soundfile for audio, PyAV for video (none installed in this
+    container — the gates keep the stub as the tested path).  Returns
+    None on a missing codec or any decode failure so the caller falls
+    back per-row to :func:`_fake_decode`.  The gate-SF payloads are
+    synthetic text bytes, which no codec accepts, so the oracle-mirrored
+    stub keeps producing the gate values even when codecs ARE installed;
+    real corpora get real dimensions."""
     try:
-        import io
-
-        from PIL import Image
-
-        with Image.open(io.BytesIO(bytes(payload))) as im:
-            return {
-                "width": int(im.width),
-                "height": int(im.height),
-                "frames": int(getattr(im, "n_frames", 1)),
-            }
+        if modality == "image":
+            return _decode_image_pil(payload)
+        if modality == "audio":
+            return _decode_audio_soundfile(payload)
+        if modality == "video":
+            return _decode_video_av(payload)
     except Exception:
         return None
+    return None
+
+
+def _decode_image_pil(payload: bytes) -> dict:
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "frames": int(getattr(im, "n_frames", 1)),
+        }
+
+
+def _decode_audio_soundfile(payload: bytes) -> dict:
+    """Audio properties via soundfile (libsndfile): frames = sample
+    count; width/height 0 to match the stub's audio row shape."""
+    import io
+
+    import soundfile as sf
+
+    info = sf.info(io.BytesIO(bytes(payload)))
+    return {"width": 0, "height": 0, "frames": int(info.frames)}
+
+
+def _decode_video_av(payload: bytes) -> dict:
+    """Video properties via PyAV (ffmpeg bindings): first video stream's
+    geometry and frame count (falls back to duration x rate when the
+    container does not carry an exact count)."""
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(bytes(payload))) as container:
+        stream = next(
+            s for s in container.streams if s.type == "video"
+        )
+        frames = int(stream.frames or 0)
+        if not frames and stream.duration and stream.average_rate:
+            frames = int(stream.duration * stream.time_base * stream.average_rate)
+        return {
+            "width": int(stream.codec_context.width),
+            "height": int(stream.codec_context.height),
+            "frames": frames,
+        }
 
 
 def decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:

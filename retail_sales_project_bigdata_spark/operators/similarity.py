@@ -518,25 +518,47 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 # p = 1 - acos(c)/pi.  At R=6, B=12: recall ~1.00 at c=0.95, ~0.998 at
 # 0.9, ~0.97 at 0.8; random pairs (c~0) collide in ~1.6% of bands.
 #
-# SCALE KNOB: random-pair candidates are collision-bounded at
-# ~B·n²/2^R — sub-exact by 2^R/B but still quadratic at FIXED (R, B),
-# and the sf1 probe measured exactly that (SCALING.md).  At a growing
-# corpus you raise R (sharper bands: each +1 bit halves random
-# collisions) and B (recovered recall), sized so 2^R tracks n.  Both
-# knobs are env-tunable AT IMPORT: the DuckDB oracle literals below are
-# generated from the same constants, so Spark and the oracle stay
-# hash-exact at any setting inside the guarded R <= 30 range (the
-# bucket is an int32 bitmask; see the import guard), and
-# embedding_near_dup_recall_lsh certifies the recall a chosen (R, B)
-# actually delivers.  Past what R <= 30 can absorb, partition the
-# corpus (IVF lists / semantic_dedup pivots) rather than widen the
-# mask.  Defaults unchanged (gate values stable).
+# SCALE GEOMETRY (r6, replacing the fixed r5 knobs): random-pair
+# candidates are collision-bounded at ~B·n²/2^R — sub-exact by 2^R/B
+# but QUADRATIC at fixed (R, B), and the sf1 probe measured exactly
+# that (SCALING.md r5 step: 16.9x per 10x data).  R is therefore
+# DERIVED from the corpus count at plan build —
+#   R = floor(log2(n / TARGET_BUCKET_IDS)) clamped to [6, 30]
+# — so 2^R tracks n and expected random collisions stay
+# ~B·n·TARGET/2 per band: data-proportional.  B comes from a
+# precomputed table sized to hold the design recall (≥ 1 -
+# NEAR_DUP_DESIGN_MISS at cosine NEAR_DUP_DESIGN_COSINE — the same
+# ~0.9998 the r5 (R=6, B=12) geometry delivered), because sharper
+# bands need more of them.  At the gate SF (500 vectors) the
+# derivation lands exactly on the r5 default (R=6, B=12): gate values
+# unchanged.
+#
+# ORACLE EXACTNESS WITH A DERIVED GEOMETRY: the DuckDB SQL derives the
+# SAME (R, B) from COUNT(*) with integer-exact ops (length(bin(x)) - 1
+# is floor(log2); the B table is a CASE over literals computed once
+# below) and generates the SAME planes via the closed form of
+# :func:`_hyperplane`'s LCG — x_k = (a^k·x0 + c·Σa^j) mod 2^31 with
+# the per-k constants embedded as literals — so every step is integer
+# modular math or one correctly-rounded IEEE op, identical across
+# engines, and the gate stays hash-exact at ANY corpus size
+# (verified by the oracle gate at two different SFs → two different
+# derived geometries).
+#
+# Env pins (SPARK_GRAFT_NEAR_DUP_BANDS / _BAND_PLANES) freeze BOTH
+# engines to a fixed geometry for experiments; unset (default) means
+# derived.  Past what R <= 30 can absorb (n ~ 4·2^30 vectors),
+# partition the corpus (IVF lists / semantic_dedup pivots) rather
+# than widen the int32 bucket mask.
+import math as _math
 import os as _os
 
-NEAR_DUP_BANDS = int(_os.environ.get("SPARK_GRAFT_NEAR_DUP_BANDS", "12"))
-NEAR_DUP_BAND_PLANES = int(
-    _os.environ.get("SPARK_GRAFT_NEAR_DUP_BAND_PLANES", "6")
+_ENV_NEAR_DUP_BANDS = _os.environ.get("SPARK_GRAFT_NEAR_DUP_BANDS")
+_ENV_NEAR_DUP_PLANES = _os.environ.get("SPARK_GRAFT_NEAR_DUP_BAND_PLANES")
+NEAR_DUP_GEOMETRY_PINNED = (
+    _ENV_NEAR_DUP_BANDS is not None or _ENV_NEAR_DUP_PLANES is not None
 )
+NEAR_DUP_BANDS = int(_ENV_NEAR_DUP_BANDS or "12")
+NEAR_DUP_BAND_PLANES = int(_ENV_NEAR_DUP_PLANES or "6")
 # the bucket is a SUM of shiftleft(1, bit) cast to INT: R >= 31 would
 # silently wrap (Spark wraps the shift count mod 32; DuckDB differs) —
 # fail at import instead of corrupting candidate sets.  2^30 buckets per
@@ -547,30 +569,79 @@ if not (1 <= NEAR_DUP_BAND_PLANES <= 30):
         "is an int32 bitmask and wider shifts wrap differently across "
         f"engines (got {NEAR_DUP_BAND_PLANES})"
     )
+
+NEAR_DUP_TARGET_BUCKET_IDS = 4  # aim: ~n/2^R candidate ids per bucket
+NEAR_DUP_R_MIN, NEAR_DUP_R_MAX = 6, 30
+NEAR_DUP_B_MAX = 64
+NEAR_DUP_DESIGN_COSINE = 0.95
+NEAR_DUP_DESIGN_MISS = 2e-4  # reproduces the r5 (R=6 -> B=12) point
+
+
+def _bands_for(r_planes: int) -> int:
+    """Bands needed so a pair at the design cosine is missed with
+    probability <= NEAR_DUP_DESIGN_MISS when each band has r_planes
+    bits: B = ceil(log(miss) / log(1 - p^R)), p = 1 - acos(c)/pi."""
+    p = 1.0 - _math.acos(NEAR_DUP_DESIGN_COSINE) / _math.pi
+    miss_per_band = 1.0 - p**r_planes
+    b = _math.ceil(
+        _math.log(NEAR_DUP_DESIGN_MISS) / _math.log(miss_per_band)
+    )
+    return max(1, min(NEAR_DUP_B_MAX, b))
+
+
+# Float math happens ONCE here; both engines consume the resulting
+# integer literals (Spark via near_dup_geometry, DuckDB via a CASE).
+NEAR_DUP_B_TABLE = {
+    r: _bands_for(r) for r in range(NEAR_DUP_R_MIN, NEAR_DUP_R_MAX + 1)
+}
+
+
+def near_dup_geometry(n: int) -> tuple[int, int]:
+    """(planes-per-band R, bands B) for a corpus of n vectors —
+    integer-exact mirror of the SQL derivation in
+    :func:`_near_dup_geom_sql` (x.bit_length()-1 == length(bin(x))-1
+    == floor(log2 x))."""
+    if NEAR_DUP_GEOMETRY_PINNED:
+        return NEAR_DUP_BAND_PLANES, NEAR_DUP_BANDS
+    x = max(n // NEAR_DUP_TARGET_BUCKET_IDS, 1)
+    r = min(NEAR_DUP_R_MAX, max(NEAR_DUP_R_MIN, x.bit_length() - 1))
+    return r, NEAR_DUP_B_TABLE[r]
+
+
 _NEAR_DUP_PLANE_BASE = 100  # disjoint from the ann_lsh planes (0..3)
 
 
-def _band_plane_idx(band: int, r: int) -> int:
-    return _NEAR_DUP_PLANE_BASE + band * NEAR_DUP_BAND_PLANES + r
+def _band_plane_idx(band: int, r_planes: int, bit: int) -> int:
+    return _NEAR_DUP_PLANE_BASE + band * r_planes + bit
 
 
-def _near_dup_pairs_lsh_from(vecs: DataFrame, threshold: float) -> DataFrame:
+def _near_dup_pairs_lsh_from(
+    vecs: DataFrame,
+    threshold: float,
+    geometry: tuple[int, int] | None = None,
+) -> DataFrame:
     """LSH candidate generation + exact verify over a prepared
     (vec_id, v, norm) frame — split out so property tests can drive it
-    with crafted near-duplicate clusters."""
-    # Planes travel as a broadcast DATA table (72 rows x 64 doubles),
+    with crafted near-duplicate clusters.  ``geometry`` is the
+    (planes-per-band, bands) pair; None derives it from the frame's
+    own count (one tiny count job — callers that already know the
+    corpus size pass it in to skip that)."""
+    spark = vecs.sparkSession
+    if geometry is None:
+        geometry = near_dup_geometry(vecs.count())
+    r_planes, bands = geometry
+    # Planes travel as a broadcast DATA table (B*R rows x 64 doubles),
     # not as plan literals: inlining B*R plane arrays into the per-row
     # projection hands janino a ~5k-literal-node tree per join side
     # (measured: +4s codegen/analysis at ANY row count).  As data, the
     # literals materialize once, the dot/bucket expression stays 7 nodes,
     # and the broadcast + partial agg are map-side — same FLOPs, small
     # plan.  Bucket bits are exact integers, so SUM order is irrelevant.
-    spark = vecs.sparkSession
     planes = spark.createDataFrame(
         [
-            (b, r, _hyperplane(EMBEDDING_DIM, _band_plane_idx(b, r)))
-            for b in range(NEAR_DUP_BANDS)
-            for r in range(NEAR_DUP_BAND_PLANES)
+            (b, r, _hyperplane(EMBEDDING_DIM, _band_plane_idx(b, r_planes, r)))
+            for b in range(bands)
+            for r in range(r_planes)
         ],
         "band int, bit int, p array<double>",
     )
@@ -636,27 +707,86 @@ def embedding_near_dup_pairs_lsh(
     banded random-hyperplane signatures → equi-join candidates on
     (band, bucket) → exact cosine verify of candidates only.  Pair space
     is Σ|bucket|² per band, never n²; every stage is a shuffle-or-
-    broadcast relational op, no driver collection.  Deterministic planes
-    (:func:`_hyperplane`) make even the bucketing oracle-exact in DuckDB
-    — missed pairs are missed identically in both engines, so the gate
-    hash-matches despite the algorithm being approximate by design.
+    broadcast relational op, no driver collection.  The band geometry is
+    derived from the corpus count (see the SCALE GEOMETRY note above),
+    so the collision volume stays data-proportional at any n.
+    Deterministic planes (:func:`_hyperplane`) make even the bucketing
+    oracle-exact in DuckDB — missed pairs are missed identically in both
+    engines, so the gate hash-matches despite the algorithm being
+    approximate by design.
     """
-    return _near_dup_pairs_lsh_from(_vectors(spark, sf_dir), threshold)
+    n = read_table(spark, sf_dir, "embeddings").count()
+    return _near_dup_pairs_lsh_from(
+        _vectors(spark, sf_dir), threshold, near_dup_geometry(n)
+    )
 
 
-_PLANES_VALUES_SQL = ", ".join(
-    f"({b}, {r}, {_plane_sql(_band_plane_idx(b, r))})"
-    for b in range(NEAR_DUP_BANDS)
-    for r in range(NEAR_DUP_BAND_PLANES)
+# Closed form of _hyperplane's LCG for the SQL mirror:
+# x_k = (A_k * x0 + C_k) mod 2^31 with A_k = a^k mod 2^31 and
+# C_k = c * (a^0 + ... + a^(k-1)) mod 2^31 — one (k, A_k, C_k) literal
+# row per embedding dimension, so DuckDB reproduces every plane value
+# for ANY plane index with two integer mults and a mod (verified
+# element-exact against _hyperplane in tests/test_northstar.py).
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+_LCG_CLOSED: list[tuple[int, int, int]] = []
+_lcg_ak, _lcg_sk = 1, 0
+for _lcg_k in range(1, EMBEDDING_DIM + 1):
+    _lcg_sk = (_lcg_sk + _lcg_ak) % _LCG_M
+    _lcg_ak = (_lcg_ak * _LCG_A) % _LCG_M
+    _LCG_CLOSED.append((_lcg_k, _lcg_ak, (_LCG_C * _lcg_sk) % _LCG_M))
+
+_LCG_VALUES_SQL = ", ".join(f"({k}, {a}, {c})" for k, a, c in _LCG_CLOSED)
+_NEAR_DUP_B_CASE_SQL = " ".join(
+    f"WHEN {r} THEN {b}" for r, b in sorted(NEAR_DUP_B_TABLE.items())
 )
 
-EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL = f"""
+
+def _near_dup_geom_sql(count_source: str) -> str:
+    """One-row (r, b) relation: the SQL twin of near_dup_geometry —
+    integer-exact (length(bin(x))-1 = floor(log2 x); B via the literal
+    CASE table), or the pinned literals when the env knobs are set."""
+    if NEAR_DUP_GEOMETRY_PINNED:
+        return (
+            f"SELECT {NEAR_DUP_BAND_PLANES} AS r, {NEAR_DUP_BANDS} AS b"
+        )
+    return f"""
+  SELECT r, CASE r {_NEAR_DUP_B_CASE_SQL} END AS b
+  FROM (
+    SELECT LEAST({NEAR_DUP_R_MAX}, GREATEST({NEAR_DUP_R_MIN},
+             LENGTH(BIN(GREATEST(n // {NEAR_DUP_TARGET_BUCKET_IDS}, 1))) - 1)) AS r
+    FROM (SELECT COUNT(*) AS n FROM {count_source})
+  )"""
+
+
+def _near_dup_pairs_lsh_sql(
+    source: str = "embeddings", count_source: str | None = None
+) -> str:
+    """The LSH pair query as DuckDB SQL over ``source``; the band
+    geometry derives from ``count_source`` (defaults to ``source``) —
+    the recall eval passes the FULL table there while sourcing vectors
+    from its sample, mirroring the Spark side's full-corpus-derived
+    geometry."""
+    return f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-  FROM embeddings
+  FROM {source}
 ),
-planes(band, bit, p) AS (VALUES {_PLANES_VALUES_SQL}),
+geom AS ({_near_dup_geom_sql(count_source or source)}),
+lcg(k, a_k, c_k) AS (VALUES {_LCG_VALUES_SQL}),
+planes AS (
+  SELECT band, bit, LIST(val ORDER BY k) AS p
+  FROM (
+    SELECT tb.range AS band, tr.range AS bit, lcg.k,
+           (((((({_NEAR_DUP_PLANE_BASE} + tb.range * g.r + tr.range)
+                 * 2654435761 + 987654321) % 4294967296)
+              * lcg.a_k + lcg.c_k) % 2147483648)
+            / 2147483647.0) * 2.0 - 1.0 AS val
+    FROM range({NEAR_DUP_B_MAX}) tb, range({NEAR_DUP_R_MAX}) tr, lcg, geom g
+    WHERE tb.range < g.b AND tr.range < g.r
+  )
+  GROUP BY band, bit
+),
 sig AS (
   SELECT vec_id, band,
          CAST(SUM(CASE WHEN list_dot_product(v, p) > 0
@@ -676,6 +806,9 @@ JOIN vecs a ON c.id_a = a.vec_id
 JOIN vecs b ON c.id_b = b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 """
+
+
+EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL = _near_dup_pairs_lsh_sql()
 
 
 # Cap on the recall eval's sample: both pair paths run on at most this
@@ -718,9 +851,13 @@ def embedding_near_dup_recall_lsh(
     true_pairs = _near_dup_pairs_exact_from(
         vecs, NEAR_DUP_THRESHOLD
     ).select("id_a", "id_b")
-    found = _near_dup_pairs_lsh_from(vecs, NEAR_DUP_THRESHOLD).select(
-        "id_a", "id_b", F.lit(1).alias("_hit")
-    )
+    # Geometry from the FULL corpus count, not the sample's: the eval
+    # certifies the (R, B) the production pair run actually uses —
+    # pair-level recall depends only on (R, B) and the pair's angle, so
+    # measuring it on the sample is unbiased.
+    found = _near_dup_pairs_lsh_from(
+        vecs, NEAR_DUP_THRESHOLD, near_dup_geometry(n_vecs)
+    ).select("id_a", "id_b", F.lit(1).alias("_hit"))
     return (
         true_pairs.join(F.broadcast(found), ["id_a", "id_b"], "left")
         .agg(
@@ -751,7 +888,7 @@ _RECALL_SAMPLED_EMBEDDINGS = f"""(
 
 EMBEDDING_NEAR_DUP_RECALL_LSH_SQL = f"""
 WITH anchor AS ({EMBEDDING_NEAR_DUP_PAIRS_SQL.replace("FROM embeddings", "FROM " + _RECALL_SAMPLED_EMBEDDINGS)}),
-lsh AS ({EMBEDDING_NEAR_DUP_PAIRS_LSH_SQL.replace("FROM embeddings", "FROM " + _RECALL_SAMPLED_EMBEDDINGS)}),
+lsh AS ({_near_dup_pairs_lsh_sql(source=_RECALL_SAMPLED_EMBEDDINGS, count_source="embeddings")}),
 joined AS (
   SELECT a.id_a, a.id_b, l.id_a AS hit
   FROM anchor a LEFT JOIN lsh l ON a.id_a = l.id_a AND a.id_b = l.id_b

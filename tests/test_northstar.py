@@ -305,20 +305,56 @@ def test_near_dup_pairs_lsh_recall_on_crafted_clusters(spark):
     assert recall >= 0.95, f"LSH recall {recall:.3f} below 0.95"
 
 
-def test_near_dup_lsh_oracle_literals_track_constants():
-    """The DuckDB plane literals are generated at import from the SAME
-    (bands, planes-per-band) constants the Spark plan uses — the property
-    that keeps the oracle hash-exact when the env knobs re-tune the band
-    geometry.  Structural check: one literal tuple per (band, bit), and
-    the band/bit ids cover the full grid."""
-    import re
+def test_near_dup_lcg_closed_form_matches_hyperplane():
+    """The (k, A_k, C_k) literals the oracle SQL embeds reproduce
+    _hyperplane EXACTLY: x_k = (A_k*x0 + C_k) mod 2^31 then the same
+    two IEEE ops — the property that keeps the DuckDB-generated planes
+    bit-identical to the Spark-side Python planes at ANY plane index
+    (i.e. any derived geometry)."""
+    from retail_sales_project_bigdata_spark.operators import similarity as s
+
+    for p in (0, 100, 107, 523, 2047, s._NEAR_DUP_PLANE_BASE + 64 * 30 - 1):
+        x0 = (p * 2654435761 + 987654321) & 0xFFFFFFFF
+        vals = [
+            ((a_k * x0 + c_k) % (1 << 31)) / 0x7FFFFFFF * 2.0 - 1.0
+            for _k, a_k, c_k in s._LCG_CLOSED
+        ]
+        assert vals == s._hyperplane(s.EMBEDDING_DIM, p), p
+
+
+def test_near_dup_geometry_derivation_matches_sql():
+    """Python (plan build) and DuckDB (oracle) derive the SAME (R, B)
+    from a corpus count — integer-exact bit-length log2 plus the shared
+    literal B table — across the whole clamp range."""
+    import duckdb
 
     from retail_sales_project_bigdata_spark.operators import similarity as s
 
-    tuples = re.findall(r"\((\d+), (\d+), \[", s._PLANES_VALUES_SQL)
-    assert len(tuples) == s.NEAR_DUP_BANDS * s.NEAR_DUP_BAND_PLANES
-    assert {(int(b), int(r)) for b, r in tuples} == {
-        (b, r)
-        for b in range(s.NEAR_DUP_BANDS)
-        for r in range(s.NEAR_DUP_BAND_PLANES)
-    }
+    for n in (1, 3, 500, 2000, 4096, 20000, 10**6, 10**9, 4 * 2**32):
+        r, b = s.near_dup_geometry(n)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW t AS SELECT * FROM range({n}) LIMIT 0"
+        )  # COUNT comes from a literal below; view only sanity-checks SQL
+        got = con.execute(
+            "SELECT r, b FROM ("
+            + s._near_dup_geom_sql(f"(SELECT 1 FROM range({min(n, 10)}))")
+            .replace("COUNT(*)", str(n))
+            + ")"
+        ).fetchone()
+        con.close()
+        assert (r, b) == got, (n, (r, b), got)
+    # derived geometry is monotone in R and collision-bounded:
+    # 2^R stays within a factor TARGET*2 of n across the ramp
+    for n in (600, 5000, 80000, 10**6):
+        r, _ = s.near_dup_geometry(n)
+        if s.NEAR_DUP_R_MIN < r < s.NEAR_DUP_R_MAX:
+            assert 2**r <= n // s.NEAR_DUP_TARGET_BUCKET_IDS < 2 ** (r + 1)
+
+
+def test_near_dup_geometry_gate_point_unchanged():
+    """At the driver gate's corpus (500 vectors) the derivation lands on
+    the round-5 certified geometry, so gate values are stable."""
+    from retail_sales_project_bigdata_spark.operators import similarity as s
+
+    assert s.near_dup_geometry(500) == (6, 12)
