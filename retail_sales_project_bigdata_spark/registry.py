@@ -143,6 +143,7 @@ GATE_ORDER = [
     "documents_quarantine",
     "dq_referential_audit",
     "dsir_importance_weights",
+    "dunnhumby_combined_csv",
     "duplicate_passages",
     "embedding_centroids",
     "embedding_near_dup_pairs",
@@ -155,7 +156,6 @@ GATE_ORDER = [
     "excess_quantity_suppliers",
     "expectations_report_all",
     "forecast_revenue_change",
-    "frame_sample",
 ]
 
 

@@ -64,3 +64,79 @@ def test_safe_division_rows_survive(spark):
     rows = [(1, 10, 5, 100, 2, 0.0, 0.0, 0.0, None)]
     r = clean_transactions(_raw(spark, rows)).first()
     assert r.unit_price == 0.0 and r.discount_rate == 0.0
+
+
+def test_combined_csv_multipart_and_probe_order(spark):
+    """VERDICT r5 item 6 (e2e half): the combined-CSV fixture really is
+    multi-part with merge-artifact headers, the read-back survives
+    inference, and the probe picks product_id_x over the offset _y."""
+    import glob
+    import os
+
+    from tests.conftest import SF_SMALL
+
+    from retail_sales_project_bigdata_spark.operators.dunnhumby import (
+        _CSV_FIXTURE_ROOT,
+        _derive_combined,
+        dunnhumby_combined_csv,
+    )
+
+    out = dunnhumby_combined_csv(spark, SF_SMALL)
+    path = os.path.join(
+        _CSV_FIXTURE_ROOT, os.path.basename(SF_SMALL.rstrip("/")), "combined_csv"
+    )
+    parts = glob.glob(os.path.join(path, "part-*.csv"))
+    assert len(parts) >= 2, "fixture must be a MULTI-part CSV"
+    with open(parts[0]) as fh:
+        header = fh.readline().strip()
+    assert "Product_ID_x" in header and "Product_ID_y" in header
+    assert "Trans Time" in header  # spaced header exercised
+
+    # probe order: rolled-up product ids must match the _x values, which
+    # equal l_partkey — the _y column is offset by one, so a wrong pick
+    # shifts every id
+    got_ids = {r.product_id for r in out.select("product_id").collect()}
+    src_ids = {
+        r.Product_ID_x
+        for r in _derive_combined(spark, SF_SMALL)
+        .select("Product_ID_x")
+        .distinct()
+        .collect()
+    }
+    assert got_ids <= src_ids
+    assert not any(i + 1 in got_ids and i + 1 not in src_ids for i in got_ids)
+
+
+def test_combined_csv_transactions_leg(spark):
+    """The fan-out's FPM leg on the combined shape: distinct
+    (basket_id, product_id), both non-null — mirrors
+    FullPreprocessingPipeline.java:146-152."""
+    from tests.conftest import SF_SMALL
+
+    from retail_sales_project_bigdata_spark.operators.dunnhumby import (
+        _CSV_FIXTURE_ROOT,
+        clean_transactions,
+    )
+    import os
+
+    from retail_sales_project_bigdata_spark.sources import read_csv
+
+    path = os.path.join(
+        _CSV_FIXTURE_ROOT, os.path.basename(SF_SMALL.rstrip("/")), "combined_csv"
+    )
+    if not os.path.isdir(path):  # fixture written by the query above
+        from retail_sales_project_bigdata_spark.operators.dunnhumby import (
+            dunnhumby_combined_csv,
+        )
+
+        dunnhumby_combined_csv(spark, SF_SMALL).count()
+    cleaned = clean_transactions(read_csv(spark, path, infer=True))
+    tx = (
+        cleaned.select("basket_id", "product_id")
+        .filter(F.col("basket_id").isNotNull())
+        .filter(F.col("product_id").isNotNull())
+        .dropDuplicates()
+    )
+    n = tx.count()
+    assert n > 0
+    assert n == tx.select("basket_id", "product_id").distinct().count()
