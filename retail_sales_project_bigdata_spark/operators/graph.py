@@ -200,21 +200,17 @@ def _int_id(name: str):
     return F.when(guard.isNull(), c.cast("int"))
 
 
-def triangle_pipeline_frames(
-    spark: SparkSession, sf_dir: str, _persist: bool = False
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Lazy (deg, per_node, oriented) triangle-pipeline frames — no
-    checkpoint, no memo.  ``_persist`` marks the oriented edge frame for
-    storage (the materializing caller's spill-safety; plan tests leave
-    it off so the physical plan shows the joins, not InMemoryTableScan)."""
+def _copurchase_int_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v, int-narrowed).
+
+    Edge build: ONE shuffle (per-order collect_set), then map-side
+    sorted-pair explosion (functions.copair_explode) — replaces the
+    former p.distinct() + self-join form (two extra exchanges of the
+    (order, part) frame; measured ~2x slower at sf0.1)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    # Edge build: ONE shuffle (per-order collect_set), then map-side
-    # sorted-pair explosion (functions.copair_explode) — replaces the
-    # former p.distinct() + self-join form (two extra exchanges of the
-    # (order, part) frame; measured ~2x slower at sf0.1).
-    edges = (
+    return (
         copair_explode(li, "l_orderkey", "l_partkey", a="u", b="v")
         .select(
             # partkeys fit int: halves edge/adjacency shuffle bytes (the
@@ -224,6 +220,25 @@ def triangle_pipeline_frames(
         )
         .distinct()
     )
+
+
+def triangle_pipeline_frames(
+    spark: SparkSession, sf_dir: str, _persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Lazy (deg, per_node, oriented) triangle-pipeline frames — no
+    checkpoint, no memo.  ``_persist`` marks the oriented edge frame for
+    storage (the materializing caller's spill-safety; plan tests leave
+    it off so the physical plan shows the joins, not InMemoryTableScan)."""
+    return _triangle_frames_from(
+        _copurchase_int_edges(spark, sf_dir), _persist
+    )
+
+
+def _triangle_frames_from(
+    edges: DataFrame, _persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Degree-oriented enumeration over a prepared (u, v) distinct edge
+    frame — shared by the exact pipeline and the Doulion sampled twin."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -351,13 +366,84 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(TRIANGLE_TOP_N)
 
 
-_TRI_CTE_SQL = """p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# Doulion edge-sampling target: the sampled twin keeps each edge with
+# probability 1/D where D = max(1, |E| // TARGET), so the retained graph
+# holds ~TARGET edges at ANY corpus size and wedge work (Σ out-deg²,
+# which grows superlinearly with the graph) stays bounded — the
+# 100x-scale path VERDICT r5 item 7 asks for.  At sf0.001 the graph is
+# below the target (D=1: the twin degenerates to the exact pipeline);
+# sf0.01 onward samples for real.
+TRIANGLE_SAMPLE_TARGET_EDGES = 20_000
+
+
+def _edge_keep_hash() -> F.Column:
+    """Deterministic engine-portable edge hash (the SimHash md5 idiom):
+    conv(substr(md5('u-v'), 1, 8), 16, 10) == DuckDB
+    CAST('0x' || substr(md5(u || '-' || v), 1, 8) AS BIGINT)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", F.col("u"), F.col("v")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def triangle_counts_sampled(
+    spark: SparkSession, sf_dir: str, divisor: int | None = None
+) -> DataFrame:
+    """Doulion-style (Tsourakakis et al., KDD'09) sampled twin of
+    :func:`triangle_counts` — the production path once the exact
+    enumeration's wedge volume (SCALING.md's heaviest cell) outgrows the
+    cluster: sparsify the edge set by a deterministic hash (keep iff
+    h(u,v) % D == 0, i.e. p = 1/D), enumerate triangles on the retained
+    graph with the SAME degree-oriented pipeline, and scale each node's
+    count by D³ (a triangle survives iff all three edges do: p³ — the
+    estimator is unbiased per node).  D derives from the edge count at
+    plan build (|E| // {TRIANGLE_SAMPLE_TARGET_EDGES}), so retained work
+    is ~constant at any scale; the md5 edge hash makes the sample — and
+    therefore the whole result — reproducible AND DuckDB-mirrorable, so
+    this approximate query is still oracle hash-exact.  Top-N by
+    estimate keeps the exact twin's output contract
+    (deterministic desc/asc ordering).
+
+    ``divisor`` overrides the derivation (tests pin D=1 to assert exact
+    equality with :func:`triangle_counts`, and larger D for the error
+    envelope)."""
+    edges = _copurchase_int_edges(spark, sf_dir)
+    if divisor is None:
+        # two consumers (count, filter): persist so the pair explosion
+        # runs once; released by the caller's per-query clearCache like
+        # the other persisting lazy queries
+        edges = edges.persist()
+        divisor = max(1, edges.count() // TRIANGLE_SAMPLE_TARGET_EDGES)
+    kept = edges.filter(_edge_keep_hash() % F.lit(divisor) == 0)
+    _, per_node, _ = _triangle_frames_from(kept)
+    scale = divisor**3
+    return (
+        per_node.select(
+            "l_partkey",
+            (F.col("n_triangles") * F.lit(scale))
+            .cast("long")
+            .alias("est_triangles"),
+        )
+        .orderBy(F.desc("est_triangles"), F.asc("l_partkey"))
+        .limit(TRIANGLE_TOP_N)
+    )
+
+
+_TRI_EDGE_SQL = """p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM p a JOIN p b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-deg AS (
+)"""
+
+# Enumeration chain over whatever CTE is named ``e`` — shared by the
+# exact oracles and the sampled twin (which swaps in a sparsified e).
+_TRI_ENUM_SQL = """deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
   FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
   GROUP BY node
@@ -385,6 +471,32 @@ per_node AS (
         UNION ALL SELECT c FROM tri)
   GROUP BY l_partkey
 )"""
+
+_TRI_CTE_SQL = f"""{_TRI_EDGE_SQL},
+{_TRI_ENUM_SQL}"""
+
+TRIANGLE_COUNTS_SAMPLED_SQL = f"""
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+dsel AS (
+  SELECT GREATEST(1, COUNT(*) // {TRIANGLE_SAMPLE_TARGET_EDGES}) AS dv
+  FROM e0
+),
+e AS (
+  SELECT u, v FROM e0, dsel
+  WHERE CAST('0x' || substr(md5(u || '-' || v), 1, 8) AS BIGINT) % dv = 0
+),
+{_TRI_ENUM_SQL}
+SELECT l_partkey,
+       CAST(n_triangles * dv * dv * dv AS BIGINT) AS est_triangles
+FROM per_node, dsel
+ORDER BY est_triangles DESC, l_partkey ASC
+LIMIT {TRIANGLE_TOP_N}
+"""
 
 TRIANGLE_COUNTS_SQL = f"""
 WITH {_TRI_CTE_SQL}
@@ -628,6 +740,7 @@ LIMIT {HITS_TOP_K}
 ORACLES: dict[str, str] = {
     "hits_bipartite_scores": HITS_BIPARTITE_SCORES_SQL,
     "triangle_counts": TRIANGLE_COUNTS_SQL,
+    "triangle_counts_sampled": TRIANGLE_COUNTS_SAMPLED_SQL,
     "clustering_coefficients": CLUSTERING_COEFFICIENTS_SQL,
     "kcore_members": KCORE_MEMBERS_SQL,
 }
@@ -636,6 +749,7 @@ QUERIES = {
     "hits_bipartite_scores": hits_bipartite_scores,
     "pagerank_copurchase": pagerank_copurchase,
     "triangle_counts": triangle_counts,
+    "triangle_counts_sampled": triangle_counts_sampled,
     "clustering_coefficients": clustering_coefficients,
     "kcore_members": kcore_members,
 }

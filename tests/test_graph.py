@@ -224,3 +224,51 @@ def test_triangle_chunked_adjacency_matches_unchunked(spark, monkeypatch):
     chunked = counts()
     assert base == chunked
     assert sum(base.values()) > 0  # the graph actually has triangles
+
+
+def test_triangle_counts_sampled_exact_at_divisor_one(spark):
+    """Doulion twin, D=1 (p=1): no edge is dropped and the scale factor
+    is 1, so the estimate IS the exact count — row-for-row equal to
+    triangle_counts including the top-N ordering."""
+    from retail_sales_project_bigdata_spark.operators import graph as g
+    from tests.conftest import SF_SMALL
+
+    exact = [
+        (r["l_partkey"], r["n_triangles"])
+        for r in g.triangle_counts(spark, SF_SMALL).collect()
+    ]
+    sampled = [
+        (r["l_partkey"], r["est_triangles"])
+        for r in g.triangle_counts_sampled(spark, SF_SMALL, divisor=1).collect()
+    ]
+    assert sampled == exact
+
+
+def test_triangle_counts_sampled_error_envelope(spark):
+    """Unbiased-estimator envelope: at D=2 (each triangle survives with
+    p^3 = 1/8) the GLOBAL estimate must land within ±40% of the exact
+    global count — loose vs the analytic ~sqrt((8-1)/T) relative SD so
+    the deterministic hash draw has slack, tight enough to catch a wrong
+    scale factor (off by 8x) or a biased sample."""
+    from pyspark.sql import functions as F
+
+    from retail_sales_project_bigdata_spark.operators import graph as g
+    from tests.conftest import SF_SMALL
+
+    _, per_node, _ = g.triangle_pipeline_frames(spark, SF_SMALL)
+    exact_global = (
+        per_node.agg(F.sum("n_triangles")).first()[0] or 0
+    ) // 3  # each triangle counted at its 3 corners
+    assert exact_global > 0
+
+    d = 2
+    edges = g._copurchase_int_edges(spark, SF_SMALL)
+    kept = edges.filter(g._edge_keep_hash() % F.lit(d) == 0)
+    _, pn_sampled, _ = g._triangle_frames_from(kept)
+    est_global = (
+        (pn_sampled.agg(F.sum("n_triangles")).first()[0] or 0) * d**3
+    ) // 3
+    assert abs(est_global - exact_global) <= 0.4 * exact_global, (
+        est_global,
+        exact_global,
+    )

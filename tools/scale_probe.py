@@ -67,6 +67,8 @@ PROBES = [
     # round-5 additions: the most expensive honest bench entries that had
     # no trend row (VERDICT r4 missing #1), plus the two new bounded paths
     ("embedding_near_dup_pairs_lsh", "hyperplane-LSH band join + exact verify"),
+    # round-6: the two derived-knob scale paths (VERDICT r5 items 2, 7)
+    ("triangle_counts_sampled", "Doulion edge-sampled triangles (D from |E|)"),
     ("embedding_near_dup_recall_lsh", "capped recall eval (fixed-cost slice)"),
     ("item_item_cosine_topk", "shared pair explosion → cosine per-item top-k"),
     ("source_overlap_kmv", "KMV sketch merge pair overlap"),
