@@ -211,6 +211,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failed = []
     timings: dict[str, float] = {}
+    statuses: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -218,6 +219,16 @@ def main() -> int:
         if name not in oracles:
             n = fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # rows-only queries persist multi-consumer frames too (e.g.
+            # rolling_distinct_users_hll's day-sketch frame) — release
+            # them like the oracled branch does, or a full sweep
+            # accumulates block-manager storage per invocation
+            spark.catalog.clearCache()
+            statuses[name] = {
+                "status": "rows_only",
+                "rows": n,
+                "secs": timings[name],
+            }
             tag = (
                 "  [gate-mode-sensitive]"
                 if gate_on and name in GATE_MODE_SENSITIVE
@@ -242,10 +253,16 @@ def main() -> int:
         spark.catalog.clearCache()  # per-query persists are not shared across queries
         if problems:
             failed.append(name)
+            statuses[name] = {
+                "status": "fail",
+                "problems": problems,
+                "secs": timings[name],
+            }
             print(f"{name:<28} FAIL  [{timings[name]}s]")
             for p in problems:
                 print(f"    {p}")
         else:
+            statuses[name] = {"status": "ok", "secs": timings[name]}
             print(f"{name:<28} OK  [{timings[name]}s]")
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
     total = round(sum(timings.values()), 1)
@@ -253,6 +270,36 @@ def main() -> int:
     for n, s in slowest:
         print(f"    {n:<36} {s}s")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    # Consolidated sweep artifact (VERDICT r5 item 8): set
+    # SPARK_GRAFT_SWEEP_JSON=/path to record per-query status + timing
+    # as JSON (committed per round as ORACLE_SWEEP_r{N}.json so the
+    # judge can diff certification coverage without re-running).
+    out_path = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "gate_mode": gate_on,
+                    "n_queries": len(timings),
+                    "n_ok": sum(
+                        1 for s in statuses.values() if s["status"] == "ok"
+                    ),
+                    "n_rows_only": sum(
+                        1
+                        for s in statuses.values()
+                        if s["status"] == "rows_only"
+                    ),
+                    "n_fail": len(failed),
+                    "total_secs": total,
+                    "queries": statuses,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"sweep artifact written to {out_path}")
     return 1 if failed else 0
 
 
