@@ -165,8 +165,8 @@ def _triangle_pipeline(
     hit = _TRI_CACHE.get(key)
     if hit is not None:
         return hit
-    deg, per_node, oriented = triangle_pipeline_frames(
-        spark, sf_dir, _persist=True
+    deg, per_node, oriented = _triangle_frames_from(
+        _copurchase_edges_memo(spark, sf_dir), _persist=True
     )
     result = (
         deg.localCheckpoint(eager=True),
@@ -232,6 +232,26 @@ def triangle_pipeline_frames(
     return _triangle_frames_from(
         _copurchase_int_edges(spark, sf_dir), _persist
     )
+
+
+# Edge-set memo shared by the exact pipeline and the Doulion twin: both
+# start from the same distinct co-purchase edges, and the pair explosion
+# + distinct is the dominant LINEAR cost — without sharing, the sampled
+# twin re-paid it (plus a second pass for its |E| count).  Same
+# localCheckpoint + *_CACHE lifecycle as _TRI_CACHE (cleared between
+# bench runs; RDD released by GC when the entry drops).
+_TRI_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _copurchase_edges_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _TRI_EDGE_CACHE.get(key)
+    if hit is None:
+        hit = _copurchase_int_edges(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        _TRI_EDGE_CACHE[key] = hit
+    return hit
 
 
 def _triangle_frames_from(
@@ -412,12 +432,12 @@ def triangle_counts_sampled(
     ``divisor`` overrides the derivation (tests pin D=1 to assert exact
     equality with :func:`triangle_counts`, and larger D for the error
     envelope)."""
-    edges = _copurchase_int_edges(spark, sf_dir)
+    # checkpointed edge memo shared with the exact twin: the |E| count
+    # and the sampled enumeration both read the materialized edge set,
+    # so the linear pair-explosion cost is paid once per (session, SF)
+    # across both queries
+    edges = _copurchase_edges_memo(spark, sf_dir)
     if divisor is None:
-        # two consumers (count, filter): persist so the pair explosion
-        # runs once; released by the caller's per-query clearCache like
-        # the other persisting lazy queries
-        edges = edges.persist()
         divisor = max(1, edges.count() // TRIANGLE_SAMPLE_TARGET_EDGES)
     kept = edges.filter(_edge_keep_hash() % F.lit(divisor) == 0)
     _, per_node, _ = _triangle_frames_from(kept)
