@@ -121,7 +121,9 @@ HEADLINE = [
     "top_session_paths",
     "order_gap_stats",
     "triangle_counts",
+    "triangle_counts_sampled",
     "clustering_coefficients",
+    "dunnhumby_combined_csv",
     "ann_mmr_topk",
     "image_phash_pairs",
     "bpe_encode_stats",
