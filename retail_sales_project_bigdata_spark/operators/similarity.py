@@ -570,7 +570,13 @@ if not (1 <= NEAR_DUP_BAND_PLANES <= 30):
         f"engines (got {NEAR_DUP_BAND_PLANES})"
     )
 
-NEAR_DUP_TARGET_BUCKET_IDS = 4  # aim: ~n/2^R candidate ids per bucket
+# Aim ~n/2^R candidate ids per (band, bucket).  4 is the measured sweet
+# spot at sf1: 16 (coarser buckets, R-2) bought recall 0.553 -> 0.658 at
+# the 0.5-threshold tail but re-broke the scale trend (5.96s -> 33.6s —
+# coarse buckets capture embedding clusters quadratically); the design-
+# point recall (>= 0.9998 at cosine >= 0.95) holds at every derived
+# geometry regardless.  See SCALING.md round-6 notes for the frontier.
+NEAR_DUP_TARGET_BUCKET_IDS = 4
 NEAR_DUP_R_MIN, NEAR_DUP_R_MAX = 6, 30
 NEAR_DUP_B_MAX = 64
 NEAR_DUP_DESIGN_COSINE = 0.95
