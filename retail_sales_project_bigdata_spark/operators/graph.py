@@ -147,8 +147,19 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries run the same edge-build + enumeration; the two result frames
 # are node-sized, localCheckpoint'ed (lineage truncated, survives the
 # gate's per-query cache clears) so the second query reads them instead
-# of re-deriving the pair self-join.
-_TRI_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+# of re-deriving the pair self-join.  Keys hold a weakref.ref to the
+# session, NOT id(spark): a dead ref never equals a fresh session's
+# ref, so a recycled id() cannot serve a frame bound to a stopped
+# context (the multimodal.py hazard) — while the memo stays a plain
+# ``*_CACHE`` dict that registry.clear_session_memos clears between
+# benchmark runs.
+_TRI_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _session_key(spark: SparkSession, sf_dir: str) -> tuple:
+    import weakref
+
+    return (weakref.ref(spark), sf_dir)
 
 
 def _triangle_pipeline(
@@ -161,7 +172,7 @@ def _triangle_pipeline(
     and memoizes; plan tests use :func:`triangle_pipeline_frames`, whose
     lazy output still SHOWS the join strategy (a checkpointed frame
     plans as ``Scan ExistingRDD``)."""
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     hit = _TRI_CACHE.get(key)
     if hit is not None:
         return hit
@@ -238,13 +249,13 @@ def triangle_pipeline_frames(
 # start from the same distinct co-purchase edges, and the pair explosion
 # + distinct is the dominant LINEAR cost — without sharing, the sampled
 # twin re-paid it (plus a second pass for its |E| count).  Same
-# localCheckpoint + *_CACHE lifecycle as _TRI_CACHE (cleared between
-# bench runs; RDD released by GC when the entry drops).
-_TRI_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# localCheckpoint + *_CACHE lifecycle and weakref keying as _TRI_CACHE
+# (cleared between bench runs; RDD released by GC when the entry drops).
+_TRI_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _copurchase_edges_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     hit = _TRI_EDGE_CACHE.get(key)
     if hit is None:
         hit = _copurchase_int_edges(spark, sf_dir).localCheckpoint(
@@ -454,12 +465,19 @@ def triangle_counts_sampled(
     )
 
 
-_TRI_EDGE_SQL = """p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
+def _tri_edge_sql(name: str = "e") -> str:
+    """Distinct co-purchase edge CTE chain, parameterized on the output
+    CTE name so the exact oracles (``e``) and the sampled twin (``e0``,
+    sparsified into ``e`` downstream) share ONE derivation text."""
+    return f"""p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+{name} AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM p a JOIN p b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 )"""
+
+
+_TRI_EDGE_SQL = _tri_edge_sql()
 
 # Enumeration chain over whatever CTE is named ``e`` — shared by the
 # exact oracles and the sampled twin (which swaps in a sparsified e).
@@ -496,12 +514,7 @@ _TRI_CTE_SQL = f"""{_TRI_EDGE_SQL},
 {_TRI_ENUM_SQL}"""
 
 TRIANGLE_COUNTS_SAMPLED_SQL = f"""
-WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e0 AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM p a JOIN p b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
+WITH {_tri_edge_sql("e0")},
 dsel AS (
   SELECT GREATEST(1, COUNT(*) // {TRIANGLE_SAMPLE_TARGET_EDGES}) AS dv
   FROM e0

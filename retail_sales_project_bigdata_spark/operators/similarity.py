@@ -523,7 +523,10 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 # but QUADRATIC at fixed (R, B), and the sf1 probe measured exactly
 # that (SCALING.md r5 step: 16.9x per 10x data).  R is therefore
 # DERIVED from the corpus count at plan build —
-#   R = floor(log2(n / TARGET_BUCKET_IDS)) clamped to [6, 30]
+#   R = floor(log2(n / TARGET_BUCKET_IDS)) clamped to
+#   [6, NEAR_DUP_R_MAX] (19: the largest R whose design-recall band
+#   count fits NEAR_DUP_B_MAX — clamping B instead would silently void
+#   the recall guarantee)
 # — so 2^R tracks n and expected random collisions stay
 # ~B·n·TARGET/2 per band: data-proportional.  B comes from a
 # precomputed table sized to hold the design recall (≥ 1 -
@@ -546,9 +549,10 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {NEAR_DUP_THRESHOLD}
 #
 # Env pins (SPARK_GRAFT_NEAR_DUP_BANDS / _BAND_PLANES) freeze BOTH
 # engines to a fixed geometry for experiments; unset (default) means
-# derived.  Past what R <= 30 can absorb (n ~ 4·2^30 vectors),
+# derived.  Past what the derived R can absorb (n ~ 4·2^19 ≈ 2M
+# vectors), collisions grow again with recall held — at that scale
 # partition the corpus (IVF lists / semantic_dedup pivots) rather
-# than widen the int32 bucket mask.
+# than sharpen bands past the design-recall budget.
 import math as _math
 import os as _os
 
@@ -577,7 +581,10 @@ if not (1 <= NEAR_DUP_BAND_PLANES <= 30):
 # point recall (>= 0.9998 at cosine >= 0.95) holds at every derived
 # geometry regardless.  See SCALING.md round-6 notes for the frontier.
 NEAR_DUP_TARGET_BUCKET_IDS = 4
-NEAR_DUP_R_MIN, NEAR_DUP_R_MAX = 6, 30
+NEAR_DUP_R_MIN = 6
+# int32 bitmask bound — R=31 would wrap the bucket shift (engines wrap
+# differently); never derive past it even if B allowed
+_NEAR_DUP_R_HARD_MAX = 30
 NEAR_DUP_B_MAX = 64
 NEAR_DUP_DESIGN_COSINE = 0.95
 NEAR_DUP_DESIGN_MISS = 2e-4  # reproduces the r5 (R=6 -> B=12) point
@@ -586,20 +593,36 @@ NEAR_DUP_DESIGN_MISS = 2e-4  # reproduces the r5 (R=6 -> B=12) point
 def _bands_for(r_planes: int) -> int:
     """Bands needed so a pair at the design cosine is missed with
     probability <= NEAR_DUP_DESIGN_MISS when each band has r_planes
-    bits: B = ceil(log(miss) / log(1 - p^R)), p = 1 - acos(c)/pi."""
+    bits: B = ceil(log(miss) / log(1 - p^R)), p = 1 - acos(c)/pi.
+    UNCLAMPED — the caller bounds R so this never exceeds
+    NEAR_DUP_B_MAX (clamping B here would silently void the design
+    recall exactly at the scales the derivation targets)."""
     p = 1.0 - _math.acos(NEAR_DUP_DESIGN_COSINE) / _math.pi
     miss_per_band = 1.0 - p**r_planes
     b = _math.ceil(
         _math.log(NEAR_DUP_DESIGN_MISS) / _math.log(miss_per_band)
     )
-    return max(1, min(NEAR_DUP_B_MAX, b))
+    return max(1, b)
 
+
+# R stops where the design recall would need more than NEAR_DUP_B_MAX
+# bands (R=20 already needs 68): past NEAR_DUP_R_MAX the derivation
+# HOLDS RECALL and lets collisions grow instead of silently dropping
+# near-duplicates — at that scale (n ~ 4*2^19 ≈ 2M vectors) the
+# documented route is partitioning the corpus (semantic_dedup pivots /
+# IVF lists), not sharper bands.
+NEAR_DUP_R_MAX = max(
+    r
+    for r in range(NEAR_DUP_R_MIN, _NEAR_DUP_R_HARD_MAX + 1)
+    if _bands_for(r) <= NEAR_DUP_B_MAX
+)
 
 # Float math happens ONCE here; both engines consume the resulting
 # integer literals (Spark via near_dup_geometry, DuckDB via a CASE).
 NEAR_DUP_B_TABLE = {
     r: _bands_for(r) for r in range(NEAR_DUP_R_MIN, NEAR_DUP_R_MAX + 1)
 }
+assert all(b <= NEAR_DUP_B_MAX for b in NEAR_DUP_B_TABLE.values())
 
 
 def near_dup_geometry(n: int) -> tuple[int, int]:
@@ -788,7 +811,8 @@ planes AS (
                  * 2654435761 + 987654321) % 4294967296)
               * lcg.a_k + lcg.c_k) % 2147483648)
             / 2147483647.0) * 2.0 - 1.0 AS val
-    FROM range({NEAR_DUP_B_MAX}) tb, range({NEAR_DUP_R_MAX}) tr, lcg, geom g
+    FROM range({max(NEAR_DUP_B_MAX, NEAR_DUP_BANDS)}) tb,
+         range({max(NEAR_DUP_R_MAX, NEAR_DUP_BAND_PLANES)}) tr, lcg, geom g
     WHERE tb.range < g.b AND tr.range < g.r
   )
   GROUP BY band, bit

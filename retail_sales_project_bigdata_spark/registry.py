@@ -166,7 +166,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(_EXTRA_QUERIES)
     # Present the gate subset first (the driver checks the first 50 in
     # insertion order); everything else keeps its module order after it.
-    front = {n: out[n] for n in GATE_ORDER if n in out}
+    # Fail LOUD on a name that no longer resolves: silently dropping it
+    # would slide the driver's first-50 window onto a different set than
+    # the committed GATE_SUBSET_r*.json artifact claims was certified.
+    missing = [n for n in GATE_ORDER if n not in out]
+    if missing:
+        raise RuntimeError(
+            "GATE_ORDER names missing from the registry (renamed or "
+            f"removed query?): {missing} — update registry.GATE_ORDER "
+            "and GATE_SUBSET_r*.json together"
+        )
+    front = {n: out[n] for n in GATE_ORDER}
     front.update(out)
     return front
 

@@ -77,7 +77,6 @@ def test_combined_csv_multipart_and_probe_order(spark):
 
     from retail_sales_project_bigdata_spark.operators.dunnhumby import (
         _CSV_FIXTURE_ROOT,
-        _derive_combined,
         dunnhumby_combined_csv,
     )
 
@@ -92,19 +91,23 @@ def test_combined_csv_multipart_and_probe_order(spark):
     assert "Product_ID_x" in header and "Product_ID_y" in header
     assert "Trans Time" in header  # spaced header exercised
 
-    # probe order: rolled-up product ids must match the _x values, which
-    # equal l_partkey — the _y column is offset by one, so a wrong pick
-    # shifts every id
-    got_ids = {r.product_id for r in out.select("product_id").collect()}
-    src_ids = {
-        r.Product_ID_x
-        for r in _derive_combined(spark, SF_SMALL)
-        .select("Product_ID_x")
-        .distinct()
-        .collect()
-    }
-    assert got_ids <= src_ids
-    assert not any(i + 1 in got_ids and i + 1 not in src_ids for i in got_ids)
+    # probe order, row-level: after cleaning, product_id carries the _x
+    # values and the untouched product_id_y column still carries x+1 —
+    # so every row must satisfy product_id_y == product_id + 1.  Had the
+    # probe picked _y, product_id would EQUAL product_id_y and this
+    # count would be the full table.
+    from retail_sales_project_bigdata_spark.operators.dunnhumby import (
+        clean_transactions,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_csv
+
+    cleaned = clean_transactions(read_csv(spark, path, infer=True))
+    assert "product_id_y" in cleaned.columns
+    wrong = cleaned.filter(
+        F.col("product_id_y") != F.col("product_id") + 1
+    ).count()
+    assert wrong == 0
+    assert out.count() > 0
 
 
 def test_combined_csv_transactions_leg(spark):
