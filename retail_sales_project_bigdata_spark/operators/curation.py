@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_sales_project_bigdata_spark.functions import session_key
 from retail_sales_project_bigdata_spark.operators.datasetops import (
     _DOC_HASH_SQL,
     _doc_hash,
@@ -339,7 +340,7 @@ def _learn_merges(
     of every multi-symbol distinct word (so corpus encoding is a join,
     not a re-application of the merge chain).
     """
-    key = (id(spark), sf_dir, bpe_train_max_docs())
+    key = session_key(spark, sf_dir, bpe_train_max_docs())
     hit = _MERGES_CACHE.get(key)
     if hit is not None:
         return hit

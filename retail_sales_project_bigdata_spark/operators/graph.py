@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from retail_sales_project_bigdata_spark.functions import copair_explode
+from retail_sales_project_bigdata_spark.functions import (
+    copair_explode,
+    session_key,
+)
 from retail_sales_project_bigdata_spark.sources import read_table
 
 DAMPING = 0.85
@@ -156,12 +159,6 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
-def _session_key(spark: SparkSession, sf_dir: str) -> tuple:
-    import weakref
-
-    return (weakref.ref(spark), sf_dir)
-
-
 def _triangle_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -172,7 +169,7 @@ def _triangle_pipeline(
     and memoizes; plan tests use :func:`triangle_pipeline_frames`, whose
     lazy output still SHOWS the join strategy (a checkpointed frame
     plans as ``Scan ExistingRDD``)."""
-    key = _session_key(spark, sf_dir)
+    key = session_key(spark, sf_dir)
     hit = _TRI_CACHE.get(key)
     if hit is not None:
         return hit
@@ -255,7 +252,7 @@ _TRI_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _copurchase_edges_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = _session_key(spark, sf_dir)
+    key = session_key(spark, sf_dir)
     hit = _TRI_EDGE_CACHE.get(key)
     if hit is None:
         hit = _copurchase_int_edges(spark, sf_dir).localCheckpoint(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_sales_project_bigdata_spark.functions import (
+    session_key,
     net_sales,
     oracle_avg,
     oracle_sum,
@@ -119,7 +120,7 @@ def _fit_feature_prep(spark: SparkSession, sf_dir: str):
     mean centering).  Factored out so the manual-row scoring path scores
     against the SAME fitted scaler as the corpus (the reference's manual
     mode re-derives it identically, SegmentationPrediction.java:74-87)."""
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     hit = _PREP_CACHE.get(key)
     if hit is not None:
         return hit
@@ -156,7 +157,7 @@ _SWEEP_CACHE: dict[tuple[int, str], tuple[list, int, object]] = {}
 
 
 def _run_sweep(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = session_key(spark, sf_dir)
     hit = _SWEEP_CACHE.get(key)
     if hit is not None:
         return hit
