@@ -191,6 +191,145 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {
 """
 
 
+def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (threshold {JACCARD_THRESHOLD})
+    via prefix filtering — the AllPairs/PPJoin candidate generation
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08; distributed form:
+    Vernica et al. SIGMOD'10), the third candidate-generation strategy
+    in this family next to the posting-list join (`ngram_jaccard_pairs`)
+    and banded MinHash (`minhash_lsh_pairs`):
+
+    - Order every shingle by a GLOBAL total order (ascending document
+      frequency, md5 tie-break — rarest first, so prefixes land on the
+      shortest posting lists).
+    - Per doc keep only the PREFIX of its sorted shingle set: length
+      n - ceil(t*n) + 1 (= n DIV 2 + 1 at t = 1/2).  Lossless: for any
+      pair with J >= t the smallest common shingle under the global
+      order must sit inside BOTH prefixes (if it sat in a suffix, every
+      common shingle would — but a suffix holds only ceil(t*n) - 1 <
+      ceil(t*n) <= |A∩B| elements).
+    - Join prefix-to-prefix (plus the exact size-ratio bound), then
+      verify the few candidates with a full `array_intersect`.
+
+    Unlike MinHash-LSH this loses NO recall, and unlike the full
+    posting-list join it never explodes on frequent shingles: candidate
+    fan-out is bounded by the posting lists of each doc's RAREST n/2+1
+    shingles, which is why it needs no anchor-rows guard — the pruning
+    the guard protected against is built into the algorithm.  At 100 TB
+    the only corpus-sized shuffles are the frequency count and the
+    per-doc prefix ranking (both on compact keys); positional filtering
+    (PPJoin's second bound) is left out because the verify step is
+    already candidate-sized.
+
+    Property-tested equal to `ngram_jaccard_pairs` output; the DuckDB
+    oracle mirrors the whole pipeline (same order, same prefix formula)
+    so the gate checks candidates AND verification exactly.
+    """
+    from pyspark.sql.window import Window
+
+    sh = _shingles(spark, sf_dir)
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    # Per-doc frames are doc-sized (bounded by text length), so a plain
+    # doc_id-partitioned window is skew-safe at any corpus size.
+    ordered = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                "c", F.md5(F.col("s").cast("binary"))
+            )
+        ),
+    )
+    prefix = ordered.filter(
+        F.col("rk") <= F.expr("n DIV 2") + F.lit(1)
+    ).select("doc_id", "n", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1")
+            ),
+            "d1",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2")
+            ),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("sh1", "sh2"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("sh1").alias("na"),
+            F.size("sh2").alias("nb"),
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "d1", "d2", "n_common", pround("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+NGRAM_JACCARD_PAIRS_PREFIX_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
+ordered AS (
+  SELECT e.doc_id, e.s, z.n,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                            ORDER BY f.c, md5(e.s)) AS rk
+  FROM ex e JOIN freq f USING (s) JOIN sizes z USING (doc_id)
+),
+pre AS (SELECT doc_id, n, s FROM ordered WHERE rk <= n // 2 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM pre a JOIN pre b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND a.n <= 2 * b.n AND b.n <= 2 * a.n
+),
+verified AS (
+  SELECT c.d1, c.d2,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           AS n_common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand c
+  JOIN sh sa ON c.d1 = sa.doc_id
+  JOIN sh sb ON c.d2 = sb.doc_id
+)
+SELECT d1, d2, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: h_j(doc) = min over shingles of md5(j | shingle).
 
@@ -672,6 +811,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_new_docs": INCREMENTAL_DEDUP_NEW_DOCS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
+    "ngram_jaccard_pairs_prefix": NGRAM_JACCARD_PAIRS_PREFIX_SQL,
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
     "simhash_buckets": SIMHASH_BUCKETS_SQL,
@@ -684,6 +824,7 @@ QUERIES = {
     "incremental_dedup_new_docs": incremental_dedup_new_docs,
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_pairs_prefix": ngram_jaccard_pairs_prefix,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_buckets": simhash_buckets,

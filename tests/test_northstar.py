@@ -36,6 +36,27 @@ def test_minhash_lsh_finds_high_jaccard_pairs(spark):
     assert perfect <= lsh  # identical sets always collide
 
 
+def test_prefix_filter_join_equals_posting_list_join(spark):
+    """ngram_jaccard_pairs_prefix is EXACT: the prefix-filtered
+    candidate generation (AllPairs/PPJoin) must reproduce the full
+    posting-list join's result set bit-for-bit — same pairs, same
+    intersection counts, same rounded Jaccard."""
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    exact = {
+        (r.d1, r.d2, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, SF_SMALL).collect()
+    }
+    pref = {
+        (r.d1, r.d2, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs_prefix(spark, SF_SMALL).collect()
+    }
+    assert exact == pref
+    assert pref, "degenerate corpus: no near-dup pairs to compare"
+
+
 def test_simhash_identical_docs_collide(spark):
     """Docs with identical token multisets must get identical simhash."""
     sig = simhash_buckets(spark, SF_SMALL)
