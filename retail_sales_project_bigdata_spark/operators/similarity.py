@@ -453,6 +453,177 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_RERANK = 50  # ADC shortlist per query before exact rerank
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF and PQ composed — the FAISS IndexIVFPQ (IVFADC) search shape,
+    the combination that serves web-scale ANN from RAM: per query, scan
+    only ``IVF_NPROBE``/``IVF_CLUSTERS`` of the corpus (IVF pruning) at 4
+    bytes per vector (PQ codes) instead of the full corpus at 512.
+
+    1. The coarse quantizer (sampled Lloyd, as ``ann_ivf_topk``)
+       partitions the corpus into inverted lists.
+    2. PQ codebooks train on RESIDUALS (v − assigned coarse centroid) of
+       the same sample — residuals are much smaller in magnitude than raw
+       vectors, so 4-bit codes quantize them with less error; this is
+       why FAISS encodes residuals rather than raw vectors.
+    3. Corpus encoding is map-only codegen: cluster argmin, one residual
+       ``zip_with``, then the 8 per-subspace code argmins — every
+       centroid literal compiles into the plan (broadcast with it), no
+       MLlib, no shuffle.
+    4. A query's approximate dot against a candidate decomposes as
+       q·c (one scalar per probed list, precomputed driver-side) plus 8
+       ADC table lookups (q-subvector · residual-codebook entries).
+    5. The per-query ADC shortlist is exactly reranked, so returned
+       cosines are exact; what the compression trades is recall, which
+       the property test pins alongside exact-score parity.
+
+    Rows-only: quantizers are sample/seed-specific (same rationale as
+    ``ann_ivf_topk`` / ``ann_pq_topk``).
+    """
+    import numpy as np
+
+    vecs = _vectors(spark, sf_dir)
+    train = _hash_sample_train(vecs)
+    dim = train.shape[1]
+    sub_dim = dim // PQ_SUBSPACES
+    rng = np.random.default_rng(42)
+
+    cents = _lloyd(train, IVF_CLUSTERS, rng)
+    centroids = [list(map(float, c)) for c in cents]
+    d2 = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid_train = train - cents[d2.argmin(axis=1)]
+    codebooks = [
+        [
+            list(map(float, c))
+            for c in _lloyd(
+                resid_train[:, j * sub_dim : (j + 1) * sub_dim],
+                PQ_CODEBOOK,
+                rng,
+            )
+        ]
+        for j in range(PQ_SUBSPACES)
+    ]
+
+    def _arr_lit(values: list[float]) -> str:
+        return "array(" + ", ".join(f"{x!r}D" for x in values) + ")"
+
+    dist_exprs = ", ".join(
+        f"aggregate(zip_with(v, {_arr_lit(c)},"
+        " (x, y) -> (x - y) * (x - y)), cast(0 as double),"
+        " (acc, x) -> acc + x)"
+        for c in centroids
+    )
+    cluster = F.expr(
+        f"cast(array_position(array({dist_exprs}),"
+        f" array_min(array({dist_exprs}))) - 1 as int)"
+    )
+    coarse_lit = "array(" + ", ".join(_arr_lit(c) for c in centroids) + ")"
+    assigned = vecs.select(
+        "vec_id", "v", "norm", cluster.alias("cluster")
+    ).withColumn(
+        "r",
+        F.expr(
+            f"zip_with(v, element_at({coarse_lit}, cluster + 1),"
+            " (x, y) -> x - y)"
+        ),
+    )
+
+    def _code_expr(j: int) -> str:
+        start = j * sub_dim + 1  # slice() is 1-indexed
+        dists = ", ".join(
+            f"aggregate(zip_with(slice(r, {start}, {sub_dim}), {_arr_lit(c)},"
+            " (x, y) -> (x - y) * (x - y)), cast(0 as double),"
+            " (acc, x) -> acc + x)"
+            for c in codebooks[j]
+        )
+        return (
+            f"cast(array_position(array({dists}),"
+            f" array_min(array({dists}))) - 1 as int)"
+        )
+
+    codes = F.expr(
+        "array(" + ", ".join(_code_expr(j) for j in range(PQ_SUBSPACES)) + ")"
+    )
+    encoded = assigned.select(
+        "vec_id", "v", "norm", "cluster", codes.alias("codes")
+    )
+
+    def _nearest_clusters(v: list[float]) -> list[int]:
+        dists = [
+            (sum((a - b) ** 2 for a, b in zip(v, c)), i)
+            for i, c in enumerate(centroids)
+        ]
+        return [i for _, i in sorted(dists)[:IVF_NPROBE]]
+
+    queries = encoded.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    probe_rows = []
+    for q in queries:
+        tables = [
+            [
+                float(
+                    sum(
+                        a * b
+                        for a, b in zip(
+                            q.v[j * sub_dim : (j + 1) * sub_dim], cent
+                        )
+                    )
+                )
+                for cent in codebooks[j]
+            ]
+            for j in range(PQ_SUBSPACES)
+        ]
+        for cl in _nearest_clusters(q.v):
+            q_dot_c = float(sum(a * b for a, b in zip(q.v, centroids[cl])))
+            probe_rows.append((q.vec_id, q.v, q.norm, cl, q_dot_c, tables))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "q_id long, q_v array<double>, q_norm double, cluster int,"
+        " q_dot_c double, tables array<array<double>>",
+    )
+
+    adc = F.expr(
+        f"q_dot_c + aggregate(sequence(1, {PQ_SUBSPACES}),"
+        " cast(0 as double), (acc, j) -> acc + element_at("
+        "element_at(tables, j), element_at(codes, j) + 1))"
+    )
+    cand = (
+        encoded.alias("c")
+        .join(
+            F.broadcast(probes).alias("q"),
+            (F.col("c.cluster") == F.col("q.cluster"))
+            & (F.col("c.vec_id") != F.col("q.q_id")),
+        )
+        .withColumn(
+            "adc_score", adc / (F.col("q.q_norm") * F.col("c.norm"))
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_score"), F.asc("c.vec_id")
+    )
+    shortlist = cand.withColumn(
+        "adc_rank", F.row_number().over(w_adc)
+    ).filter(F.col("adc_rank") <= IVFPQ_RERANK)
+    rer = shortlist.withColumn(
+        "cosine",
+        pround(
+            _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")), 6
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q.q_id").alias("q_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
@@ -1554,6 +1725,7 @@ QUERIES = {
     "ann_mmr_topk": ann_mmr_topk,
     "semantic_dedup": semantic_dedup,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_centroids": embedding_centroids,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_bruteforce_topk_numpy": ann_bruteforce_topk_numpy,

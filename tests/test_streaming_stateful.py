@@ -121,6 +121,35 @@ def test_pq_ann_recall_and_score_parity(spark):
     assert hits > 0
 
 
+def test_ivfpq_ann_recall_and_score_parity(spark):
+    """IVFPQ (IVFADC): candidates that survive the exact rerank carry
+    exact brute-force cosines; ranks dense; the doubly-pruned path
+    (nprobe lists AND 4-byte codes) still recovers part of the true
+    top-k."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_ivfpq_topk,
+    )
+
+    bf = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    rows = ann_ivfpq_topk(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if (r.q_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= TOP_K for v in per_q.values())
+    hits = sum(1 for r in rows if (r.q_id, r.neighbor_id) in bf)
+    assert hits > 0
+
+
 def test_streaming_ann_topk_equals_batch_twin(spark):
     """Online ANN (stream-static LSH join + bounded stateful top-k) must
     emit exactly the batch ann_lsh_topk result: same hyperplane buckets,
