@@ -77,6 +77,9 @@ PROBES = [
     ("hits_bipartite_scores", "iterative HITS on bipartite edges"),
     ("bpe_train_merges", "capped K-round BPE merge trainer"),
     ("rolling_distinct_users_hll", "per-day HLL sketch + window union merge"),
+    # round-6 additions: the two new candidate-generation/scan paths
+    ("ngram_jaccard_pairs_prefix", "prefix-filtered exact set-similarity join"),
+    ("ann_ivfpq_topk", "IVF list probe + PQ-ADC scan + exact rerank"),
 ]
 
 
