@@ -31,6 +31,8 @@ HEADLINE = [
     "segmentation_features",
     "pricing_summary",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
+    "ann_ivfpq_topk",
     "minhash_lsh_pairs",
     "ann_bruteforce_topk",
     "sessionize",
