@@ -191,9 +191,18 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {
 """
 
 
+#: Required-overlap ratio: J >= t  <=>  |A∩B| >= t/(1+t) * (|A|+|B|).
+_PF_ALPHA_RATIO = JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD)
+#: Subtracted inside every ceil/size bound before comparing: float
+#: under-approximation can only SHRINK a required bound, which weakens a
+#: lossless filter (extra candidates die in exact verification) — while
+#: an over-approximated ceil would silently DROP true pairs.
+_PF_EPS = 1e-9
+
+
 def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs (threshold {JACCARD_THRESHOLD})
-    via prefix filtering — the AllPairs/PPJoin candidate generation
+    """EXACT n-gram Jaccard near-dup pairs (threshold JACCARD_THRESHOLD,
+    0.5) via prefix filtering — the AllPairs/PPJoin candidate generation
     (Bayardo et al. WWW'07; Xiao et al. WWW'08; distributed form:
     Vernica et al. SIGMOD'10), the third candidate-generation strategy
     in this family next to the posting-list join (`ngram_jaccard_pairs`)
@@ -203,27 +212,40 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       frequency, md5 tie-break — rarest first, so prefixes land on the
       shortest posting lists).
     - Per doc keep only the PREFIX of its sorted shingle set: length
-      n - ceil(t*n) + 1 (= n DIV 2 + 1 at t = 1/2).  Lossless: for any
-      pair with J >= t the smallest common shingle under the global
-      order must sit inside BOTH prefixes (if it sat in a suffix, every
-      common shingle would — but a suffix holds only ceil(t*n) - 1 <
-      ceil(t*n) <= |A∩B| elements).
-    - Join prefix-to-prefix (plus the exact size-ratio bound), then
-      verify the few candidates with a full `array_intersect`.
+      n - ceil(t*n) + 1.  Lossless: for any pair with J >= t the
+      smallest common shingle under the global order must sit inside
+      BOTH prefixes (if it sat in a suffix, every common shingle would —
+      but a suffix holds only ceil(t*n) - 1 < ceil(t*n) <= |A∩B|
+      elements).
+    - Join prefix-to-prefix with the size-ratio bound (t*na <= nb) AND
+      PPJoin's POSITIONAL filter: a matching token at positions (i, j)
+      admits at most 1 + min(na-i, nb-j) common tokens after it, so
+      rows where that bound falls below the required overlap
+      ceil(t/(1+t)*(na+nb)) die INSIDE the join stage, before the
+      candidate distinct.  Lossless: a true pair's smallest common
+      token row always satisfies the bound.  This is what defuses the
+      short-doc worst case (tiny sets whose prefix spans the whole set
+      and includes a frequent shingle — without the positional filter
+      those would fan out quadratically and only die at verification).
+    - Exactly verify the surviving candidates with `array_intersect`.
 
-    Unlike MinHash-LSH this loses NO recall, and unlike the full
-    posting-list join it never explodes on frequent shingles: candidate
-    fan-out is bounded by the posting lists of each doc's RAREST n/2+1
-    shingles, which is why it needs no anchor-rows guard — the pruning
-    the guard protected against is built into the algorithm.  At 100 TB
-    the only corpus-sized shuffles are the frequency count and the
-    per-doc prefix ranking (both on compact keys); positional filtering
-    (PPJoin's second bound) is left out because the verify step is
-    already candidate-sized.
+    Every bound derives from ``JACCARD_THRESHOLD`` (minus ``_PF_EPS`` so
+    float ceil can only under-approximate, which keeps filters lossless);
+    changing the module constant keeps prefix length, size ratio,
+    positional bound, and verification consistent.
+
+    Unlike MinHash-LSH this loses NO recall; candidate fan-out follows
+    the posting lists of each doc's rarest prefix tokens plus the
+    positional bound, so it has no anchor-rows guard — on a corpus
+    whose near-dup OUTPUT is itself quadratic (everything similar to
+    everything) no exact method is safe, and that regime belongs to
+    `minhash_lsh_pairs`/`semantic_dedup`.  At 100 TB the corpus-sized
+    shuffles are the frequency count and the per-doc prefix ranking
+    (both on compact keys).
 
     Property-tested equal to `ngram_jaccard_pairs` output; the DuckDB
-    oracle mirrors the whole pipeline (same order, same prefix formula)
-    so the gate checks candidates AND verification exactly.
+    oracle mirrors the whole pipeline (same order, same formulas) so
+    the gate checks candidates AND verification exactly.
     """
     from pyspark.sql.window import Window
 
@@ -244,17 +266,39 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    prefix = ordered.filter(
-        F.col("rk") <= F.expr("n DIV 2") + F.lit(1)
-    ).select("doc_id", "n", "s")
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n") - F.lit(_PF_EPS))
+        + F.lit(1)
+    )
+    prefix = ordered.filter(F.col("rk") <= prefix_len).select(
+        "doc_id", "n", "s", "rk"
+    )
+    alpha = F.ceil(
+        F.lit(_PF_ALPHA_RATIO) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(_PF_EPS)
+    )
+    positional_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+        )
+    ) >= alpha
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") <= 2 * F.col("b.n"))
-            & (F.col("b.n") <= 2 * F.col("a.n")),
+            & (
+                F.lit(JACCARD_THRESHOLD) * F.col("a.n")
+                <= F.col("b.n") + F.lit(_PF_EPS)
+            )
+            & (
+                F.lit(JACCARD_THRESHOLD) * F.col("b.n")
+                <= F.col("a.n") + F.lit(_PF_EPS)
+            )
+            & positional_ok,
         )
         .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
@@ -306,12 +350,18 @@ ordered AS (
                             ORDER BY f.c, md5(e.s)) AS rk
   FROM ex e JOIN freq f USING (s) JOIN sizes z USING (doc_id)
 ),
-pre AS (SELECT doc_id, n, s FROM ordered WHERE rk <= n // 2 + 1),
+pre AS (
+  SELECT doc_id, n, s, rk FROM ordered
+  WHERE rk <= n - CAST(CEIL({JACCARD_THRESHOLD} * n - {_PF_EPS!r}) AS INT) + 1
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM pre a JOIN pre b
     ON a.s = b.s AND a.doc_id < b.doc_id
-   AND a.n <= 2 * b.n AND b.n <= 2 * a.n
+   AND {JACCARD_THRESHOLD} * a.n <= b.n + {_PF_EPS!r}
+   AND {JACCARD_THRESHOLD} * b.n <= a.n + {_PF_EPS!r}
+   AND 1 + least(a.n - a.rk, b.n - b.rk)
+       >= CEIL({_PF_ALPHA_RATIO!r} * (a.n + b.n) - {_PF_EPS!r})
 ),
 verified AS (
   SELECT c.d1, c.d2,

@@ -255,6 +255,106 @@ def _lloyd(train, k: int, rng, iters: int = 8):
     return cents
 
 
+def _arr_lit(values: list[float]) -> str:
+    """array<double> literal SQL for a centroid."""
+    return "array(" + ", ".join(f"{x!r}D" for x in values) + ")"
+
+
+def _sq_dist_argmin_expr(vec_sql: str, cents: list[list[float]]) -> F.Column:
+    """Argmin over squared distances from ``vec_sql`` to each centroid,
+    as ONE codegen-able expression (0-based; first-match array_position
+    is the deterministic tie-break).  The centroid literals compile into
+    the plan, i.e. broadcast with it — a map-only pass at any scale."""
+    dists = ", ".join(
+        f"aggregate(zip_with({vec_sql}, {_arr_lit(c)},"
+        " (x, y) -> (x - y) * (x - y)), cast(0 as double),"
+        " (acc, x) -> acc + x)"
+        for c in cents
+    )
+    return F.expr(
+        f"cast(array_position(array({dists}),"
+        f" array_min(array({dists}))) - 1 as int)"
+    )
+
+
+def _pq_code_expr(
+    vec_sql: str, codebooks: list[list[list[float]]], sub_dim: int
+) -> F.Column:
+    """Per-subspace PQ codes of ``vec_sql`` — an array of
+    ``len(codebooks)`` argmins, each over that subquantizer's centroids
+    against the matching subvector slice."""
+    parts = []
+    for j, book in enumerate(codebooks):
+        start = j * sub_dim + 1  # slice() is 1-indexed
+        dists = ", ".join(
+            f"aggregate(zip_with(slice({vec_sql}, {start}, {sub_dim}),"
+            f" {_arr_lit(c)},"
+            " (x, y) -> (x - y) * (x - y)), cast(0 as double),"
+            " (acc, x) -> acc + x)"
+            for c in book
+        )
+        parts.append(
+            f"cast(array_position(array({dists}),"
+            f" array_min(array({dists}))) - 1 as int)"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _nearest_clusters(
+    v: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side: indexes of the ``nprobe`` nearest coarse centroids."""
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(v, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(dists)[:nprobe]]
+
+
+def _adc_tables(
+    q_v: list[float], codebooks: list[list[list[float]]], sub_dim: int
+) -> list[list[float]]:
+    """Driver-side per-query ADC tables: for each subspace, the dot
+    products of the query subvector against that subquantizer's
+    centroids — a candidate's approximate dot is then one lookup per
+    subspace instead of a full multiply."""
+    return [
+        [
+            float(
+                sum(
+                    a * b
+                    for a, b in zip(q_v[j * sub_dim : (j + 1) * sub_dim], c)
+                )
+            )
+            for c in book
+        ]
+        for j, book in enumerate(codebooks)
+    ]
+
+
+def _exact_rerank_topk(scored: DataFrame) -> DataFrame:
+    """Shared tail of every quantized ANN variant: exact cosine on the
+    shortlist (so returned scores match brute force bit-for-bit), dense
+    per-query top-``TOP_K``."""
+    rer = scored.withColumn(
+        "cosine",
+        pround(
+            _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")), 6
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q.q_id").alias("q_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
     inverted lists; each query probes its ``IVF_NPROBE`` nearest centroids
@@ -274,67 +374,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _lloyd(train, IVF_CLUSTERS, np.random.default_rng(42))
     centroids = [list(map(float, c)) for c in cents]
 
-    # Cluster assignment as ONE codegen-able SQL expression: argmin over
-    # k squared distances (fold per centroid; centroid literals compile
-    # into the plan, i.e. broadcast with it).  A map-only pass at any
-    # scale — no MLlib, no shuffle; first-match array_position is the
-    # deterministic tie-break.
-    dist_exprs = ", ".join(
-        "aggregate(zip_with(v, array("
-        + ", ".join(f"{x!r}D" for x in c)
-        + "), (x, y) -> (x - y) * (x - y)), cast(0 as double),"
-        " (acc, x) -> acc + x)"
-        for c in centroids
+    assigned = vecs.select(
+        "vec_id",
+        "v",
+        "norm",
+        _sq_dist_argmin_expr("v", centroids).alias("cluster"),
     )
-    cluster = F.expr(
-        f"cast(array_position(array({dist_exprs}),"
-        f" array_min(array({dist_exprs}))) - 1 as int)"
-    )
-    assigned = vecs.select("vec_id", "v", "norm", cluster.alias("cluster"))
-
-    def _nearest_clusters(v: list[float]) -> list[int]:
-        dists = [
-            (sum((a - b) ** 2 for a, b in zip(v, c)), i)
-            for i, c in enumerate(centroids)
-        ]
-        return [i for _, i in sorted(dists)[:IVF_NPROBE]]
 
     queries = assigned.filter(F.col("vec_id") < N_QUERY_VECS).collect()
     probe_rows = [
         (q.vec_id, q.v, q.norm, cluster)
         for q in queries
-        for cluster in _nearest_clusters(q.v)
+        for cluster in _nearest_clusters(q.v, centroids, IVF_NPROBE)
     ]
     probes = spark.createDataFrame(
         probe_rows, "q_id long, q_v array<double>, q_norm double, cluster int"
     )
 
-    cand = (
-        assigned.alias("c")
-        .join(
-            F.broadcast(probes).alias("q"),
-            (F.col("c.cluster") == F.col("q.cluster"))
-            & (F.col("c.vec_id") != F.col("q.q_id")),
-        )
-        .withColumn(
-            "cosine",
-            pround(
-                _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")),
-                6,
-            ),
-        )
+    cand = assigned.alias("c").join(
+        F.broadcast(probes).alias("q"),
+        (F.col("c.cluster") == F.col("q.cluster"))
+        & (F.col("c.vec_id") != F.col("q.q_id")),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            F.col("q.q_id").alias("q_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
-    )
+    return _exact_rerank_topk(cand)
 
 
 PQ_SUBSPACES = 8  # 64-dim → 8 subvectors of 8 dims
@@ -376,37 +438,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _lloyd(sub, PQ_CODEBOOK, rng)
         codebooks.append([list(map(float, c)) for c in cents])
 
-    def _code_expr(j: int) -> str:
-        start = j * sub_dim + 1  # slice() is 1-indexed
-        dists = ", ".join(
-            "aggregate(zip_with(slice(v, "
-            f"{start}, {sub_dim}), array("
-            + ", ".join(f"{x!r}D" for x in c)
-            + "), (x, y) -> (x - y) * (x - y)), cast(0 as double),"
-            " (acc, x) -> acc + x)"
-            for c in codebooks[j]
-        )
-        return (
-            f"cast(array_position(array({dists}),"
-            f" array_min(array({dists}))) - 1 as int)"
-        )
-
-    codes = F.expr(
-        "array(" + ", ".join(_code_expr(j) for j in range(PQ_SUBSPACES)) + ")"
+    encoded = vecs.select(
+        "vec_id",
+        "v",
+        "norm",
+        _pq_code_expr("v", codebooks, sub_dim).alias("codes"),
     )
-    encoded = vecs.select("vec_id", "v", "norm", codes.alias("codes"))
 
     queries = encoded.filter(F.col("vec_id") < N_QUERY_VECS).collect()
-    probe_rows = []
-    for q in queries:
-        tables = [
-            [
-                float(sum(a * b for a, b in zip(q.v[j * sub_dim : (j + 1) * sub_dim], cent)))
-                for cent in codebooks[j]
-            ]
-            for j in range(PQ_SUBSPACES)
-        ]
-        probe_rows.append((q.vec_id, q.v, q.norm, tables))
+    probe_rows = [
+        (q.vec_id, q.v, q.norm, _adc_tables(q.v, codebooks, sub_dim))
+        for q in queries
+    ]
     probes = spark.createDataFrame(
         probe_rows,
         "q_id long, q_v array<double>, q_norm double,"
@@ -434,26 +477,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = cand.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
         F.col("adc_rank") <= PQ_RERANK
     )
-    rer = shortlist.withColumn(
-        "cosine",
-        pround(
-            _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")), 6
-        ),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            F.col("q.q_id").alias("q_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
-    )
-
-
-IVFPQ_RERANK = 50  # ADC shortlist per query before exact rerank
+    return _exact_rerank_topk(shortlist)
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,22 +530,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(PQ_SUBSPACES)
     ]
 
-    def _arr_lit(values: list[float]) -> str:
-        return "array(" + ", ".join(f"{x!r}D" for x in values) + ")"
-
-    dist_exprs = ", ".join(
-        f"aggregate(zip_with(v, {_arr_lit(c)},"
-        " (x, y) -> (x - y) * (x - y)), cast(0 as double),"
-        " (acc, x) -> acc + x)"
-        for c in centroids
-    )
-    cluster = F.expr(
-        f"cast(array_position(array({dist_exprs}),"
-        f" array_min(array({dist_exprs}))) - 1 as int)"
-    )
     coarse_lit = "array(" + ", ".join(_arr_lit(c) for c in centroids) + ")"
     assigned = vecs.select(
-        "vec_id", "v", "norm", cluster.alias("cluster")
+        "vec_id",
+        "v",
+        "norm",
+        _sq_dist_argmin_expr("v", centroids).alias("cluster"),
     ).withColumn(
         "r",
         F.expr(
@@ -529,52 +543,19 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (x, y) -> x - y)"
         ),
     )
-
-    def _code_expr(j: int) -> str:
-        start = j * sub_dim + 1  # slice() is 1-indexed
-        dists = ", ".join(
-            f"aggregate(zip_with(slice(r, {start}, {sub_dim}), {_arr_lit(c)},"
-            " (x, y) -> (x - y) * (x - y)), cast(0 as double),"
-            " (acc, x) -> acc + x)"
-            for c in codebooks[j]
-        )
-        return (
-            f"cast(array_position(array({dists}),"
-            f" array_min(array({dists}))) - 1 as int)"
-        )
-
-    codes = F.expr(
-        "array(" + ", ".join(_code_expr(j) for j in range(PQ_SUBSPACES)) + ")"
-    )
     encoded = assigned.select(
-        "vec_id", "v", "norm", "cluster", codes.alias("codes")
+        "vec_id",
+        "v",
+        "norm",
+        "cluster",
+        _pq_code_expr("r", codebooks, sub_dim).alias("codes"),
     )
-
-    def _nearest_clusters(v: list[float]) -> list[int]:
-        dists = [
-            (sum((a - b) ** 2 for a, b in zip(v, c)), i)
-            for i, c in enumerate(centroids)
-        ]
-        return [i for _, i in sorted(dists)[:IVF_NPROBE]]
 
     queries = encoded.filter(F.col("vec_id") < N_QUERY_VECS).collect()
     probe_rows = []
     for q in queries:
-        tables = [
-            [
-                float(
-                    sum(
-                        a * b
-                        for a, b in zip(
-                            q.v[j * sub_dim : (j + 1) * sub_dim], cent
-                        )
-                    )
-                )
-                for cent in codebooks[j]
-            ]
-            for j in range(PQ_SUBSPACES)
-        ]
-        for cl in _nearest_clusters(q.v):
+        tables = _adc_tables(q.v, codebooks, sub_dim)
+        for cl in _nearest_clusters(q.v, centroids, IVF_NPROBE):
             q_dot_c = float(sum(a * b for a, b in zip(q.v, centroids[cl])))
             probe_rows.append((q.vec_id, q.v, q.norm, cl, q_dot_c, tables))
     probes = spark.createDataFrame(
@@ -604,24 +585,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist = cand.withColumn(
         "adc_rank", F.row_number().over(w_adc)
-    ).filter(F.col("adc_rank") <= IVFPQ_RERANK)
-    rer = shortlist.withColumn(
-        "cosine",
-        pround(
-            _dot_expr("q_v", "v") / (F.col("q.q_norm") * F.col("c.norm")), 6
-        ),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c.vec_id"))
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            F.col("q.q_id").alias("q_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
-    )
+    ).filter(F.col("adc_rank") <= PQ_RERANK)
+    return _exact_rerank_topk(shortlist)
 
 
 def embedding_near_dup_pairs(

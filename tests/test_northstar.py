@@ -57,6 +57,39 @@ def test_prefix_filter_join_equals_posting_list_join(spark):
     assert pref, "degenerate corpus: no near-dup pairs to compare"
 
 
+def test_prefix_filter_join_adversarial_corpus(spark, tmp_path):
+    """Crafted worst case for prefix filtering: a 30-doc clique of
+    2-shingle docs all sharing one frequent shingle (every prefix spans
+    the whole set, pairwise J = 1/3 — the quadratic-candidate regime the
+    positional filter prunes inside the join), plus one exact-duplicate
+    pair (J = 1.0) and one boundary pair (J = 0.5, which must NOT be
+    lost to the epsilon'd bounds).  Prefix join must equal the
+    posting-list join exactly and find precisely the two true pairs."""
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [(i, f"x y z u{i}") for i in range(30)]  # clique, J=1/3
+    rows += [(100, "p q r s t"), (101, "p q r s t")]  # J = 1.0
+    rows += [(200, "a b c d e"), (201, "a b c d f")]  # J = 2/4 = 0.5
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    exact = {
+        (r.d1, r.d2, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    pref = {
+        (r.d1, r.d2, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs_prefix(spark, sf_dir).collect()
+    }
+    assert exact == pref
+    assert {(d1, d2) for d1, d2, _, _ in pref} == {(100, 101), (200, 201)}
+    spark.catalog.clearCache()  # drop the crafted corpus's shingle cache
+
+
 def test_simhash_identical_docs_collide(spark):
     """Docs with identical token multisets must get identical simhash."""
     sig = simhash_buckets(spark, SF_SMALL)
