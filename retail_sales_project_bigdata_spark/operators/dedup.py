@@ -380,6 +380,212 @@ WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
 """
 
 
+def incremental_near_dup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: classify a NEW batch of documents
+    (doc_id % 5 == 0, the same simulated split as
+    `incremental_dedup_new_docs`) against the already-ingested corpus by
+    exact n-gram Jaccard (threshold JACCARD_THRESHOLD, 0.5) — the
+    production shape for daily ingestion, where re-running the all-pairs
+    join over the whole corpus per batch is unaffordable and only
+    batch × corpus pairs are ever considered.
+
+    Candidate generation is the same lossless AllPairs/PPJoin prefix
+    filter as `ngram_jaccard_pairs_prefix` (global frequency order,
+    per-doc prefix, size-ratio + positional bounds), made ASYMMETRIC:
+    batch prefixes join corpus prefixes only, so the pair space is
+    |batch| × (corpus posting lists at the batch's rare prefix tokens),
+    never corpus².  One row per batch doc (that is long enough to
+    shingle): ``near_dup_of_corpus`` with its match count and best
+    match (highest Jaccard, smallest corpus doc_id tie-break), or
+    ``novel`` with the -1/0.0 sentinels so the frame stays
+    null-free for exact oracle hashing.
+
+    Shingle document frequencies are computed over corpus + batch here;
+    a production deployment maintains that table incrementally alongside
+    the corpus fingerprints (any consistent global order keeps the
+    prefix lemma lossless — frequency order is just the cheapest).
+    In-batch duplicates are NOT reported (that is
+    `incremental_dedup_new_docs`' exact-hash job); this operator answers
+    "is the new doc a near-copy of anything already ingested".
+    """
+    from pyspark.sql.window import Window
+
+    sh = _shingles(spark, sf_dir)
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    ordered = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                "c", F.md5(F.col("s").cast("binary"))
+            )
+        ),
+    )
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n") - F.lit(_PF_EPS))
+        + F.lit(1)
+    )
+    prefix = ordered.filter(F.col("rk") <= prefix_len).select(
+        "doc_id", "n", "s", "rk"
+    )
+    alpha = F.ceil(
+        F.lit(_PF_ALPHA_RATIO) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(_PF_EPS)
+    )
+    positional_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+        )
+    ) >= alpha
+    cand = (
+        prefix.filter(F.col("doc_id") % 5 == 0)
+        .alias("a")
+        .join(
+            prefix.filter(F.col("doc_id") % 5 != 0).alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (
+                F.lit(JACCARD_THRESHOLD) * F.col("a.n")
+                <= F.col("b.n") + F.lit(_PF_EPS)
+            )
+            & (
+                F.lit(JACCARD_THRESHOLD) * F.col("b.n")
+                <= F.col("a.n") + F.lit(_PF_EPS)
+            )
+            & positional_ok,
+        )
+        .select(
+            F.col("a.doc_id").alias("d_new"),
+            F.col("b.doc_id").alias("d_corpus"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("d_new"),
+                F.col("shingles").alias("sh1"),
+            ),
+            "d_new",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("d_corpus"),
+                F.col("shingles").alias("sh2"),
+            ),
+            "d_corpus",
+        )
+        .select(
+            "d_new",
+            "d_corpus",
+            F.size(F.array_intersect("sh1", "sh2"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("sh1").alias("na"),
+            F.size("sh2").alias("nb"),
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    w_best = Window.partitionBy("d_new").orderBy(
+        F.desc("jaccard_raw"), F.asc("d_corpus")
+    )
+    w_all = Window.partitionBy("d_new")
+    best = (
+        verified.withColumn("rn", F.row_number().over(w_best))
+        .withColumn("n_corpus_matches", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d_new").alias("doc_id"),
+            "n_corpus_matches",
+            F.col("d_corpus").alias("best_match_doc_id"),
+            pround("jaccard_raw", 6).alias("best_jaccard"),
+        )
+    )
+    batch = sh.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return batch.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("n_corpus_matches").isNotNull(), "near_dup_of_corpus")
+        .otherwise("novel")
+        .alias("status"),
+        F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+        F.coalesce("best_match_doc_id", F.lit(-1)).alias(
+            "best_match_doc_id"
+        ),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+    )
+
+
+INCREMENTAL_NEAR_DUP_NEW_DOCS_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
+ordered AS (
+  SELECT e.doc_id, e.s, z.n,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                            ORDER BY f.c, md5(e.s)) AS rk
+  FROM ex e JOIN freq f USING (s) JOIN sizes z USING (doc_id)
+),
+pre AS (
+  SELECT doc_id, n, s, rk FROM ordered
+  WHERE rk <= n - CAST(CEIL({JACCARD_THRESHOLD} * n - {_PF_EPS!r}) AS INT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d_new, b.doc_id AS d_corpus
+  FROM pre a JOIN pre b
+    ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+   AND {JACCARD_THRESHOLD} * a.n <= b.n + {_PF_EPS!r}
+   AND {JACCARD_THRESHOLD} * b.n <= a.n + {_PF_EPS!r}
+   AND 1 + least(a.n - a.rk, b.n - b.rk)
+       >= CEIL({_PF_ALPHA_RATIO!r} * (a.n + b.n) - {_PF_EPS!r})
+),
+verified AS (
+  SELECT c.d_new, c.d_corpus,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           AS n_common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand c
+  JOIN sh sa ON c.d_new = sa.doc_id
+  JOIN sh sb ON c.d_corpus = sb.doc_id
+),
+matches AS (
+  SELECT d_new, d_corpus,
+         CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard_raw
+  FROM verified
+  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT d_new AS doc_id,
+         COUNT(*) OVER (PARTITION BY d_new) AS n_corpus_matches,
+         d_corpus AS best_match_doc_id,
+         ROUND(jaccard_raw, 6) AS best_jaccard,
+         ROW_NUMBER() OVER (PARTITION BY d_new
+                            ORDER BY jaccard_raw DESC, d_corpus) AS rn
+  FROM matches
+)
+SELECT s.doc_id,
+       CASE WHEN b.n_corpus_matches IS NOT NULL
+            THEN 'near_dup_of_corpus' ELSE 'novel' END AS status,
+       COALESCE(b.n_corpus_matches, 0) AS n_corpus_matches,
+       COALESCE(b.best_match_doc_id, -1) AS best_match_doc_id,
+       COALESCE(b.best_jaccard, 0.0) AS best_jaccard
+FROM sh s
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.doc_id
+WHERE s.doc_id % 5 = 0
+"""
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: h_j(doc) = min over shingles of md5(j | shingle).
 
@@ -859,6 +1065,7 @@ ORACLES: dict[str, str] = {
     "duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "fuzzy_name_pairs": FUZZY_NAME_PAIRS_SQL,
     "incremental_dedup_new_docs": INCREMENTAL_DEDUP_NEW_DOCS_SQL,
+    "incremental_near_dup_new_docs": INCREMENTAL_NEAR_DUP_NEW_DOCS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_pairs_prefix": NGRAM_JACCARD_PAIRS_PREFIX_SQL,
@@ -872,6 +1079,7 @@ QUERIES = {
     "duplicate_passages": duplicate_passages,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "incremental_dedup_new_docs": incremental_dedup_new_docs,
+    "incremental_near_dup_new_docs": incremental_near_dup_new_docs,
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_pairs_prefix": ngram_jaccard_pairs_prefix,

@@ -90,6 +90,45 @@ def test_prefix_filter_join_adversarial_corpus(spark, tmp_path):
     spark.catalog.clearCache()  # drop the crafted corpus's shingle cache
 
 
+def test_incremental_near_dup_classifies_batch_against_corpus_only(
+    spark, tmp_path
+):
+    """Batch doc 5 is a verbatim copy of corpus doc 1 (best_jaccard 1.0);
+    batch docs 10 and 15 are near-copies of each other but of nothing in
+    the corpus — in-batch similarity must NOT be reported (that is the
+    exact-hash twin's job), so both come back novel; batch doc 20 shares
+    nothing and is novel."""
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        incremental_near_dup_new_docs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),  # corpus
+        (2, "completely unrelated corpus text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # batch copy
+        (10, "alpha beta gamma delta epsilon zeta"),  # batch twins
+        (15, "alpha beta gamma delta epsilon eta"),
+        (20, "nothing here resembles anything else at all"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_near_dup_new_docs(spark, sf_dir).collect()
+    }
+    assert set(out) == {5, 10, 15, 20}
+    assert out[5].status == "near_dup_of_corpus"
+    assert out[5].best_match_doc_id == 1
+    assert out[5].best_jaccard == 1.0
+    for novel_id in (10, 15, 20):
+        assert out[novel_id].status == "novel"
+        assert out[novel_id].n_corpus_matches == 0
+        assert out[novel_id].best_match_doc_id == -1
+    spark.catalog.clearCache()  # drop the crafted corpus's shingle cache
+
+
 def test_simhash_identical_docs_collide(spark):
     """Docs with identical token multisets must get identical simhash."""
     sig = simhash_buckets(spark, SF_SMALL)
