@@ -80,6 +80,7 @@ PROBES = [
     # round-6 additions: the two new candidate-generation/scan paths
     ("ngram_jaccard_pairs_prefix", "prefix-filtered exact set-similarity join"),
     ("ann_ivfpq_topk", "IVF list probe + PQ-ADC scan + exact rerank"),
+    ("incremental_near_dup_new_docs", "asymmetric prefix join: batch vs corpus"),
 ]
 
 
