@@ -895,8 +895,171 @@ FROM nb GROUP BY dedup_class
 """
 
 
+def streaming_incremental_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental NEAR-dup — the stream-static twin of
+    ``operators.dedup.incremental_near_dup_new_docs``: new documents
+    arrive as a file stream, are shingled map-side (higher-order
+    functions, no state), and probe a STATIC corpus-side prefix index
+    (the AllPairs/PPJoin prefix of each ingested doc's rarest shingles
+    under the corpus frequency order — at 100 TB this index is
+    maintained alongside the corpus fingerprints and is the only thing
+    the stream touches).  Candidates verify exactly via
+    ``array_intersect`` inside the stream-static join; a complete-mode
+    aggregate emits one row per MATCHED new doc (match count via
+    ``collect_set`` — candidate rows repeat per matching prefix token,
+    so the set dedups them; best match via a deterministic
+    ``max(struct(jaccard, -doc_id))``).  Novel docs emit nothing — the
+    exact-hash funnel twin (``streaming_incremental_dedup``) owns
+    novelty accounting.
+
+    One-sided prefix is still LOSSLESS: the smallest common shingle
+    under the corpus's global order sits inside the corpus doc's prefix
+    (the suffix is too short to hold the required overlap), and the
+    stream side joins ALL its shingles.  Unlike the batch twin the
+    index order uses corpus-only frequencies (the stream must not
+    mutate the index); candidates differ, verified matches are
+    identical — property-tested equal to the batch twin's
+    near-dup rows.
+    """
+    from pyspark.sql.window import Window
+
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        _PF_ALPHA_RATIO,
+        _PF_EPS,
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+    )
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    shingle_expr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(toks) - {SHINGLE_K}),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        )
+    )
+    corpus = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.split(F.lower(F.col("text")), "[ ]+").alias("toks"),
+        )
+        .filter(F.size("toks") >= SHINGLE_K)
+        .select("doc_id", shingle_expr.alias("shingles"))
+    )
+    ex = corpus.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n") - F.lit(_PF_EPS))
+        + F.lit(1)
+    )
+    index = (
+        ex.join(freq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    "c", F.md5(F.col("s").cast("binary"))
+                )
+            ),
+        )
+        .filter(F.col("rk") <= prefix_len)
+        .select(F.col("doc_id").alias("d_corpus"), F.col("n").alias("nb"), "s")
+    )
+    corpus_sh = corpus.select(
+        F.col("doc_id").alias("d_corpus"), F.col("shingles").alias("sh2")
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    new_docs = (
+        raw.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("d_new"),
+            F.split(F.lower(F.col("text")), "[ ]+").alias("toks"),
+        )
+        .filter(F.size("toks") >= SHINGLE_K)
+        .select("d_new", shingle_expr.alias("sh1"))
+        .withColumn("na", F.size("sh1"))
+    )
+    probes = new_docs.select("d_new", "na", "sh1", F.explode("sh1").alias("s"))
+    cand = probes.join(
+        index,
+        (probes.s == index.s)
+        & (
+            F.lit(JACCARD_THRESHOLD) * F.col("na")
+            <= F.col("nb") + F.lit(_PF_EPS)
+        )
+        & (
+            F.lit(JACCARD_THRESHOLD) * F.col("nb")
+            <= F.col("na") + F.lit(_PF_EPS)
+        ),
+    )
+    verified = (
+        cand.join(corpus_sh, "d_corpus")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("sh1", "sh2")).cast("long"),
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    agg = verified.groupBy("d_new").agg(
+        F.collect_set("d_corpus").alias("_matches"),
+        F.max(
+            F.struct(
+                F.col("jaccard_raw").alias("j"),
+                (-F.col("d_corpus")).alias("neg_id"),
+            )
+        ).alias("_best"),
+    )
+    out = agg.select(
+        F.col("d_new").alias("doc_id"),
+        F.size("_matches").alias("n_corpus_matches"),
+        (-F.col("_best.neg_id")).cast("long").alias("best_match_doc_id"),
+        pround("_best.j", 6).alias("best_jaccard"),
+    )
+    name, _ = _run_to_memory(out, "complete")
+    return spark.table(name)
+
+
+def _streaming_incremental_near_dup_sql() -> str:
+    """Oracle: the batch twin's SQL restricted to its matched rows —
+    over the bounded source the stream emits exactly the batch twin's
+    near-dup summaries (property-tested), so the oracle reuses that
+    pipeline verbatim rather than re-deriving the one-sided index."""
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        INCREMENTAL_NEAR_DUP_NEW_DOCS_SQL,
+    )
+
+    return (
+        "SELECT doc_id, n_corpus_matches, best_match_doc_id, best_jaccard"
+        f" FROM ({INCREMENTAL_NEAR_DUP_NEW_DOCS_SQL})"
+        " WHERE status = 'near_dup_of_corpus'"
+    )
+
+
 ORACLES: dict[str, str] = {
     "streaming_incremental_dedup": STREAMING_INCREMENTAL_DEDUP_SQL,
+    "streaming_incremental_near_dup": _streaming_incremental_near_dup_sql(),
     "streaming_corpus_quality": STREAMING_CORPUS_QUALITY_SQL,
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_user_event_counts": STREAMING_USER_EVENT_COUNTS_SQL,
@@ -910,6 +1073,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "streaming_ann_topk": streaming_ann_topk,
     "streaming_incremental_dedup": streaming_incremental_dedup,
+    "streaming_incremental_near_dup": streaming_incremental_near_dup,
     "streaming_corpus_quality": streaming_corpus_quality,
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sliding_value": streaming_sliding_value,

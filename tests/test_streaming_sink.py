@@ -190,3 +190,32 @@ def test_streaming_incremental_dedup_reconciles_with_batch(spark):
         "dup_of_corpus"
     ]
     assert funnel["new"]["n_rows"] == batch["novel"] + batch["dup_in_batch"]
+
+
+def test_streaming_incremental_near_dup_equals_batch_twin(spark):
+    """The streaming near-dup classifier must emit exactly the batch
+    twin's matched rows — same docs, same match counts, same best match
+    and rounded Jaccard — even though its candidate generation differs
+    (one-sided corpus prefix index under corpus-only frequency order vs
+    the batch twin's two-sided prefixes): candidate generation is
+    lossless on both paths and verification is exact, so the results
+    coincide."""
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        incremental_near_dup_new_docs,
+    )
+    from retail_sales_project_bigdata_spark.streaming import (
+        streaming_incremental_near_dup,
+    )
+    from tests.conftest import SF_SMALL
+
+    stream = {
+        (r.doc_id, r.n_corpus_matches, r.best_match_doc_id, r.best_jaccard)
+        for r in streaming_incremental_near_dup(spark, SF_SMALL).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_corpus_matches, r.best_match_doc_id, r.best_jaccard)
+        for r in incremental_near_dup_new_docs(spark, SF_SMALL).collect()
+        if r.status == "near_dup_of_corpus"
+    }
+    assert stream == batch
+    assert stream, "degenerate corpus: no near-dup matches to compare"
