@@ -60,6 +60,19 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def _shingle_expr(toks_col: str = "toks") -> F.Column:
+    """Distinct word-``SHINGLE_K``-gram shingle array for a tokenized
+    column — shared by :func:`_shingles` and the streaming near-dup twin
+    so a change to ``SHINGLE_K`` can never desynchronize them."""
+    parts = ", ".join(f"{toks_col}[i+{j}]" for j in range(SHINGLE_K))
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size({toks_col}) - {SHINGLE_K}),"
+            f" i -> concat_ws(' ', {parts}))"
+        )
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles) distinct word-3-gram shingle arrays, persisted.
 
@@ -88,15 +101,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.split(F.lower(F.col("text")), _TOKENIZE).alias("toks")
         )
         .filter(F.size("toks") >= SHINGLE_K)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {SHINGLE_K}),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                )
-            ).alias("shingles"),
-        )
+        .select("doc_id", _shingle_expr("toks").alias("shingles"))
         .persist()
     )
 
