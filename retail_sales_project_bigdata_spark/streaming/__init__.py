@@ -900,12 +900,11 @@ def streaming_incremental_near_dup(
 ) -> DataFrame:
     """Streaming incremental NEAR-dup — the stream-static twin of
     ``operators.dedup.incremental_near_dup_new_docs``: new documents
-    arrive as a file stream, are shingled map-side (higher-order
-    functions, no state), and probe a STATIC corpus-side prefix index
-    (the AllPairs/PPJoin prefix of each ingested doc's rarest shingles
-    under the corpus frequency order — at 100 TB this index is
-    maintained alongside the corpus fingerprints and is the only thing
-    the stream touches).  Candidates verify exactly via
+    arrive as a file stream, are shingled and prefix-sliced map-side
+    (higher-order functions, no state), and probe a STATIC corpus-side
+    prefix index — at 100 TB that index is maintained alongside the
+    corpus fingerprints and is the only thing the stream touches.
+    Candidates verify exactly via
     ``array_intersect`` inside the stream-static join; a complete-mode
     aggregate emits one row per MATCHED new doc (match count via
     ``collect_set`` — candidate rows repeat per matching prefix token,
@@ -914,18 +913,21 @@ def streaming_incremental_near_dup(
     exact-hash funnel twin (``streaming_incremental_dedup``) owns
     novelty accounting.
 
-    One-sided prefix is still LOSSLESS: the smallest common shingle
-    under the corpus's global order sits inside the corpus doc's prefix
-    (the suffix is too short to hold the required overlap), and the
-    stream side joins ALL its shingles.  Unlike the batch twin the
-    index order uses corpus-only frequencies (the stream must not
-    mutate the index); candidates differ, verified matches are
-    identical — property-tested equal to the batch twin's
-    near-dup rows.
+    The global canonical order here is pure md5 (not the batch twin's
+    document-frequency order): ANY total order keeps the prefix lemma
+    lossless, and md5 order makes the per-doc prefix a MAP-SIDE
+    ``array_sort`` + slice on BOTH sides — the stream computes its own
+    prefix statelessly (no frequency join, no ranking window anywhere),
+    the corpus index is a map-only projection of the shared shingle
+    cache, and the positional filter applies with positions from the
+    slice.  The trade: frequency order minimizes candidates on
+    skewed-vocabulary corpora; md5 order spends a few more collisions
+    to keep the streaming path free of corpus-wide shuffles.
+    Candidates differ from the batch twin; verified matches are
+    identical — property-tested equal to its near-dup rows.
     """
-    from pyspark.sql.window import Window
-
     from retail_sales_project_bigdata_spark.operators.dedup import (
+        _PF_ALPHA_RATIO,
         _PF_EPS,
         _shingle_expr,
         _shingles,
@@ -934,32 +936,34 @@ def streaming_incremental_near_dup(
         SHINGLE_K,
     )
 
+    def _md5_prefix(shingles_col: str):
+        """(pos, entry) rows of the doc's prefix under md5 order —
+        map-only: sort the shingle array by (md5, shingle), slice the
+        prefix, posexplode for positions."""
+        sorted_expr = (
+            f"array_sort(transform({shingles_col},"
+            " x -> struct(md5(cast(x as binary)) AS k, x AS s)))"
+        )
+        n = F.size(shingles_col)
+        plen = (
+            n
+            - F.ceil(F.lit(JACCARD_THRESHOLD) * n - F.lit(_PF_EPS))
+            + F.lit(1)
+        )
+        return F.posexplode(F.slice(F.expr(sorted_expr), F.lit(1), plen))
+
     # Corpus side reuses the batch family's persisted shingle frame (one
     # scan+shingle pipeline shared with every dedup query in the session).
     corpus = _shingles(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
-    ex = corpus.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s"),
-    )
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n") - F.lit(_PF_EPS))
-        + F.lit(1)
-    )
-    index = (
-        ex.join(freq, "s")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    "c", F.md5(F.col("s").cast("binary"))
-                )
-            ),
-        )
-        .filter(F.col("rk") <= prefix_len)
-        .select(F.col("doc_id").alias("d_corpus"), F.col("n").alias("nb"), "s")
+    index = corpus.select(
+        F.col("doc_id").alias("d_corpus"),
+        F.size("shingles").alias("nb"),
+        _md5_prefix("shingles").alias("pos", "entry"),
+    ).select(
+        "d_corpus",
+        "nb",
+        (F.col("pos") + 1).alias("rk_b"),
+        F.col("entry.s").alias("s"),
     )
     corpus_sh = corpus.select(
         F.col("doc_id").alias("d_corpus"), F.col("shingles").alias("sh2")
@@ -984,14 +988,28 @@ def streaming_incremental_near_dup(
         .select("d_new", _shingle_expr("toks").alias("sh1"))
         .withColumn("na", F.size("sh1"))
     )
-    # sh1 rides along once per exploded shingle (O(n² ) join-input bytes
-    # per doc): the single streaming aggregation is spent on the final
-    # per-doc summary, so candidate pairs cannot be deduplicated
-    # stream-side and the exact verify must travel with each probe row.
-    # Bounded in practice: random prefix collisions contribute 1-2 rows
-    # per (new, corpus) pair; only TRUE near-dups repeat up to
-    # |corpus prefix| times — output-sized, not corpus-sized.
-    probes = new_docs.select("d_new", "na", "sh1", F.explode("sh1").alias("s"))
+    # sh1 rides along once per exploded PREFIX shingle (~n/2 rows/doc):
+    # the single streaming aggregation is spent on the final per-doc
+    # summary, so candidate pairs cannot be deduplicated stream-side and
+    # the exact verify must travel with each probe row.  Bounded: random
+    # prefix collisions contribute 1-2 rows per (new, corpus) pair; only
+    # TRUE near-dups repeat up to |prefix| times — output-sized.
+    probes = new_docs.select(
+        "d_new",
+        "na",
+        "sh1",
+        _md5_prefix("sh1").alias("pos", "entry"),
+    ).select(
+        "d_new",
+        "na",
+        "sh1",
+        (F.col("pos") + 1).alias("rk_a"),
+        F.col("entry.s").alias("s"),
+    )
+    alpha = F.ceil(
+        F.lit(_PF_ALPHA_RATIO) * (F.col("na") + F.col("nb"))
+        - F.lit(_PF_EPS)
+    )
     cand = probes.join(
         index,
         (probes.s == index.s)
@@ -1002,6 +1020,16 @@ def streaming_incremental_near_dup(
         & (
             F.lit(JACCARD_THRESHOLD) * F.col("nb")
             <= F.col("na") + F.lit(_PF_EPS)
+        )
+        & (
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("rk_a"),
+                    F.col("nb") - F.col("rk_b"),
+                )
+            )
+            >= alpha
         ),
     )
     verified = (
