@@ -365,3 +365,68 @@ def test_expectations_match_python_reference(spark, rows, threshold):
 
     good, bad = split_quarantine(apply_expectations(df, rules))
     assert good.count() + bad.count() == len(rows)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_join_lossless_on_random_corpora(spark, docs):
+    """Randomized losslessness check for the AllPairs/PPJoin candidate
+    generation: tiny vocab + short docs maximize shared shingles and
+    whole-set prefixes — the regime where a wrong prefix length,
+    size-ratio, or positional bound would silently DROP true pairs.
+    Reference is an independent pure-Python all-pairs Jaccard."""
+    import shutil
+    import tempfile
+
+    from retail_sales_project_bigdata_spark.functions import pround_py
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    shingle_sets = {}
+    for i, toks in enumerate(docs):
+        if len(toks) >= SHINGLE_K:
+            shingle_sets[i] = {
+                " ".join(toks[j : j + SHINGLE_K])
+                for j in range(len(toks) - SHINGLE_K + 1)
+            }
+    expected = {}
+    ids = sorted(shingle_sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = shingle_sets[ids[x]], shingle_sets[ids[y]]
+            inter = len(a & b)
+            j = inter / (len(a) + len(b) - inter)
+            if j >= JACCARD_THRESHOLD:
+                expected[(ids[x], ids[y])] = (inter, pround_py(j, 6))
+
+    sf_dir = tempfile.mkdtemp(prefix="prefix_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {
+            (r.d1, r.d2): (r.n_common, r.jaccard)
+            for r in ngram_jaccard_pairs_prefix(spark, sf_dir).collect()
+        }
+    finally:
+        spark.catalog.clearCache()  # per-example shingle cache
+        shutil.rmtree(sf_dir, ignore_errors=True)
+    assert got == expected
