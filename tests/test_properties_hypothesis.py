@@ -430,3 +430,85 @@ def test_prefix_join_lossless_on_random_corpora(spark, docs):
         spark.catalog.clearCache()  # per-example shingle cache
         shutil.rmtree(sf_dir, ignore_errors=True)
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=6,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_near_dup_matches_reference_on_random_corpora(
+    spark, docs
+):
+    """Randomized batch-vs-corpus classification check: the incremental
+    near-dup operator must report, for every shingle-able batch doc
+    (doc_id % 5 == 0), exactly the reference's corpus matches — count,
+    best match under (jaccard desc, doc_id asc), and rounded score —
+    and 'novel' sentinels otherwise."""
+    import shutil
+    import tempfile
+
+    from retail_sales_project_bigdata_spark.functions import pround_py
+    from retail_sales_project_bigdata_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+        incremental_near_dup_new_docs,
+    )
+
+    shingle_sets = {}
+    for i, toks in enumerate(docs):
+        if len(toks) >= SHINGLE_K:
+            shingle_sets[i] = {
+                " ".join(toks[j : j + SHINGLE_K])
+                for j in range(len(toks) - SHINGLE_K + 1)
+            }
+    expected = {}
+    for d_new in (i for i in shingle_sets if i % 5 == 0):
+        matches = []
+        for d_c in (i for i in shingle_sets if i % 5 != 0):
+            a, b = shingle_sets[d_new], shingle_sets[d_c]
+            inter = len(a & b)
+            j = inter / (len(a) + len(b) - inter)
+            if j >= JACCARD_THRESHOLD:
+                matches.append((j, d_c))
+        if matches:
+            best_j, best_id = max(matches, key=lambda m: (m[0], -m[1]))
+            expected[d_new] = (
+                "near_dup_of_corpus",
+                len(matches),
+                best_id,
+                pround_py(best_j, 6),
+            )
+        else:
+            expected[d_new] = ("novel", 0, -1, 0.0)
+
+    sf_dir = tempfile.mkdtemp(prefix="incr_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {
+            r.doc_id: (
+                r.status,
+                r.n_corpus_matches,
+                r.best_match_doc_id,
+                r.best_jaccard,
+            )
+            for r in incremental_near_dup_new_docs(spark, sf_dir).collect()
+        }
+    finally:
+        spark.catalog.clearCache()
+        shutil.rmtree(sf_dir, ignore_errors=True)
+    assert got == expected
