@@ -1605,7 +1605,9 @@ GROUP BY e.q_id
 """
 
 
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_quantize_int8_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus —
     the storage step a 100 TB vector store runs before ANN serving (4×
     smaller than float32, 8× smaller than float64; ADC-style scoring
@@ -1615,6 +1617,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale)``; plus a saturation count (elements hitting ±127) as the
     quantization-health signal.  Map-only — one narrow projection over
     the corpus scan, no shuffle, embarrassingly parallel at any scale.
+
+    This is the TYPED library form (``quant`` is ``array<int>``, ready
+    for downstream ADC scoring).  The registered gate query
+    :func:`embedding_quantize_int8` serializes ``quant`` to a CSV string
+    because the driver's correctness gate canonicalizes results with a
+    pandas sort, which cannot order list cells (round-6 red row) — the
+    repo convention is that gate-facing outputs carry scalar columns
+    only (asserted by ``tests/test_oracle_parity.py``).
 
     Oracle exactness: every per-element step is a single exactly-rounded
     IEEE double op (cast, multiply, divide, floor) evaluated in the same
@@ -1647,6 +1657,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-facing projection of
+    :func:`embedding_quantize_int8_vectors`: identical computation, but
+    the int8 code vector is emitted as a deterministic CSV string
+    (``quant_csv``) so the driver's pandas-based canonicalizer can sort
+    the result (list cells are unhashable there — the round-6
+    ``embedding_quantize_int8`` red row).  Integers render identically
+    in Spark and DuckDB ("-5", never "−5.0"), so the serialization is
+    exact; embeddings are fixed-dimension so the empty-array edge (Spark
+    ``''`` vs DuckDB ``NULL``) cannot arise.  Still map-only: the
+    ``array_join`` is one more codegen'd projection, no shuffle.
+    """
+    return embedding_quantize_int8_vectors(spark, sf_dir).select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "array_join(transform(quant, x -> cast(x as string)), ',')"
+        ).alias("quant_csv"),
+        "n_sat",
+    )
+
+
 EMBEDDING_QUANTIZE_INT8_SQL = """
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1661,7 +1693,8 @@ WITH base AS (
          END AS quant
   FROM scaled
 )
-SELECT vec_id, scale, quant,
+SELECT vec_id, scale,
+       array_to_string(quant, ',') AS quant_csv,
        CAST(list_sum(list_transform(quant,
             y -> CASE WHEN abs(y) >= 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
 FROM quantized

@@ -451,3 +451,40 @@ def test_near_dup_geometry_gate_point_unchanged():
     from retail_sales_project_bigdata_spark.operators import similarity as s
 
     assert s.near_dup_geometry(500) == (6, 12)
+
+
+def test_quantize_typed_and_gate_forms_agree(spark):
+    """The typed library form (quant: array<int>) and the registered
+    gate form (quant_csv: string) are the same computation — the gate
+    form only serializes, per the scalar-only gate-output convention
+    (round-6 red row: the driver's pandas canonicalizer cannot sort
+    list cells)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        embedding_quantize_int8,
+        embedding_quantize_int8_vectors,
+    )
+
+    typed = embedding_quantize_int8_vectors(spark, SF_SMALL)
+    [qf] = [f for f in typed.schema.fields if f.name == "quant"]
+    assert isinstance(qf.dataType, ArrayType)
+    assert isinstance(qf.dataType.elementType, IntegerType)
+
+    reserialized = typed.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "array_join(transform(quant, x -> cast(x as string)), ',')"
+        ).alias("quant_csv"),
+        "n_sat",
+    )
+    gate = embedding_quantize_int8(spark, SF_SMALL)
+    assert gate.schema == reserialized.schema
+    assert gate.exceptAll(reserialized).count() == 0
+    assert reserialized.exceptAll(gate).count() == 0
+    # int8 range really holds after the floor(±127) clamp-by-construction
+    mx = typed.select(
+        F.max(F.expr("array_max(transform(quant, x -> abs(x)))")).alias("m")
+    ).first()["m"]
+    assert mx <= 127

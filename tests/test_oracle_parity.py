@@ -25,9 +25,30 @@ def test_oracle_parity(spark, duck, name):
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_runs(spark, name):
     """Rows-only smoke for every query (driver runs the same weaker check
-    for entries without an oracle)."""
+    for entries without an oracle) + the gate-output convention: every
+    registry entry is a gate-rotation candidate, and the driver's
+    correctness gate canonicalizes results with a pandas sort that dies
+    on list cells (round-6 ``embedding_quantize_int8`` red row:
+    ``TypeError: unhashable type: 'list'``).  So gate-facing outputs
+    carry SCALAR top-level columns only — serialize arrays with
+    ``array_join`` (DuckDB mirror ``array_to_string``) or explode;
+    keep typed-array forms as non-registered library functions (e.g.
+    ``embedding_quantize_int8_vectors``)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = _QUERIES[name](spark, SF_SMALL)
     assert df.columns
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} returns complex-typed top-level column(s) {complex_cols}:"
+        " the driver gate cannot canonicalize list/struct cells —"
+        " serialize them (array_join / to_json) in the registered query"
+        " and keep the typed form as a library function"
+    )
     df.limit(5).collect()
 
 
