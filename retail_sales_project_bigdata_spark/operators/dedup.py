@@ -205,6 +205,101 @@ _PF_ALPHA_RATIO = JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD)
 _PF_EPS = 1e-9
 
 
+def _prefix_index(sh: DataFrame) -> DataFrame:
+    """The AllPairs/PPJoin prefix index shared by the symmetric
+    (`ngram_jaccard_pairs_prefix`) and asymmetric
+    (`incremental_near_dup_new_docs`) joins — ONE definition so the
+    global order and the prefix-length bound can never silently diverge
+    between them (the desync `_shingle_expr` was factored out to
+    prevent).  Per doc: rank shingles under the GLOBAL total order
+    (ascending document frequency, md5 tie-break — rarest first), keep
+    the prefix of length n - ceil(t*n) + 1.  Columns: (doc_id, n, s, rk).
+    """
+    from pyspark.sql.window import Window
+
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    # Per-doc frames are doc-sized (bounded by text length), so a plain
+    # doc_id-partitioned window is skew-safe at any corpus size.
+    ordered = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                "c", F.md5(F.col("s").cast("binary"))
+            )
+        ),
+    )
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n") - F.lit(_PF_EPS))
+        + F.lit(1)
+    )
+    return ordered.filter(F.col("rk") <= prefix_len).select(
+        "doc_id", "n", "s", "rk"
+    )
+
+
+def _pf_pair_cond():
+    """The prefix-join condition between index aliases ``a`` and ``b``:
+    equal shingle, two-sided size-ratio bound (t*na <= nb and t*nb <=
+    na), and PPJoin's positional filter (a match at ranks (i, j) admits
+    at most 1 + min(na-i, nb-j) later common tokens, which must reach
+    the required overlap ceil(t/(1+t)*(na+nb))).  All bounds carry
+    ``-_PF_EPS`` so float ceil only under-approximates — lossless."""
+    alpha = F.ceil(
+        F.lit(_PF_ALPHA_RATIO) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(_PF_EPS)
+    )
+    positional_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+        )
+    ) >= alpha
+    return (
+        (F.col("a.s") == F.col("b.s"))
+        & (
+            F.lit(JACCARD_THRESHOLD) * F.col("a.n")
+            <= F.col("b.n") + F.lit(_PF_EPS)
+        )
+        & (
+            F.lit(JACCARD_THRESHOLD) * F.col("b.n")
+            <= F.col("a.n") + F.lit(_PF_EPS)
+        )
+        & positional_ok
+    )
+
+
+#: DuckDB CTE fragment mirroring :func:`_prefix_index` (same order, same
+#: bound) — composed into both prefix-join oracles so the SQL twins
+#: share one definition exactly like the Spark side.  Expects ``sh``
+#: (doc_id, shingles) in scope.
+_PF_PREFIX_CTES = f"""sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
+ordered AS (
+  SELECT e.doc_id, e.s, z.n,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                            ORDER BY f.c, md5(e.s)) AS rk
+  FROM ex e JOIN freq f USING (s) JOIN sizes z USING (doc_id)
+),
+pre AS (
+  SELECT doc_id, n, s, rk FROM ordered
+  WHERE rk <= n - CAST(CEIL({JACCARD_THRESHOLD} * n - {_PF_EPS!r}) AS INT) + 1
+)"""
+
+#: DuckDB mirror of :func:`_pf_pair_cond` between ``pre`` aliases a/b.
+_PF_PAIR_COND_SQL = f"""a.s = b.s
+   AND {JACCARD_THRESHOLD} * a.n <= b.n + {_PF_EPS!r}
+   AND {JACCARD_THRESHOLD} * b.n <= a.n + {_PF_EPS!r}
+   AND 1 + least(a.n - a.rk, b.n - b.rk)
+       >= CEIL({_PF_ALPHA_RATIO!r} * (a.n + b.n) - {_PF_EPS!r})"""
+
+
 def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (threshold JACCARD_THRESHOLD,
     0.5) via prefix filtering — the AllPairs/PPJoin candidate generation
@@ -252,58 +347,13 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the whole pipeline (same order, same formulas) so
     the gate checks candidates AND verification exactly.
     """
-    from pyspark.sql.window import Window
-
     sh = _shingles(spark, sf_dir)
-    ex = sh.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s"),
-    )
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-    # Per-doc frames are doc-sized (bounded by text length), so a plain
-    # doc_id-partitioned window is skew-safe at any corpus size.
-    ordered = ex.join(freq, "s").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                "c", F.md5(F.col("s").cast("binary"))
-            )
-        ),
-    )
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n") - F.lit(_PF_EPS))
-        + F.lit(1)
-    )
-    prefix = ordered.filter(F.col("rk") <= prefix_len).select(
-        "doc_id", "n", "s", "rk"
-    )
-    alpha = F.ceil(
-        F.lit(_PF_ALPHA_RATIO) * (F.col("a.n") + F.col("b.n"))
-        - F.lit(_PF_EPS)
-    )
-    positional_ok = (
-        F.lit(1)
-        + F.least(
-            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
-        )
-    ) >= alpha
+    prefix = _prefix_index(sh)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.lit(JACCARD_THRESHOLD) * F.col("a.n")
-                <= F.col("b.n") + F.lit(_PF_EPS)
-            )
-            & (
-                F.lit(JACCARD_THRESHOLD) * F.col("b.n")
-                <= F.col("a.n") + F.lit(_PF_EPS)
-            )
-            & positional_ok,
+            _pf_pair_cond() & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
@@ -346,27 +396,12 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_PAIRS_PREFIX_SQL = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-freq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
-ordered AS (
-  SELECT e.doc_id, e.s, z.n,
-         ROW_NUMBER() OVER (PARTITION BY e.doc_id
-                            ORDER BY f.c, md5(e.s)) AS rk
-  FROM ex e JOIN freq f USING (s) JOIN sizes z USING (doc_id)
-),
-pre AS (
-  SELECT doc_id, n, s, rk FROM ordered
-  WHERE rk <= n - CAST(CEIL({JACCARD_THRESHOLD} * n - {_PF_EPS!r}) AS INT) + 1
-),
+{_PF_PREFIX_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM pre a JOIN pre b
-    ON a.s = b.s AND a.doc_id < b.doc_id
-   AND {JACCARD_THRESHOLD} * a.n <= b.n + {_PF_EPS!r}
-   AND {JACCARD_THRESHOLD} * b.n <= a.n + {_PF_EPS!r}
-   AND 1 + least(a.n - a.rk, b.n - b.rk)
-       >= CEIL({_PF_ALPHA_RATIO!r} * (a.n + b.n) - {_PF_EPS!r})
+    ON {_PF_PAIR_COND_SQL}
+   AND a.doc_id < b.doc_id
 ),
 verified AS (
   SELECT c.d1, c.d2,
@@ -416,53 +451,13 @@ def incremental_near_dup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.window import Window
 
     sh = _shingles(spark, sf_dir)
-    ex = sh.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s"),
-    )
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-    ordered = ex.join(freq, "s").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                "c", F.md5(F.col("s").cast("binary"))
-            )
-        ),
-    )
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n") - F.lit(_PF_EPS))
-        + F.lit(1)
-    )
-    prefix = ordered.filter(F.col("rk") <= prefix_len).select(
-        "doc_id", "n", "s", "rk"
-    )
-    alpha = F.ceil(
-        F.lit(_PF_ALPHA_RATIO) * (F.col("a.n") + F.col("b.n"))
-        - F.lit(_PF_EPS)
-    )
-    positional_ok = (
-        F.lit(1)
-        + F.least(
-            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
-        )
-    ) >= alpha
+    prefix = _prefix_index(sh)
     cand = (
         prefix.filter(F.col("doc_id") % 5 == 0)
         .alias("a")
         .join(
             prefix.filter(F.col("doc_id") % 5 != 0).alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (
-                F.lit(JACCARD_THRESHOLD) * F.col("a.n")
-                <= F.col("b.n") + F.lit(_PF_EPS)
-            )
-            & (
-                F.lit(JACCARD_THRESHOLD) * F.col("b.n")
-                <= F.col("a.n") + F.lit(_PF_EPS)
-            )
-            & positional_ok,
+            _pf_pair_cond(),
         )
         .select(
             F.col("a.doc_id").alias("d_new"),
@@ -532,27 +527,12 @@ def incremental_near_dup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 INCREMENTAL_NEAR_DUP_NEW_DOCS_SQL = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-freq AS (SELECT s, COUNT(*) AS c FROM ex GROUP BY s),
-ordered AS (
-  SELECT e.doc_id, e.s, z.n,
-         ROW_NUMBER() OVER (PARTITION BY e.doc_id
-                            ORDER BY f.c, md5(e.s)) AS rk
-  FROM ex e JOIN freq f USING (s) JOIN sizes z USING (doc_id)
-),
-pre AS (
-  SELECT doc_id, n, s, rk FROM ordered
-  WHERE rk <= n - CAST(CEIL({JACCARD_THRESHOLD} * n - {_PF_EPS!r}) AS INT) + 1
-),
+{_PF_PREFIX_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS d_new, b.doc_id AS d_corpus
   FROM pre a JOIN pre b
-    ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-   AND {JACCARD_THRESHOLD} * a.n <= b.n + {_PF_EPS!r}
-   AND {JACCARD_THRESHOLD} * b.n <= a.n + {_PF_EPS!r}
-   AND 1 + least(a.n - a.rk, b.n - b.rk)
-       >= CEIL({_PF_ALPHA_RATIO!r} * (a.n + b.n) - {_PF_EPS!r})
+    ON {_PF_PAIR_COND_SQL}
+   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
 ),
 verified AS (
   SELECT c.d_new, c.d_corpus,

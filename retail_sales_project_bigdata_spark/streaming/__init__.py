@@ -965,6 +965,14 @@ def streaming_incremental_near_dup(
         (F.col("pos") + 1).alias("rk_b"),
         F.col("entry.s").alias("s"),
     )
+    # The prefix index is consumed once per micro-batch trigger; without
+    # a cache boundary each trigger re-runs the corpus freq agg + window
+    # (the static subplan re-executes per trigger).  Persist BEFORE the
+    # downstream join/aggregate plans are built from it, so the cache
+    # dependency is explicit in the child plans rather than relying on
+    # CacheManager plan-matching; released when the bounded run
+    # completes (finally below).
+    index = index.persist()
     corpus_sh = corpus.select(
         F.col("doc_id").alias("d_corpus"), F.col("shingles").alias("sh2")
     )
@@ -1061,11 +1069,6 @@ def streaming_incremental_near_dup(
         (-F.col("_best.neg_id")).cast("long").alias("best_match_doc_id"),
         pround("_best.j", 6).alias("best_jaccard"),
     )
-    # The prefix index is consumed once per micro-batch trigger; without
-    # a cache boundary each trigger re-runs the corpus freq agg + window
-    # (the static subplan re-executes per trigger).  Persist for the
-    # stream's lifetime, release when the bounded run completes.
-    index = index.persist()
     try:
         name, _ = _run_to_memory(out, "complete")
     finally:

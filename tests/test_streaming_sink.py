@@ -196,9 +196,10 @@ def test_streaming_incremental_near_dup_equals_batch_twin(spark):
     """The streaming near-dup classifier must emit exactly the batch
     twin's matched rows — same docs, same match counts, same best match
     and rounded Jaccard — even though its candidate generation differs
-    (one-sided corpus prefix index under corpus-only frequency order vs
-    the batch twin's two-sided prefixes): candidate generation is
-    lossless on both paths and verification is exact, so the results
+    (map-side md5-order prefixes on both sides, so the stream needs no
+    corpus-wide frequency shuffle, vs the batch twin's global
+    document-frequency order): any consistent global order keeps the
+    prefix lemma lossless and verification is exact, so the results
     coincide."""
     from retail_sales_project_bigdata_spark.operators.dedup import (
         incremental_near_dup_new_docs,
