@@ -93,16 +93,18 @@ _EXTRA_QUERIES = {
     "quality_classifier_scores": ml_pipelines.quality_classifier_scores,
 }
 
-# Driver-gate rotation (round 6): the per-round correctness gate checks the
-# FIRST 50 entries of ``queries()`` in insertion order, and rounds 1-5 always
-# presented the same ~50 flagship names — so 161 of 219 registry entries had
-# never received a driver-side CORRECTNESS row.  GATE_ORDER front-loads the
-# subset proposed by ``tools/gate_subset.py`` (12-query stable core kept every
-# round for round-over-round comparability, then never-driver-checked entries,
-# DuckDB-oracled first, alphabetical).  All 50 names below carry a DuckDB
-# oracle, so every gate row this round is the strong rows+schema+hash check.
-# The same list is committed as ``GATE_SUBSET_r06.json`` for the judge.
-# Regenerate next round with ``python tools/gate_subset.py 50``.
+# Driver-gate rotation (round 7; scheme introduced round 6): the per-round
+# correctness gate checks the FIRST 50 entries of ``queries()`` in insertion
+# order, and rounds 1-5 always presented the same ~50 flagship names — so most
+# registry entries had never received a driver-side CORRECTNESS row.
+# GATE_ORDER front-loads the subset proposed by ``tools/gate_subset.py``
+# (12-query stable core kept every round for round-over-round comparability,
+# then never-driver-checked entries, DuckDB-oracled first, alphabetical).
+# All 50 names below carry a DuckDB oracle, so every gate row this round is
+# the strong rows+schema+hash check.  The same list is committed as
+# ``GATE_SUBSET_r07.json`` for the judge.  Cumulative after r6: 101 of 225
+# driver-checked; this rotation adds 38 more.  Regenerate next round with
+# ``python tools/gate_subset.py 50``.
 GATE_ORDER = [
     # stable core (every round)
     "clean_lineitem",
@@ -117,45 +119,45 @@ GATE_ORDER = [
     "text_quality",
     "triangle_counts",
     "quality_funnel",
-    # never driver-checked before round 6 (all DuckDB-oracled)
-    "ann_lsh_topk",
-    "ann_recall_eval",
-    "asof_view_before_purchase",
-    "audio_windows",
-    "benford_price_audit",
-    "bigram_coverage_scores",
-    "campaign_event_rollup",
-    "chi2_priority_region",
-    "chunk_documents",
-    "clustering_coefficients",
-    "contamination_check",
-    "cube_sales",
-    "customer_order_lifecycle",
-    "customers_with_orders",
-    "dataset_card",
-    "dataset_mixture",
-    "decode_media",
-    "dedup_groups",
-    "dedup_groups_star",
-    "dedup_survivors",
-    "disjunctive_revenue",
-    "documents_jsonl_roundtrip",
-    "documents_quarantine",
-    "dq_referential_audit",
-    "dsir_importance_weights",
-    "dunnhumby_combined_csv",
-    "duplicate_passages",
-    "embedding_centroids",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_lsh",
-    "embedding_near_dup_recall_lsh",
-    "embedding_quantize_int8",
-    "event_props_stats",
-    "event_transition_matrix",
-    "event_type_islands",
-    "excess_quantity_suppliers",
-    "expectations_report_all",
-    "forecast_revenue_change",
+    # never driver-checked before round 7 (all DuckDB-oracled)
+    "frame_sample",
+    "funnel_stages",
+    "fuzzy_name_pairs",
+    "gdpr_forget_audit",
+    "grouping_sets_sales",
+    "hash_split",
+    "heavy_hitters",
+    "hits_bipartite_scores",
+    "idle_wealthy_customers",
+    "important_part_values",
+    "incremental_dedup_new_docs",
+    "incremental_near_dup_new_docs",
+    "inverted_index",
+    "join_key_skew_profile",
+    "k_anonymity_profile",
+    "kcore_members",
+    "ks_test_returnflag",
+    "large_volume_customers",
+    "late_shipment_priority_counts",
+    "latest_order_per_customer",
+    "length_bucketed_batches",
+    "linestatus_priority_counts",
+    "lsh_signatures",
+    "media_metadata",
+    "media_stats_by_modality",
+    "merge_upsert",
+    "min_cost_supplier",
+    "minhash_signatures",
+    "monthly_order_stats",
+    "nation_market_share",
+    "nation_pair_volume",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
+    "ngram_lm_counts",
+    "normalized_dedup",
+    "null_semantics_probe",
+    "open_lines_by_week",
+    "order_count_distribution",
 ]
 
 

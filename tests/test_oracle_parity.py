@@ -59,14 +59,14 @@ def test_entry_smoke(spark):
 
 def test_gate_order_matches_committed_artifact():
     """The driver certifies the FIRST 50 registry entries; the committed
-    GATE_SUBSET_r06.json is the judge-auditable record of that subset.
+    GATE_SUBSET_r07.json is the judge-auditable record of that subset.
     They must never drift apart: same 50 names, same order, all present
     in the registry with a DuckDB oracle (the strong gate check)."""
     import json
 
     from retail_sales_project_bigdata_spark.registry import GATE_ORDER
 
-    artifact = json.load(open("/root/repo/GATE_SUBSET_r06.json"))
+    artifact = json.load(open("/root/repo/GATE_SUBSET_r07.json"))
     assert artifact["names"] == GATE_ORDER
     assert len(GATE_ORDER) == 50
     qs = entrymod.queries()
