@@ -102,26 +102,39 @@ def main() -> None:
             k: v for k, v in queries.items() if k not in ML_TRAINING_QUERIES
         }
 
-    # Protocol (VERDICT r2 task 1 / r3 A-A evidence): single-execution
-    # timings on this VM swing up to 7.7x run-over-run on IDENTICAL code
-    # (scheduler/GC noise), so one cold pass is NOT representative.  Each
-    # full run is therefore: (1) a cold pass over every query, then (2) a
-    # warm RE-TIME of the slowest RETIME_TOP queries (plus every memoized
-    # trainer), recording min(cold, warm) per query — the timeit-style
-    # lower-bound estimator, robust to additive noise.  The memoized
-    # trainers' (cold - warm) build delta is surfaced as
-    # ``pipeline_build_s`` rather than hidden or smeared.  Cost: ~1.3x a
-    # single cold pass (the re-timed tail is warm), within driver budget.
+    # Protocol (VERDICT r2 task 1 / r3 A-A evidence; widened r7): single-
+    # execution timings on this VM swing up to 7.7x run-over-run on
+    # IDENTICAL code (scheduler/GC noise), so one cold pass is NOT
+    # representative.  Each full run is therefore: (1) a cold pass over
+    # every query, then (2) a warm RE-TIME of (a) the slowest RETIME_TOP
+    # queries plus every memoized trainer, and (b) — new in r7, closing
+    # VERDICT r6 item 6 — EVERY remaining query whose cold time >=
+    # RETIME_MIN_S, cheapest-first under an explicit time budget:
+    # BENCH_r06 showed a ~+2s fixed per-query spike inflating dozens of
+    # sub-second queries 3-7x while falling OUTSIDE the slowest-48
+    # window.  Cheapest-first maximizes corrected-queries-per-second (a
+    # fixed +2s distorts a 0.3s query 7x but a 6s query only 1.3x, and
+    # the 6s queries are already in the slowest-K set).  Per query the
+    # recorded value is min(cold, warm) — the timeit-style lower-bound
+    # estimator, robust to additive noise.  Any >= RETIME_MIN_S query
+    # the budget could not reach is listed in ``retime_skipped`` so the
+    # artifact self-documents which values may still carry cold-pass
+    # noise.  The memoized trainers' (cold - warm) build delta is
+    # surfaced as ``pipeline_build_s`` rather than hidden or smeared.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     retime_top = int(os.environ.get("SPARK_GRAFT_BENCH_RETIME_TOP", "48"))
     retime_min = float(
-        os.environ.get("SPARK_GRAFT_BENCH_RETIME_MIN_S", "1.0")
+        os.environ.get("SPARK_GRAFT_BENCH_RETIME_MIN_S", "0.5")
+    )
+    retime_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETIME_BUDGET_S", "180")
     )
     per_run: list[dict[str, float]] = []
     per_run_build: list[float] = []
     per_run_build_q: list[dict[str, float]] = []
     cold_last: dict[str, float] = {}
     warm_last: dict[str, float] = {}
+    skipped_last: list[str] = []
     for _ in range(n_runs):
 
         def timed(name: str) -> float:
@@ -147,6 +160,22 @@ def main() -> None:
         )
         warm_python_workers(spark)  # see docstring: refork != query cost
         warm = {name: timed(name) for name in retime}
+        # Budgeted sweep over everything else >= retime_min, cheapest
+        # cold time first (see protocol comment above).
+        extra = sorted(
+            (n for n, t in cold.items()
+             if t >= retime_min and n not in warm),
+            key=lambda n: cold[n],
+        )
+        spent = 0.0
+        skipped: list[str] = []
+        for n in extra:
+            if spent >= retime_budget:
+                skipped.append(n)
+                continue
+            t0 = time.perf_counter()
+            warm[n] = timed(n)
+            spent += time.perf_counter() - t0
         final = {
             n: min(cold[n], warm.get(n, cold[n])) for n in cold
         }
@@ -158,7 +187,7 @@ def main() -> None:
         per_run.append(final)
         per_run_build.append(round(sum(build_per_q.values()), 3))
         per_run_build_q.append(build_per_q)
-        cold_last, warm_last = cold, warm
+        cold_last, warm_last, skipped_last = cold, warm, skipped
         # Memo sharing between the queries of ONE run is engine design
         # (bpe pair, triangle pair, segmentation sweep); carrying memos
         # into the NEXT run would report cache-hit times as medians.
@@ -203,13 +232,20 @@ def main() -> None:
         },
         "cold_pass": cold_last,
         "warm_retimed": warm_last,
+        # >= retime_min queries the warm-retime budget could not reach:
+        # their recorded value is a SINGLE cold execution and may carry
+        # additive scheduler noise (empty when the budget covered all).
+        "retime_skipped": sorted(skipped_last),
         "protocol": (
             f"{n_runs} full run(s): cold pass over all queries, then warm "
-            f"re-time of the slowest {retime_top} (>= {retime_min}s) plus "
-            "all memoized trainers; per-query value = min(cold, warm) "
-            "(timeit-style lower bound); pipeline_build_s = memoized "
-            "trainer build cost (cold - warm), excluded from the total; "
-            "noop sink, warmed JVM; medians across runs"
+            f"re-time of the slowest {retime_top} plus all memoized "
+            f"trainers, then every remaining query >= {retime_min}s "
+            f"cheapest-first within a {retime_budget}s budget; per-query "
+            "value = min(cold, warm) (timeit-style lower bound); "
+            "retime_skipped lists >= threshold queries the budget missed "
+            "(cold-only values); pipeline_build_s = memoized trainer "
+            "build cost (cold - warm), excluded from the total; noop "
+            "sink, warmed JVM; medians across runs"
         ),
     }
     line = json.dumps(payload, separators=(",", ":"))
@@ -230,6 +266,8 @@ def main() -> None:
         payload,
         queries=slowest,
         n_queries=len(timings),
+        n_retimed=len(warm_last),
+        n_retime_skipped=len(skipped_last),
         queries_truncated_to="10 slowest; full set in queries_file",
         queries_file=out_path,
     )
@@ -237,6 +275,7 @@ def main() -> None:
     # stdout capture keeps a ~4 KB tail.
     summary.pop("cold_pass", None)
     summary.pop("warm_retimed", None)
+    summary.pop("retime_skipped", None)
     print(json.dumps(summary, separators=(",", ":")))
 
 

@@ -10,6 +10,12 @@ would not survive the next 100x (quadratic pair-joins, single-partition
 sorts) and must have a scale path.
 
 Usage: python tools/scale_probe.py [runs_per_point]
+       python tools/scale_probe.py [runs] --only q1,q2 --sfs dir1,dir2
+
+The second form probes ONLY the named queries at the named SF dirs and
+prints the markdown rows to stdout (for targeted follow-ups — e.g. the
+round-7 sf10 step over the round-6 operators — without re-running the
+full sweep that regenerates SCALING.md).
 """
 
 from __future__ import annotations
@@ -85,7 +91,18 @@ PROBES = [
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = sys.argv[1:]
+    only: list[str] | None = None
+    sfs = SFS
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        args = args[:i] + args[i + 2:]
+    if "--sfs" in args:
+        i = args.index("--sfs")
+        sfs = args[i + 1].split(",")
+        args = args[:i] + args[i + 2:]
+    runs = int(args[0]) if args else 2
     import __spark_entry__ as entrymod
     from retail_sales_project_bigdata_spark.session import get_spark
 
@@ -114,19 +131,26 @@ def main() -> None:
         clear_session_memos()
         return elapsed
 
+    probes = (
+        [(n, s) for n, s in PROBES if n in only]
+        + [(n, "") for n in only if n not in {p for p, _ in PROBES}]
+        if only is not None
+        else PROBES
+    )
+
     # warm the stack (JIT, codegen, python workers) on the smallest SF
-    for name, _ in PROBES:
-        run_once(name, SFS[0])
+    for name, _ in probes:
+        run_once(name, sfs[0])
 
     results: dict[str, list[float]] = {}
-    for name, _ in PROBES:
+    for name, _ in probes:
         per_sf = []
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             per_sf.append(min(run_once(name, sf_dir) for _ in range(runs)))
         results[name] = per_sf
 
     sf_labels = [
-        _os.path.basename(d.rstrip("/")).replace("sf", "sf ") for d in SFS
+        _os.path.basename(d.rstrip("/")).replace("sf", "sf ") for d in sfs
     ]
     ratio_hdr = " | ".join(f"r{i + 1}" for i in range(len(SFS) - 1))
     out = [
@@ -225,6 +249,13 @@ def main() -> None:
         "  bounds per-round pair aggregation past 20k docs.",
         "",
     ]
+    if only is not None:
+        # Targeted mode: print the measured rows; the caller documents
+        # them (e.g. as a follow-up section in SCALING.md) instead of
+        # overwriting the full-sweep file with a partial table.
+        hdr_i = next(i for i, l in enumerate(out) if l.startswith("| query"))
+        print("\n".join(out[hdr_i:hdr_i + 2 + len(probes)]))
+        return
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(out))
     print("wrote SCALING.md")
