@@ -152,7 +152,7 @@ def main() -> None:
     sf_labels = [
         _os.path.basename(d.rstrip("/")).replace("sf", "sf ") for d in sfs
     ]
-    ratio_hdr = " | ".join(f"r{i + 1}" for i in range(len(SFS) - 1))
+    ratio_hdr = " | ".join(f"r{i + 1}" for i in range(len(sfs) - 1))
     out = [
         "# SCALING — headline-query runtime across 10x data steps",
         "",
@@ -168,9 +168,9 @@ def main() -> None:
         "| query | shape | "
         + " | ".join(f"{lbl} s" for lbl in sf_labels)
         + f" | {ratio_hdr} |",
-        "|---|---|" + "---|" * (2 * len(SFS) - 1),
+        "|---|---|" + "---|" * (2 * len(sfs) - 1),
     ]
-    for name, shape in PROBES:
+    for name, shape in probes:
         ts = results[name]
         ratios = [ts[i + 1] / ts[i] for i in range(len(ts) - 1)]
         out.append(
