@@ -94,3 +94,50 @@ def gate_mode() -> bool:
     have no SQL oracle); the property tests in tests/ run WITHOUT gate
     mode and keep the full-strength sweeps."""
     return os.environ.get("SPARK_GRAFT_GATE_MODE", "") not in ("", "0")
+
+
+# SparkContext application ids that already had the package zip shipped
+# (plain set of strings — contexts are recreated with fresh ids, and a
+# dead context's leftover id costs nothing).
+_PKG_SHIPPED: set[str] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via ``addPyFile`` — once
+    per SparkContext.
+
+    Why: module-level functions used inside ``mapInPandas`` /
+    ``applyInPandas(WithState)`` are pickled BY REFERENCE, so every
+    Python worker must be able to ``import retail_sales_project_bigdata_spark``.
+    In local mode that silently works only when the driver's cwd is the
+    repo root: the JVM launches workers with ``python -m pyspark.daemon``,
+    and ``-m`` prepends the daemon's cwd (= the driver JVM's cwd) to
+    ``sys.path``.  A driver that loads ``__spark_entry__.py`` by file
+    path from a foreign cwd (exactly what the round driver does) gets
+    ``ModuleNotFoundError`` from every Arrow-boundary query.  Shipping a
+    package zip through the standard ``addPyFile`` channel makes the
+    contract hold from ANY cwd — and is the same mechanism a real
+    cluster deployment uses, so nothing here is local-mode-specific.
+
+    Called from ``sources.read_table`` (the entry point every query
+    shares); one zip of the pure-Python package (~a few hundred KB),
+    built under Spark's own temp dir, fetched once per worker.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _PKG_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="pkg_ship_")
+    zip_base = os.path.join(staging, "retail_sales_project_bigdata_spark_pkg")
+    zip_path = shutil.make_archive(
+        zip_base,
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    _PKG_SHIPPED.add(app_id)

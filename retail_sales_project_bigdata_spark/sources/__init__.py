@@ -52,7 +52,16 @@ def read_table(
     tables get a ``broadcast()`` hint — at 100 TB the fact tables shuffle
     terabytes if a dim join degrades to sort-merge, so the hint is part of
     the physical design, not an afterthought (SURVEY §2.3 physical note).
+
+    Also ships this package to the Python workers (once per
+    SparkContext) so Arrow-boundary queries survive a driver whose cwd
+    is not the repo root — see ``session.ensure_package_on_workers``.
     """
+    from retail_sales_project_bigdata_spark.session import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if (

@@ -73,3 +73,23 @@ def test_gate_order_matches_committed_artifact():
     assert list(qs)[:50] == GATE_ORDER
     oracles = entrymod.oracle_sql()
     assert all(n in oracles for n in GATE_ORDER)
+
+
+def test_package_shipped_to_python_workers(spark):
+    """Module-level functions inside mapInPandas/applyInPandas are
+    pickled by reference, so Python workers must be able to import this
+    package.  In local mode that silently works only while the driver's
+    cwd is the repo root (``python -m pyspark.daemon`` prepends the
+    daemon's cwd); the round driver loads ``__spark_entry__.py`` by path
+    from a foreign cwd, where round-7's gate queries ``frame_sample`` /
+    ``media_stats_by_modality`` raised ModuleNotFoundError in the worker
+    until ``session.ensure_package_on_workers`` shipped a package zip
+    through addPyFile.  Assert the ship actually happens on the shared
+    read path (tools/driver_gate_sim.py is the foreign-cwd e2e proof)."""
+    from retail_sales_project_bigdata_spark.sources import read_table
+
+    read_table(spark, SF_SMALL, "region")
+    assert any(
+        "retail_sales_project_bigdata_spark_pkg" in f
+        for f in spark.sparkContext.listFiles
+    )
