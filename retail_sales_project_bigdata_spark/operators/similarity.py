@@ -1613,8 +1613,9 @@ def embedding_quantize_int8_vectors(
     smaller than float32, 8× smaller than float64; ADC-style scoring
     then works on the int8 codes).
 
-    Per vector: ``scale = max(|v_i|)``; ``q_i = floor(v_i * 127 /
-    scale)``; plus a saturation count (elements hitting ±127) as the
+    Per vector: ``scale = max(|v_i|)``; ``q_i = max(-127, floor(v_i *
+    127 / scale))`` (symmetric code book — see the clamp comment below);
+    plus a saturation count (elements hitting ±127) as the
     quantization-health signal.  Map-only — one narrow projection over
     the corpus scan, no shuffle, embarrassingly parallel at any scale.
 
@@ -1637,11 +1638,20 @@ def embedding_quantize_int8_vectors(
     scaled = base.withColumn(
         "scale", F.expr("array_max(transform(v, x -> abs(x)))")
     )
+    # greatest(-127, ...): for x = -scale the two-rounding quotient
+    # fl(fl(x * 127.0) / scale) can land a hair below -127 (e.g.
+    # -127.00000000000001), and floor would then emit -128 — legal int8
+    # but outside the symmetric ±127 code book ADC tables assume.  The
+    # clamp is one exactly-mirrored op in both engines, so oracle
+    # exactness is preserved (the corpus' float32-derived embeddings
+    # never trip it — 127*x is exact in 53 bits — but float64 inputs
+    # would).
     quantized = scaled.withColumn(
         "quant",
         F.expr(
             "CASE WHEN scale = 0 THEN transform(v, x -> 0)"
-            " ELSE transform(v, x -> cast(floor(x * 127.0 / scale) as int))"
+            " ELSE transform(v, x -> greatest(-127,"
+            " cast(floor(x * 127.0 / scale) as int)))"
             " END"
         ),
     )
@@ -1689,7 +1699,8 @@ WITH base AS (
 ), quantized AS (
   SELECT vec_id, scale,
          CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / scale) AS INT))
+              ELSE list_transform(v, x -> greatest(-127,
+                   CAST(floor(x * 127.0 / scale) AS INT)))
          END AS quant
   FROM scaled
 )

@@ -98,8 +98,40 @@ def gate_mode() -> bool:
 
 # SparkContext application ids that already had the package zip shipped
 # (plain set of strings — contexts are recreated with fresh ids, and a
-# dead context's leftover id costs nothing).
+# dead context's leftover id costs nothing).  Guarded by _PKG_LOCK: two
+# threads racing through a first read_table would otherwise both pass
+# the membership check and addPyFile the same name twice (Spark rejects
+# a re-registration).  The zip itself is built ONCE per Python process
+# and reused across contexts; its staging dir is removed at interpreter
+# exit.
 _PKG_SHIPPED: set[str] = set()
+_PKG_ZIP_PATH: list[str] = []  # lazily-built singleton [path]
+import threading as _threading  # noqa: E402
+
+_PKG_LOCK = _threading.Lock()
+
+
+def _package_zip() -> str:
+    if not _PKG_ZIP_PATH:
+        import atexit
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        staging = tempfile.mkdtemp(prefix="pkg_ship_")
+        atexit.register(shutil.rmtree, staging, ignore_errors=True)
+        zip_base = os.path.join(
+            staging, "retail_sales_project_bigdata_spark_pkg"
+        )
+        _PKG_ZIP_PATH.append(
+            shutil.make_archive(
+                zip_base,
+                "zip",
+                root_dir=os.path.dirname(pkg_dir),
+                base_dir=os.path.basename(pkg_dir),
+            )
+        )
+    return _PKG_ZIP_PATH[0]
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -121,23 +153,15 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
 
     Called from ``sources.read_table`` (the entry point every query
     shares); one zip of the pure-Python package (~a few hundred KB),
-    built under Spark's own temp dir, fetched once per worker.
+    built once per process in a temp dir that is removed at interpreter
+    exit, fetched once per worker.
     """
     sc = spark.sparkContext
     app_id = sc.applicationId
     if app_id in _PKG_SHIPPED:
         return
-    import shutil
-    import tempfile
-
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    staging = tempfile.mkdtemp(prefix="pkg_ship_")
-    zip_base = os.path.join(staging, "retail_sales_project_bigdata_spark_pkg")
-    zip_path = shutil.make_archive(
-        zip_base,
-        "zip",
-        root_dir=os.path.dirname(pkg_dir),
-        base_dir=os.path.basename(pkg_dir),
-    )
-    sc.addPyFile(zip_path)
-    _PKG_SHIPPED.add(app_id)
+    with _PKG_LOCK:
+        if app_id in _PKG_SHIPPED:
+            return
+        sc.addPyFile(_package_zip())
+        _PKG_SHIPPED.add(app_id)

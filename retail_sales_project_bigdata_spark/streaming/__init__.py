@@ -966,12 +966,14 @@ def streaming_incremental_near_dup(
         F.col("entry.s").alias("s"),
     )
     # The prefix index is consumed once per micro-batch trigger; without
-    # a cache boundary each trigger re-runs the corpus freq agg + window
-    # (the static subplan re-executes per trigger).  Persist BEFORE the
-    # downstream join/aggregate plans are built from it, so the cache
-    # dependency is explicit in the child plans rather than relying on
-    # CacheManager plan-matching; released when the bounded run
-    # completes (finally below).
+    # a cache boundary each trigger re-runs the static corpus subplan
+    # (scan → tokenize → shingle → md5-sort → prefix posexplode — the
+    # md5-order rewrite removed the old freq agg + rank window, but the
+    # re-shingling alone is the most expensive expression in the plan).
+    # Persist BEFORE the downstream join/aggregate plans are built from
+    # it, so the cache dependency is explicit in the child plans rather
+    # than relying on CacheManager plan-matching; released when the
+    # bounded run completes (finally below).
     index = index.persist()
     corpus_sh = corpus.select(
         F.col("doc_id").alias("d_corpus"), F.col("shingles").alias("sh2")

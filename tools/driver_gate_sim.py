@@ -43,14 +43,20 @@ for name in GATE_ORDER:
         for c in s.columns:
             a, b = s[c].to_numpy(), o[c].to_numpy()
             if a.dtype.kind == "f" or b.dtype.kind == "f":
-                ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+                # EXACT like the driver's value hash — the engine's
+                # rounding discipline (pround/stable_sum) exists
+                # precisely so float outputs match bit-for-bit
+                ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
             else:
                 ok = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
             assert ok, f"values differ in {c}"
         print(f"{name:<36} OK ({len(s)} rows)")
-        spark.catalog.clearCache()
     except Exception as ex:
         fails.append((name, repr(ex)[:200]))
         print(f"{name:<36} FAIL {ex!r}"[:160])
+    finally:
+        # release per-query persists even on failure — accumulated
+        # caches otherwise pressure every later query in the sweep
+        spark.catalog.clearCache()
 print(f"\n{len(fails)} failures of {len(GATE_ORDER)}")
 sys.exit(1 if fails else 0)

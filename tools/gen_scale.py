@@ -59,8 +59,11 @@ def main() -> None:
 
     # OFF: next power of 10 strictly above every key in the source, so
     # copy ids never collide however many decades are stacked.
+    # embeddings.vec_id is offset in the numpy block below, not via
+    # KEYED — include it in the max scan or a vec_id range larger than
+    # every KEYED key would silently collide across copies.
     max_key = 0
-    for t, keys in KEYED.items():
+    for t, keys in list(KEYED.items()) + [("embeddings", ["vec_id"])]:
         for k in keys:
             v = con.sql(
                 f"SELECT max({k}) FROM '{SRC}/{t}.parquet'"
@@ -87,15 +90,24 @@ def main() -> None:
         ]
         selects = []
         for i in range(COPIES):
+            # tagged text lengthens every token, so the stored n_chars
+            # metadata must be recomputed for tagged copies — the
+            # n_chars-consuming queries (quality gates, length-weighted
+            # sampling, dataset cards) otherwise compute on stale
+            # lengths at the derived scale.
+            text_expr = (
+                f"regexp_replace(text, '(\\w+)', '\\0q{i}', 'g')"
+                if i > 0
+                else "text"
+            )
             exprs = []
             for c in cols:
                 if c in keys:
                     exprs.append(f"{c} + {i * off} AS {c}")
-                elif t == "documents" and c == "text" and i > 0:
-                    exprs.append(
-                        f"regexp_replace(text, '(\\w+)', '\\0q{i}', 'g')"
-                        " AS text"
-                    )
+                elif t == "documents" and c == "text":
+                    exprs.append(f"{text_expr} AS text")
+                elif t == "documents" and c == "n_chars":
+                    exprs.append(f"length({text_expr}) AS n_chars")
                 else:
                     exprs.append(c)
             selects.append(
