@@ -126,8 +126,20 @@ def main() -> None:
     retime_min = float(
         os.environ.get("SPARK_GRAFT_BENCH_RETIME_MIN_S", "0.5")
     )
+    # The default budget SCALES with the query set (VERDICT r7 item 2):
+    # the driver runs with defaults and cannot set env vars, and the
+    # fixed 180s default left 30 cold-only values in BENCH_r07 that read
+    # as fake >=2x regressions until cross-checked against
+    # ``retime_skipped``.  2.5 s/query covers the observed re-time cost
+    # distribution (median warm re-time < 1 s, p95 ~4 s) with slack, so
+    # a defaults run re-times every >= retime_min query and the artifact
+    # carries no cold-only noise.  Env var still overrides for quick
+    # local iterations.
     retime_budget = float(
-        os.environ.get("SPARK_GRAFT_BENCH_RETIME_BUDGET_S", "180")
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_RETIME_BUDGET_S",
+            str(max(180.0, 2.5 * len(queries))),
+        )
     )
     per_run: list[dict[str, float]] = []
     per_run_build: list[float] = []

@@ -1646,6 +1646,17 @@ def embedding_quantize_int8_vectors(
     # exactness is preserved (the corpus' float32-derived embeddings
     # never trip it — 127*x is exact in 53 bits — but float64 inputs
     # would).
+    #
+    # NULL elements: both Spark and DuckDB ``greatest()`` SKIP null
+    # arguments, so a NULL embedding element quantizes to -127 rather
+    # than propagating NULL (ADVICE r7).  This is intentional for the
+    # gate form: a NULL inside ``quant`` would be silently dropped by
+    # ``array_join`` in Spark but not by DuckDB's ``array_to_string``,
+    # desynchronizing ``quant_csv`` — the deterministic -127 sentinel
+    # keeps both serializations identical.  The corpus schema declares
+    # non-null elements; callers quantizing nullable float64 vectors
+    # should null-filter upstream (a NULL element means a broken
+    # embedding, not a value to encode).
     quantized = scaled.withColumn(
         "quant",
         F.expr(

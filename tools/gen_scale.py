@@ -9,11 +9,15 @@ DERIVED source:
 - ``documents``: gen_sf1's caesar shift has only 26 distinct values, so
   composing it across two decades would collide token spaces between
   copies (shift i then j == shift i+j mod 26) and re-create cross-copy
-  near-dup structure the derivation must avoid.  Here each copy i > 0
-  instead appends a copy tag to EVERY token (regexp: ``\\w+`` ->
-  ``\\0q{i}``): within-copy shingle/duplicate structure is preserved
-  exactly, tokens are disjoint across copies at ANY copy count, and the
-  transform composes with itself (tags concatenate).
+  near-dup structure the derivation must avoid.  Here EVERY copy i —
+  including copy 0 (ADVICE r7: an untagged copy 0 lets a source token
+  that literally ends in a tag, e.g. 'fooq1', collide with copy 1's
+  'foo' -> 'fooq1') — appends a copy tag to every token (regexp:
+  ``\\w+`` -> ``\\0q{i}``): within-copy shingle/duplicate structure is
+  preserved exactly, every token carries exactly one per-decade tag
+  whose suffix uniquely identifies the copy, so tokens are disjoint
+  across copies at ANY copy count, and the transform composes with
+  itself (tags concatenate, rightmost = outermost decade).
 - ``embeddings``: per-(copy, dim) LCG sign-flips like gen_sf1, but with
   a SEED argument mixed into the LCG so stacked decades use independent
   flip patterns — if a second-decade pattern equaled a first-decade one,
@@ -95,11 +99,10 @@ def main() -> None:
             # n_chars-consuming queries (quality gates, length-weighted
             # sampling, dataset cards) otherwise compute on stale
             # lengths at the derived scale.
-            text_expr = (
-                f"regexp_replace(text, '(\\w+)', '\\0q{i}', 'g')"
-                if i > 0
-                else "text"
-            )
+            # copy 0 is tagged too (q0): see the module docstring —
+            # an untagged copy 0 re-admits cross-copy token collisions
+            # when a source token happens to end in another copy's tag.
+            text_expr = f"regexp_replace(text, '(\\w+)', '\\0q{i}', 'g')"
             exprs = []
             for c in cols:
                 if c in keys:
