@@ -7,31 +7,32 @@ classifying each registry query as:
 
 - **driver-green (strict)**: at least one driver row with
   ``rows_match & schema_match & hash_match`` all true (the strong
-  DuckDB-oracle check);
+  DuckDB-oracle check) AND the latest row is not red;
 - **driver-executed rows-only**: driver ran it but only ever as a
   ``no_oracle`` / rows-only row (ML, seeded LSH, streaming state);
-- **red-latest**: the most recent driver row failed (should be empty);
+- **regressed**: strict-green in some earlier round but the LATEST row
+  is red — reported separately so the headline strict count never
+  includes a currently-failing query (should be empty);
+- **red-latest**: latest row red, never strict (should be empty);
 - **never driver-checked**: no CORRECTNESS row in any round.
+
+The five buckets partition the registry exactly.
 
 Usage: python tools/cert_ledger.py [--json]
 """
 
 from __future__ import annotations
 
-import glob
-import importlib.util
 import json
-import re
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import load_entry, scan_correctness  # noqa: E402
 
 
 def load_registry_names() -> set[str]:
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return set(mod.queries())
+    return set(load_entry().queries())
 
 
 def strict_green(row: dict) -> bool:
@@ -56,33 +57,47 @@ def main() -> None:
     latest_row: dict[str, dict] = {}
     ever_strict: set[str] = set()
     executed: set[str] = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
-        for name, row in json.load(open(path)).items():
-            if name not in names:
-                continue  # renamed/removed since that round
-            executed.add(name)
-            if strict_green(row):
-                ever_strict.add(name)
-            if rnd >= latest_round.get(name, -1):
-                latest_round[name] = rnd
-                latest_row[name] = row
+    for rnd, name, row in scan_correctness():
+        if name not in names:
+            continue  # renamed/removed since that round
+        executed.add(name)
+        if strict_green(row):
+            ever_strict.add(name)
+        if rnd >= latest_round.get(name, -1):
+            latest_round[name] = rnd
+            latest_row[name] = row
 
-    rows_only = sorted(
-        n for n in executed - ever_strict if rows_only_row(latest_row[n])
-    )
-    red_latest = sorted(
+    red_now = {
         n
         for n, row in latest_row.items()
         if not strict_green(row) and not rows_only_row(row)
+    }
+    # A name strict in some round but red in its LATEST row is
+    # "regressed", not "strict": the headline certification count must
+    # never include a currently-failing query (review r8 — the earlier
+    # any-round membership double-counted such names into both buckets
+    # and broke the partition).
+    regressed = sorted(ever_strict & red_now)
+    strict = sorted(ever_strict - red_now)
+    red_latest = sorted(red_now - ever_strict)
+    rows_only = sorted(
+        n for n in executed - ever_strict - red_now
+        if rows_only_row(latest_row[n])
     )
     never = sorted(names - executed)
+    leftovers = sorted(
+        executed - set(strict) - set(rows_only) - red_now
+    )
+    assert not leftovers, (
+        f"unclassifiable CORRECTNESS rows (new driver row shape?): "
+        f"{leftovers}"
+    )
     report = {
         "registry_total": len(names),
-        "driver_green_strict": len(ever_strict),
+        "driver_green_strict": len(strict),
         "driver_executed_rows_only": len(rows_only),
         "never_driver_checked": len(never),
+        "regressed": regressed,
         "red_latest": red_latest,
         "rows_only_names": rows_only,
         "never_names": never,
@@ -94,6 +109,8 @@ def main() -> None:
     print(f"driver-green (strict):       {report['driver_green_strict']}")
     print(f"driver-executed rows-only:   {report['driver_executed_rows_only']}")
     print(f"never driver-checked:        {report['never_driver_checked']}")
+    if regressed:
+        print(f"REGRESSED (was strict, latest red): {regressed}")
     if red_latest:
         print(f"RED in latest row:           {red_latest}")
     print(f"rows-only names: {rows_only}")

@@ -31,13 +31,16 @@ artifact (CORRECTNESS-shaped) for the round record.
 """
 
 import argparse
-import importlib.util
 import json
+import os
 import sys
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import load_entry  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
@@ -55,19 +58,21 @@ def canon(df: "pd.DataFrame") -> "pd.DataFrame":
 def compare_column(a: "np.ndarray", b: "np.ndarray") -> bool:
     """EXACT value compare like the driver's value hash — the engine's
     rounding discipline (pround/stable_sum) exists precisely so float
-    outputs match bit-for-bit.  Object-dtype columns holding None (e.g.
-    nullable strings after toPandas) are compared as strings, where
-    None and NaN both stringify stably; numeric coercion failures fall
-    through to the string compare instead of raising (ADVICE r7)."""
-    if a.dtype.kind == "f" or b.dtype.kind == "f":
-        try:
-            af = pd.to_numeric(pd.Series(a), errors="raise").astype(float)
-            bf = pd.to_numeric(pd.Series(b), errors="raise").astype(float)
-            return bool(
-                np.allclose(af, bf, rtol=0, atol=0, equal_nan=True)
+    outputs match bit-for-bit.  The numeric branch requires BOTH sides
+    to be float dtype: an object column (e.g. floats with None mixed in
+    after toPandas) goes to the string compare instead, where None and
+    NaN stringify DIFFERENTLY — ``pd.to_numeric`` would silently coerce
+    None to NaN and mask a real NULL-vs-NaN engine divergence as a
+    match (review r8), and a too-strict FAIL that gets investigated
+    beats a false green from the tool whose whole job is predicting the
+    driver's exact check."""
+    if a.dtype.kind == "f" and b.dtype.kind == "f":
+        return bool(
+            np.allclose(
+                a.astype(float), b.astype(float),
+                rtol=0, atol=0, equal_nan=True,
             )
-        except (TypeError, ValueError):
-            pass  # object column with None mixed in → string compare
+        )
     sa = pd.Series(a).astype(str)
     sb = pd.Series(b).astype(str)
     return bool((sa == sb).all())
@@ -84,9 +89,7 @@ def main() -> int:
 
     # Load by file path — the driver's loading mode.  The entry module's
     # own sys.path bootstrap is part of the contract under test.
-    spec = importlib.util.spec_from_file_location("__spark_entry__", args.entry)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    mod = load_entry(args.entry)
     from retail_sales_project_bigdata_spark.registry import GATE_ORDER
     from retail_sales_project_bigdata_spark.session import get_spark
 
@@ -125,11 +128,17 @@ def main() -> int:
             s = canon(qs[name](spark, args.sf).toPandas())
             row["spark_rows"] = len(s)
             if name not in ors:
-                # rows-only entries (ML/seeded/streaming): the driver
-                # records execution + canonicalization only — mirror it.
+                # rows-only entries (ML/seeded/streaming): emit the
+                # DRIVER'S rows-only row shape (err="no_oracle", null
+                # match flags, spark_rows recorded — see
+                # CORRECTNESS_r01 fpgrowth_itemsets) so a sim artifact
+                # entering the round record can never be classified as
+                # a strict oracle pass by tools/cert_ledger.py
+                # (review r8: the earlier all-True shape was exactly
+                # the strength conflation the ledger exists to avoid).
                 row.update(
-                    rows_match=True, schema_match=True, hash_match=True,
-                    no_oracle=True, oracle_rows=None,
+                    rows_match=None, schema_match=None, hash_match=None,
+                    oracle_rows=None, err="no_oracle",
                 )
                 print(f"{name:<40} OK rows-only ({len(s)} rows)")
             else:

@@ -21,12 +21,14 @@ Usage: python tools/gate_subset.py [size]
 
 from __future__ import annotations
 
-import glob
 import json
-import re
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _common import scan_correctness  # noqa: E402
 
 # Flagship queries pinned into every proposed subset: the reference's own
 # headline pipeline (cleaning → RFM → churn → baskets → reports) plus one
@@ -55,14 +57,11 @@ def proposal(size: int = 50) -> list[str]:
     oracled = set(entrymod.oracle_sql())
 
     last_round_checked: dict[str, int] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
-        for name in json.load(open(path)):
-            if name in set(qs):
-                last_round_checked[name] = max(
-                    last_round_checked.get(name, 0), rnd
-                )
+    for rnd, name, _row in scan_correctness():
+        if name in set(qs):
+            last_round_checked[name] = max(
+                last_round_checked.get(name, 0), rnd
+            )
 
     out: list[str] = [n for n in STABLE_CORE if n in set(qs)]
     never = [n for n in qs if n not in last_round_checked and n not in out]
@@ -89,8 +88,8 @@ def main() -> None:
     names = proposal(size)
     qs = set(entrymod.queries())
     checked = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        checked |= set(json.load(open(path)))
+    for _rnd, name, _row in scan_correctness():
+        checked.add(name)
     print(
         f"# registry {len(qs)} queries; driver-checked so far "
         f"{len(checked & qs)}; never-checked {len(qs - checked)}",
