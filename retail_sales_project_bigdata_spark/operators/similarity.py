@@ -1345,6 +1345,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # final labels join) — persist so one action computes it once.
         .persist()
     )
+    return _semdedup_labels(assigned)
+
+
+def _semdedup_labels(assigned: DataFrame) -> DataFrame:
+    """Within-cluster near-dup scan + greedy-by-id survivor labels over a
+    prepared (vec_id, v, norm, cluster) frame — ONE definition shared by
+    :func:`semantic_dedup` and :func:`semantic_dedup_lsh` so the twins
+    can never diverge on the dedup contract (pair threshold, rounding,
+    survivor rule).  The pair space is Σ|cluster|², never n²."""
     a = assigned.select(
         "cluster",
         F.col("vec_id").alias("id_a"),
@@ -1426,6 +1435,151 @@ SELECT s.vec_id, s.cluster,
        CAST(COALESCE(d.n_dups_below, 0) = 0 AS INT) AS is_survivor
 FROM assigned s LEFT JOIN dups_below d ON s.vec_id = d.vec_id
 """
+
+
+# Hyperplane indices for the semantic-dedup assignment bands: disjoint
+# from ann_lsh (0..3) and the near-dup bands (base 100).
+_SEMDEDUP_PLANE_BASE = 1000
+SEMDEDUP_ASSIGN_BANDS = 8
+
+
+def _semdedup_assign_geometry(k_pivots: int) -> tuple[int, int]:
+    """(planes-per-band R, bands B) for bucket-restricted pivot
+    assignment.  R grows with the pivot count so the expected pivots
+    per bucket stays O(1) — 2^R ≈ k keeps per-band candidate volume at
+    n·B·O(1), i.e. LINEAR per decade where brute assignment is n·k =
+    n^1.5 (k = √n).  B is fixed: each extra band is an independent
+    chance to see a near pivot; a vector missing ALL B bands becomes a
+    singleton (conservative — it can only create survivors)."""
+    r = min(24, max(4, (max(k_pivots, 2) - 1).bit_length()))
+    return r, SEMDEDUP_ASSIGN_BANDS
+
+
+def _semantic_dedup_lsh_from(vecs: DataFrame, n_vecs: int) -> DataFrame:
+    """Bucket-assigned semantic dedup over a prepared (vec_id, v, norm)
+    frame — split out so property tests can drive it with crafted
+    duplicate clusters (same pattern as _near_dup_pairs_lsh_from)."""
+    spark = vecs.sparkSession
+    k = _num_pivots(n_vecs)
+    r_planes, bands = _semdedup_assign_geometry(k)
+    pivots = (
+        vecs.select(
+            F.col("vec_id").alias("p_id"),
+            F.col("v").alias("p_v"),
+            F.col("norm").alias("p_norm"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy(F.asc("_h"), F.asc("p_id"))
+        .limit(k)
+        .drop("_h")
+    )
+    # Planes as broadcast DATA (see _near_dup_pairs_lsh_from: inlined
+    # plane literals blow up janino analysis time).
+    planes = spark.createDataFrame(
+        [
+            (
+                b,
+                r,
+                _hyperplane(
+                    EMBEDDING_DIM,
+                    _SEMDEDUP_PLANE_BASE + b * r_planes + r,
+                ),
+            )
+            for b in range(bands)
+            for r in range(r_planes)
+        ],
+        "band int, bit int, p array<double>",
+    )
+
+    def _sig(frame: DataFrame, id_col: str) -> DataFrame:
+        return (
+            frame.select(F.col(id_col), "v")
+            .join(F.broadcast(planes))
+            .groupBy(id_col, "band")
+            .agg(
+                F.sum(
+                    F.when(
+                        _dot_expr("v", "p") > 0,
+                        F.expr("shiftleft(1, bit)"),
+                    ).otherwise(0)
+                )
+                .cast("int")
+                .alias("bucket")
+            )
+        )
+
+    sig_p = _sig(
+        pivots.select(F.col("p_id"), F.col("p_v").alias("v")), "p_id"
+    )
+    # candidate (vector, pivot) pairs: narrow id frames only — the
+    # bucket join never carries vectors, so its volume is the candidate
+    # count itself (~n·B·O(1) by the geometry above)
+    cand = (
+        _sig(vecs, "vec_id")
+        .join(F.broadcast(sig_p), ["band", "bucket"])
+        .select("vec_id", "p_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(vecs.select("vec_id", "v", "norm"), "vec_id")
+        .join(F.broadcast(pivots), "p_id")
+        .withColumn(
+            "cos_p",
+            pround(
+                _dot_expr("v", "p_v") / (F.col("norm") * F.col("p_norm")), 6
+            ),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos_p"), F.asc("p_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", F.col("p_id").alias("cluster"))
+    )
+    assigned = (
+        vecs.select("vec_id", "v", "norm")
+        .join(best, "vec_id", "left")
+        # no candidate pivot in any band -> singleton cluster under the
+        # vector's own id (conservative: singletons only ever survive;
+        # id spaces cannot collide — a pivot always shares every band
+        # bucket with itself, so pivot ids never take the fallback)
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("vec_id")))
+        .persist()  # three consumers, same as semantic_dedup
+    )
+    return _semdedup_labels(assigned)
+
+
+def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-assigned twin of :func:`semantic_dedup` — the 100× SCALE
+    path for the cluster-then-dedup contract (vec_id, cluster,
+    n_dups_below, is_survivor).
+
+    Why it exists: exact SemDeDup assignment is corpus × pivots = n·k,
+    and with the balanced k = √n that is n^1.5 — measured 35.6×/decade
+    at the sf10 step (theoretical 10^1.5 = 31.6×; SCALING.md round-8
+    section).  Real SemDeDup deployments assign via an ANN index for
+    exactly this reason.  Here the assignment is restricted to pivots
+    sharing a banded hyperplane-LSH bucket with the vector
+    (:func:`_semdedup_assign_geometry`: 2^R ≈ k pivots/bucket O(1), B
+    fixed bands → candidate volume n·B·O(1), linear per decade); the
+    within-cluster near-dup scan and survivor rule are the SAME code as
+    the exact operator (:func:`_semdedup_labels`).  A vector whose
+    bands match no pivot becomes a singleton — conservative, it can
+    only add survivors, never a false drop.
+
+    Rows-only for the driver (assignment is approximate by design — a
+    missed band changes the clustering); property tests assert the
+    shared contract invariants and that crafted duplicate groups dedup.
+    """
+    vecs = _vectors(spark, sf_dir)
+    n = read_table(spark, sf_dir, "embeddings").count()  # metadata-only
+    return _semantic_dedup_lsh_from(vecs, n)
 
 
 MMR_POOL = 30  # relevance-ranked candidate pool per query
@@ -1744,6 +1898,7 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "ann_mmr_topk": ann_mmr_topk,
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_lsh": semantic_dedup_lsh,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_centroids": embedding_centroids,

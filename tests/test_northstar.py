@@ -255,6 +255,95 @@ def test_semantic_dedup_contract(spark):
             assert (r.n_dups_below == 0) == (r.is_survivor == 1), r
 
 
+def test_semantic_dedup_lsh_contract(spark):
+    """The bucket-assigned twin keeps the exact operator's invariants:
+    full coverage, valid cluster ids (a pivot id or the vector's own id
+    via the singleton fallback), greedy-by-id survivors, and the
+    n_dups_below==0 <=> survivor equivalence (shared _semdedup_labels)."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        _num_pivots,
+        semantic_dedup_lsh,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = semantic_dedup_lsh(spark, SF_SMALL).collect()
+    assert len(out) == len({r.vec_id for r in out})
+    n = len(out)
+    # clusters: at most k pivots plus singletons (cluster == own id)
+    pivot_clusters = {
+        r.cluster for r in out if r.cluster != r.vec_id
+    }
+    assert len(pivot_clusters) <= _num_pivots(n)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        min_id = min(r.vec_id for r in rows)
+        for r in rows:
+            if r.vec_id == min_id:
+                assert r.is_survivor == 1, r
+            assert (r.n_dups_below == 0) == (r.is_survivor == 1), r
+    # singletons can only survive (the conservative fallback direction)
+    for r in out:
+        if r.cluster == r.vec_id and len(by_cluster[r.cluster]) == 1:
+            assert r.is_survivor == 1, r
+
+
+def test_semantic_dedup_lsh_collapses_exact_duplicate_groups(spark):
+    """Crafted corpus: identical vectors share every band bucket, hence
+    every candidate pivot, hence (deterministic tie-breaks) the SAME
+    cluster — so each exact-duplicate group must collapse to exactly
+    one survivor (the minimum id), with orthogonal base patterns
+    staying apart (cross-group cosine 0 < SEMDEDUP_COS)."""
+    from pyspark.sql import functions as F
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        _semantic_dedup_lsh_from,
+        _vectors_from_matrix_rows,
+    )
+
+    groups, copies = 10, 4
+    rows = []
+    for g in range(groups):
+        base = [0.0] * EMBEDDING_DIM
+        # two non-zero coords per base, disjoint across groups -> exact
+        # orthogonality between groups
+        base[2 * g] = 1.0
+        base[2 * g + 1] = 0.5 + 0.1 * g
+        for c in range(copies):
+            rows.append((g * copies + c, base))
+    vecs = _vectors_from_matrix_rows(
+        spark.createDataFrame(rows, "vec_id long, v array<double>")
+    )
+    out = {
+        r.vec_id: r
+        for r in _semantic_dedup_lsh_from(vecs, len(rows)).collect()
+    }
+    assert len(out) == groups * copies
+    for g in range(groups):
+        ids = [g * copies + c for c in range(copies)]
+        clusters = {out[i].cluster for i in ids}
+        assert len(clusters) == 1, (g, clusters)
+        survivors = [i for i in ids if out[i].is_survivor == 1]
+        assert survivors == [min(ids)], (g, survivors)
+        for i in ids[1:]:
+            assert out[i].n_dups_below >= 1, (g, i)
+
+
+def test_semantic_dedup_lsh_deterministic(spark):
+    """Two runs produce identical rows — no RNG state anywhere (planes,
+    pivots and tie-breaks are all hash-derived)."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        semantic_dedup_lsh,
+    )
+    from tests.conftest import SF_SMALL
+
+    one = sorted(map(tuple, semantic_dedup_lsh(spark, SF_SMALL).collect()))
+    spark.catalog.clearCache()
+    two = sorted(map(tuple, semantic_dedup_lsh(spark, SF_SMALL).collect()))
+    assert one == two
+
+
 def test_documents_jsonl_roundtrip_counts(spark):
     """JSONL write→read digest has one row per source and covers every
     document (sum of per-source counts == table count)."""
