@@ -47,6 +47,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "supplier_revenue_ranks",
     "semantic_dedup",
+    "semantic_dedup_lsh",
     "pii_scrub",
     "unigram_freq_scores",
     "ngram_lm_counts",
