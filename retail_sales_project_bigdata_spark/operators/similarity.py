@@ -1438,9 +1438,19 @@ FROM assigned s LEFT JOIN dups_below d ON s.vec_id = d.vec_id
 
 
 # Hyperplane indices for the semantic-dedup assignment bands: disjoint
-# from ann_lsh (0..3) and the near-dup bands (base 100).
-_SEMDEDUP_PLANE_BASE = 1000
+# from ann_lsh (0..3) and the near-dup bands, which occupy
+# [_NEAR_DUP_PLANE_BASE, _NEAR_DUP_PLANE_BASE + B*R - 1] and at the
+# geometry table's ceiling (B=64, R=19 — corpora >= ~1M vectors) reach
+# index 1315.  The old base of 1000 overlapped that range at exactly the
+# scales the LSH path targets (ADVICE r8): reusing a hyperplane across
+# the two operators correlates their bucketings.  Base 2000 clears the
+# ceiling with slack; the assert makes the invariant load-bearing
+# instead of a comment.
+_SEMDEDUP_PLANE_BASE = 2000
 SEMDEDUP_ASSIGN_BANDS = 8
+assert _SEMDEDUP_PLANE_BASE > _NEAR_DUP_PLANE_BASE + (
+    NEAR_DUP_B_MAX * NEAR_DUP_R_MAX
+), "semantic-dedup hyperplane range overlaps the near-dup band planes"
 
 
 def _semdedup_assign_geometry(k_pivots: int) -> tuple[int, int]:

@@ -143,6 +143,20 @@ def test_gatesim_compare_never_masks_none_as_nan():
     assert not driver_gate_sim.compare_column(a, b)
 
 
+def test_gatesim_compare_int_vs_float_is_numeric():
+    """ADVICE r8: an int64-vs-float64 pair (DuckDB BIGINT vs Spark
+    DOUBLE for a value-equal column) must take the exact numeric branch
+    — neither dtype can hold None, so there is no masking risk, and the
+    string path would false-FAIL on '5' vs '5.0' without predicting the
+    driver's verdict."""
+    a = np.array([5, 7, -2], dtype=np.int64)
+    b = np.array([5.0, 7.0, -2.0])
+    assert driver_gate_sim.compare_column(a, b)
+    assert driver_gate_sim.compare_column(b, a)
+    c = np.array([5.0, 7.0, -2.5])
+    assert not driver_gate_sim.compare_column(a, c)
+
+
 def test_gatesim_rows_only_rows_use_the_driver_shape():
     """review r8: a rows-only row in a sim --out artifact must carry the
     driver's no_oracle format (null flags + err='no_oracle') so

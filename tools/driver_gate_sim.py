@@ -59,14 +59,19 @@ def compare_column(a: "np.ndarray", b: "np.ndarray") -> bool:
     """EXACT value compare like the driver's value hash — the engine's
     rounding discipline (pround/stable_sum) exists precisely so float
     outputs match bit-for-bit.  The numeric branch requires BOTH sides
-    to be float dtype: an object column (e.g. floats with None mixed in
-    after toPandas) goes to the string compare instead, where None and
-    NaN stringify DIFFERENTLY — ``pd.to_numeric`` would silently coerce
-    None to NaN and mask a real NULL-vs-NaN engine divergence as a
-    match (review r8), and a too-strict FAIL that gets investigated
-    beats a false green from the tool whose whole job is predicting the
-    driver's exact check."""
-    if a.dtype.kind == "f" and b.dtype.kind == "f":
+    to be a true numeric dtype (float/int/uint — NOT object): an object
+    column (e.g. floats with None mixed in after toPandas) goes to the
+    string compare instead, where None and NaN stringify DIFFERENTLY —
+    ``pd.to_numeric`` would silently coerce None to NaN and mask a real
+    NULL-vs-NaN engine divergence as a match (review r8), and a
+    too-strict FAIL that gets investigated beats a false green from the
+    tool whose whole job is predicting the driver's exact check.  But a
+    float64-vs-int64 pair (DuckDB BIGINT vs Spark DOUBLE for a
+    value-equal column) has no None masking risk — neither dtype can
+    hold None — and the driver itself compares those numerically, so
+    sending it to the string path ('5' vs '5.0') would be a sim
+    false-FAIL that does NOT predict the driver verdict (ADVICE r8)."""
+    if a.dtype.kind in "fiu" and b.dtype.kind in "fiu":
         return bool(
             np.allclose(
                 a.astype(float), b.astype(float),
