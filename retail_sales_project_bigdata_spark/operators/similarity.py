@@ -1303,12 +1303,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment n*k against pair work n^2/k at n^1.5 each), selected as a
     tiny top-K by hash, broadcastable at any corpus size;
     assignment is corpus × broadcast-pivots — linear, map-only after the
-    broadcast; the near-dup self-join is shuffled on ``cluster`` so each
-    task owns whole (bounded) clusters and the pair space is
-    Σ|cluster|², not n².  Skewed clusters are the known failure mode —
-    production re-splits oversized clusters (recursive pivoting), which
-    preserves these semantics.
+    broadcast; the near-dup self-join is shuffled on ``(cluster, _sub)``
+    where ``_sub`` cuts every cluster into rank-blocks of at most
+    SEMDEDUP_CLUSTER_CAP members (see :func:`_semdedup_capped`), so each
+    task owns whole BOUNDED blocks and the pair space is
+    Σ|block|² <= n·CAP — linear even when the clustering is skewed.
+    Pairs split across a block boundary go unscanned (conservative:
+    extra survivors only).  For THIS exact twin the remaining n^1.5 term
+    is the assignment cross-join itself; :func:`semantic_dedup_lsh` is
+    the scale twin that linearizes it.
     """
+    return _semdedup_labels(_semdedup_assigned_exact(spark, sf_dir))
+
+
+def _semdedup_assigned_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact twin's assignment stage — the persisted
+    (vec_id, v, norm, cluster, cos_p) frame `_semdedup_labels` consumes.
+    Split out so tools/semdedup_pair_probe.py and tests can measure the
+    pair stage's candidate volume without re-deriving the assignment."""
     vecs = _vectors(spark, sf_dir)
     n_vecs = read_table(spark, sf_dir, "embeddings").count()  # metadata-only
     pivots = (
@@ -1339,35 +1351,88 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("_rk") == 1)
-        .select("vec_id", "v", "norm", F.col("p_id").alias("cluster"))
+        .select(
+            "vec_id", "v", "norm", F.col("p_id").alias("cluster"), "cos_p"
+        )
         # the assignment (cross-join + per-vector rank, the dominant
         # stage) feeds THREE consumers (both self-join sides and the
         # final labels join) — persist so one action computes it once.
         .persist()
     )
-    return _semdedup_labels(assigned)
+    return assigned
+
+
+# Hard per-block bound on the within-cluster pair scan (VERDICT r8 watch
+# item: the LSH twin linearized ASSIGNMENT, but `_semdedup_labels`'
+# cluster self-join kept the Σ|cluster|² term, which at balanced k=√n is
+# n^1.5 in a dense-cluster regime).  Members of each cluster are ranked
+# by (cos_p desc, vec_id) and cut into blocks of <= CAP; the pair join
+# keys on (cluster, block), so pair volume is <= n·CAP/2 — LINEAR in n
+# with a constant cap — and each shuffle task owns whole bounded blocks.
+# Choice of ordering key: exact duplicates have IDENTICAL cos_p (it is
+# pround'ed), so a duplicate group always sorts contiguous and lands in
+# one block unless it is itself larger than CAP; near-duplicates have
+# near-equal cos_p, so they tend to share a block too — the 1-D
+# projection onto the pivot direction is the cheapest locality-preserving
+# order available without new math, and it is already computed by both
+# twins' assignment stages.  A pair split across a block boundary is
+# simply not scanned: both sides keep their labels — CONSERVATIVE (can
+# only create extra survivors, never a false drop), same direction as the
+# LSH twin's missed-band singletons.  Clusters at or under the cap get
+# block 0 for every member, so the semantics (and the r8 gate
+# certification of `semantic_dedup`) are unchanged wherever the cap
+# doesn't bind.  Cost: one rank window per self-join side, partitioned by
+# cluster — the same key the pair join shuffles on; an oversized cluster
+# sorts in a single task (|c|·log|c|, spillable) instead of pairing in
+# n² — the production refinement past that is a range-partitioned sort,
+# noted in SCALING.md.
+SEMDEDUP_CLUSTER_CAP = 512
+
+
+def _semdedup_capped(assigned: DataFrame) -> DataFrame:
+    """Attach the block id `_sub` (rank within cluster, cut at
+    SEMDEDUP_CLUSTER_CAP) — split out so tests can assert the bound."""
+    return assigned.withColumn(
+        "_sub",
+        F.floor(
+            (
+                F.row_number().over(
+                    Window.partitionBy("cluster").orderBy(
+                        F.desc("cos_p"), F.asc("vec_id")
+                    )
+                )
+                - 1
+            )
+            / F.lit(SEMDEDUP_CLUSTER_CAP)
+        ).cast("int"),
+    )
 
 
 def _semdedup_labels(assigned: DataFrame) -> DataFrame:
     """Within-cluster near-dup scan + greedy-by-id survivor labels over a
-    prepared (vec_id, v, norm, cluster) frame — ONE definition shared by
-    :func:`semantic_dedup` and :func:`semantic_dedup_lsh` so the twins
-    can never diverge on the dedup contract (pair threshold, rounding,
-    survivor rule).  The pair space is Σ|cluster|², never n²."""
-    a = assigned.select(
+    prepared (vec_id, v, norm, cluster, cos_p) frame — ONE definition
+    shared by :func:`semantic_dedup` and :func:`semantic_dedup_lsh` so
+    the twins can never diverge on the dedup contract (pair threshold,
+    rounding, survivor rule, cluster-size cap).  The pair space is
+    Σ|block|² <= n·SEMDEDUP_CLUSTER_CAP, never n² (see the cap note
+    above)."""
+    capped = _semdedup_capped(assigned)
+    a = capped.select(
         "cluster",
+        "_sub",
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("v_a"),
         F.col("norm").alias("norm_a"),
     )
-    b = assigned.select(
+    b = capped.select(
         "cluster",
+        "_sub",
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("v_b"),
         F.col("norm").alias("norm_b"),
     )
     dup_pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_ab",
@@ -1410,9 +1475,10 @@ pivots AS (
                            CAST(CEIL(SQRT((SELECT COUNT(*) FROM vecs))) AS BIGINT))
 ),
 assigned AS (
-  SELECT vec_id, v, norm, p_id AS cluster
+  SELECT vec_id, v, norm, p_id AS cluster, cos_p
   FROM (
     SELECT c.vec_id, c.v, c.norm, p.p_id,
+           ROUND(list_dot_product(c.v, p.p_v) / (c.norm * p.p_norm), 6) AS cos_p,
            ROW_NUMBER() OVER (
              PARTITION BY c.vec_id
              ORDER BY ROUND(list_dot_product(c.v, p.p_v) / (c.norm * p.p_norm), 6) DESC,
@@ -1420,10 +1486,19 @@ assigned AS (
     FROM vecs c CROSS JOIN pivots p
   ) WHERE _rk = 1
 ),
+-- cluster-size cap mirror (_semdedup_capped): rank within cluster by
+-- (cos_p desc, vec_id), cut into blocks of {SEMDEDUP_CLUSTER_CAP}; the
+-- pair scan keys on (cluster, _sub) so pair volume is linear in n
+capped AS (
+  SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (
+           PARTITION BY cluster ORDER BY cos_p DESC, vec_id ASC) - 1)
+           / {SEMDEDUP_CLUSTER_CAP}) AS INT) AS _sub
+  FROM assigned
+),
 dup_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assigned a JOIN assigned b
-    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  FROM capped a JOIN capped b
+    ON a.cluster = b.cluster AND a._sub = b._sub AND a.vec_id < b.vec_id
   WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= {SEMDEDUP_COS}
 ),
 dups_below AS (
@@ -1469,6 +1544,14 @@ def _semantic_dedup_lsh_from(vecs: DataFrame, n_vecs: int) -> DataFrame:
     """Bucket-assigned semantic dedup over a prepared (vec_id, v, norm)
     frame — split out so property tests can drive it with crafted
     duplicate clusters (same pattern as _near_dup_pairs_lsh_from)."""
+    return _semdedup_labels(_semdedup_assigned_lsh_from(vecs, n_vecs))
+
+
+def _semdedup_assigned_lsh_from(vecs: DataFrame, n_vecs: int) -> DataFrame:
+    """The LSH twin's bucket-restricted assignment stage — persisted
+    (vec_id, v, norm, cluster, cos_p) frame for `_semdedup_labels`.
+    Split out for tools/semdedup_pair_probe.py (pair-stage candidate
+    volume per decade) and tests."""
     spark = vecs.sparkSession
     k = _num_pivots(n_vecs)
     r_planes, bands = _semdedup_assign_geometry(k)
@@ -1550,7 +1633,7 @@ def _semantic_dedup_lsh_from(vecs: DataFrame, n_vecs: int) -> DataFrame:
             ),
         )
         .filter(F.col("_rk") == 1)
-        .select("vec_id", F.col("p_id").alias("cluster"))
+        .select("vec_id", F.col("p_id").alias("cluster"), "cos_p")
     )
     assigned = (
         vecs.select("vec_id", "v", "norm")
@@ -1558,11 +1641,15 @@ def _semantic_dedup_lsh_from(vecs: DataFrame, n_vecs: int) -> DataFrame:
         # no candidate pivot in any band -> singleton cluster under the
         # vector's own id (conservative: singletons only ever survive;
         # id spaces cannot collide — a pivot always shares every band
-        # bucket with itself, so pivot ids never take the fallback)
+        # bucket with itself, so pivot ids never take the fallback).
+        # The fallback cos_p is the vector's cosine to itself (1.0) —
+        # only the cap's within-cluster ORDER reads it, and a singleton
+        # block is trivially ordered.
         .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("vec_id")))
+        .withColumn("cos_p", F.coalesce(F.col("cos_p"), F.lit(1.0)))
         .persist()  # three consumers, same as semantic_dedup
     )
-    return _semdedup_labels(assigned)
+    return assigned
 
 
 def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

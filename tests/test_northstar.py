@@ -330,6 +330,118 @@ def test_semantic_dedup_lsh_collapses_exact_duplicate_groups(spark):
             assert out[i].n_dups_below >= 1, (g, i)
 
 
+def _crafted_mega_cluster(spark, n_fill: int, dup_copies: int):
+    """One cluster of n_fill+dup_copies members for driving the shared
+    label stage directly: a dup group of identical vectors on dim 0
+    with the HIGHEST (tied) cos_p, plus pairwise-orthogonal one-hot
+    fill vectors (cross cosine 0 < SEMDEDUP_COS) with distinct lower
+    cos_p values.  Returns the (vec_id, v, norm, cluster, cos_p) frame
+    of `_semdedup_labels`' input contract."""
+    dim = n_fill + 1
+    rows = []
+    for c in range(dup_copies):
+        v = [0.0] * dim
+        v[0] = 2.0
+        rows.append((c, v, 0.999))
+    for i in range(n_fill):
+        v = [0.0] * dim
+        v[1 + i] = 1.0
+        rows.append((dup_copies + i, v, 0.9 - i * 1e-6))
+    from pyspark.sql import functions as F
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        _vectors_from_matrix_rows,
+    )
+
+    return _vectors_from_matrix_rows(
+        spark.createDataFrame(
+            [(i, v) for i, v, _ in rows], "vec_id long, v array<double>"
+        )
+    ).join(
+        spark.createDataFrame(
+            [(i, c) for i, _, c in rows], "vec_id long, cos_p double"
+        ),
+        "vec_id",
+    ).withColumn("cluster", F.lit(999).cast("long"))
+
+
+def test_semdedup_cap_bounds_block_sizes(spark):
+    """VERDICT r8 watch item: a mega-cluster larger than
+    SEMDEDUP_CLUSTER_CAP must be cut into rank-blocks of at most CAP
+    members (pair work <= n·CAP, linear), deterministically."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        SEMDEDUP_CLUSTER_CAP,
+        _semdedup_capped,
+    )
+
+    n = SEMDEDUP_CLUSTER_CAP + 8
+    assigned = _crafted_mega_cluster(spark, n_fill=n - 5, dup_copies=5)
+    sizes = (
+        _semdedup_capped(assigned)
+        .groupBy("cluster", "_sub")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in sizes) == n
+    assert max(r["count"] for r in sizes) <= SEMDEDUP_CLUSTER_CAP
+    assert len(sizes) == -(-n // SEMDEDUP_CLUSTER_CAP)  # ceil
+
+
+def test_semdedup_cap_preserves_duplicate_group_collapse(spark):
+    """Splitting a mega-cluster must NOT change survivor semantics on a
+    duplicate group: identical vectors carry IDENTICAL (pround'ed)
+    cos_p, so they rank contiguously and land in one block — the group
+    still collapses to exactly its minimum id, and every orthogonal
+    fill vector still survives."""
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        SEMDEDUP_CLUSTER_CAP,
+        _semdedup_labels,
+    )
+
+    n = SEMDEDUP_CLUSTER_CAP + 8
+    assigned = _crafted_mega_cluster(spark, n_fill=n - 5, dup_copies=5)
+    out = {r.vec_id: r for r in _semdedup_labels(assigned).collect()}
+    assert len(out) == n
+    assert [i for i in range(5) if out[i].is_survivor == 1] == [0]
+    for i in range(1, 5):
+        assert out[i].n_dups_below >= 1, i
+    for i in range(5, n):
+        assert out[i].is_survivor == 1, i
+
+
+def test_semdedup_cap_boundary_split_is_conservative(spark):
+    """A duplicate group larger than the cap necessarily straddles a
+    block boundary; the unscanned cross-block pairs may only ADD
+    survivors (one per block), never drop a vector that the uncapped
+    scan would keep — the same conservative direction as the LSH twin's
+    missed-band singletons."""
+    from pyspark.sql import functions as F
+    from retail_sales_project_bigdata_spark.operators.similarity import (
+        SEMDEDUP_CLUSTER_CAP,
+        _semdedup_labels,
+        _vectors_from_matrix_rows,
+    )
+
+    n = SEMDEDUP_CLUSTER_CAP + 1  # identical vectors, all one cluster
+    assigned = (
+        _vectors_from_matrix_rows(
+            spark.createDataFrame(
+                [(i, [3.0, 4.0]) for i in range(n)],
+                "vec_id long, v array<double>",
+            )
+        )
+        .withColumn("cluster", F.lit(7).cast("long"))
+        .withColumn("cos_p", F.lit(0.95))
+    )
+    out = {r.vec_id: r for r in _semdedup_labels(assigned).collect()}
+    survivors = sorted(i for i in out if out[i].is_survivor == 1)
+    # block 0 = ranks 1..CAP (ids 0..CAP-1, its min id 0 survives);
+    # block 1 = the single overflow row (id CAP) — survives by block
+    # isolation.  Exactly these two, nothing else.
+    assert survivors == [0, SEMDEDUP_CLUSTER_CAP]
+    for i in range(1, SEMDEDUP_CLUSTER_CAP):
+        assert out[i].n_dups_below >= 1, i
+
+
 def test_semantic_dedup_lsh_deterministic(spark):
     """Two runs produce identical rows — no RNG state anywhere (planes,
     pivots and tie-breaks are all hash-derived)."""
