@@ -26,8 +26,12 @@ DERIVED source:
 OFF is derived from the source's max key (next power of 10 above it), so
 stacking decades cannot collide ids.
 
-Usage: python tools/gen_scale.py [src_dir] [out_dir] [copies] [seed]
-Defaults: .scale/sf1 .scale/sf10 10 1
+Usage: python tools/gen_scale.py [src_dir] [out_dir] [copies] [seed] [tables]
+Defaults: .scale/sf1 .scale/sf10 10 1 <all>
+``tables`` (comma list, e.g. ``documents,embeddings``) restricts output
+to the named tables for TARGETED decade probes — a full sf100 is ~24 GB
+of mostly-lineitem nobody reads, while the round-9 dedup_groups /
+semantic_dedup probes only scan documents + embeddings (~1 GB).
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, ".scale", "sf1")
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(_REPO, ".scale", "sf10")
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 SEED = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+TABLES = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
 
 KEYED = {
     "customer": ["c_custkey"],
@@ -79,6 +84,8 @@ def main() -> None:
     print(f"max source key {max_key} -> OFF {off}")
 
     for t in ("region", "nation"):
+        if TABLES is not None and t not in TABLES:
+            continue
         con.sql(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet')"
             f" TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
@@ -86,6 +93,8 @@ def main() -> None:
         print(t, "copied (shared dim)")
 
     for t, keys in KEYED.items():
+        if TABLES is not None and t not in TABLES:
+            continue
         cols = [
             r[0]
             for r in con.sql(
@@ -125,6 +134,9 @@ def main() -> None:
         ).fetchone()[0]
         print(t, n, "rows")
 
+    if TABLES is not None and "embeddings" not in TABLES:
+        print("wrote", OUT)
+        return
     rows = con.sql(
         f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'"
         " ORDER BY vec_id"

@@ -44,7 +44,7 @@ DEFAULT_SFS = [
 ]
 
 
-def probe(spark, sf_dir: str) -> dict:
+def probe(spark, sf_dir: str, twins: set | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from retail_sales_project_bigdata_spark.operators.similarity import (
@@ -66,6 +66,8 @@ def probe(spark, sf_dir: str) -> dict:
         ),
     }
     for twin, build in builders.items():
+        if twins is not None and twin not in twins:
+            continue
         assigned = build()
         stats = (
             _semdedup_capped(assigned)
@@ -158,9 +160,17 @@ def main() -> None:
             spark, sys.argv[2] if len(sys.argv) > 2 else DEFAULT_SFS[-1]
         )
         return
-    sfs = sys.argv[1:] or DEFAULT_SFS
+    argv = sys.argv[1:]
+    twins = None
+    if argv[:1] == ["--twins"]:
+        # e.g. --twins lsh: skip the exact twin where its n·k assignment
+        # is the bottleneck (sf100: 2M vectors x 1415 pivots = 2.8B
+        # cosines — the very cost the LSH twin exists to avoid)
+        twins = set(argv[1].split(","))
+        argv = argv[2:]
+    sfs = argv or DEFAULT_SFS
     spark = get_spark("semdedup-pair-probe")
-    rows = [probe(spark, sf) for sf in sfs]
+    rows = [probe(spark, sf, twins) for sf in sfs]
     print(
         "| sf_dir | n | k | twin | max_cluster | max_block |"
         " pairs_uncapped | pairs_capped | capped ×/decade |"
