@@ -247,19 +247,18 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source offsets): a billion-row stratum spreads across the
     cluster."""
     from retail_sales_project_bigdata_spark.operators.ranking import (
-        grouped_row_number,
+        grouped_topk_rank,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    ranked = grouped_row_number(
+    ranked = grouped_topk_rank(
         docs.select("doc_id", "source", _doc_hash().alias("_h")),
         ["source"],
         [F.asc("_h"), F.asc("doc_id")],
         "sample_rank",
+        SAMPLE_PER_STRATUM,
     )
-    return ranked.filter(
-        F.col("sample_rank") <= SAMPLE_PER_STRATUM
-    ).select("doc_id", "source", "sample_rank")
+    return ranked.select("doc_id", "source", "sample_rank")
 
 
 STRATIFIED_SAMPLE_SQL = f"""
@@ -302,7 +301,7 @@ def priority_sample_by_source(
     map-only off the corpus scan.
     """
     from retail_sales_project_bigdata_spark.operators.ranking import (
-        grouped_row_number,
+        grouped_topk_rank,
     )
 
     docs = read_table(spark, sf_dir, "documents").filter(
@@ -317,13 +316,14 @@ def priority_sample_by_source(
             / F.col("n_chars")
         ).alias("priority"),
     )
-    ranked = grouped_row_number(
+    ranked = grouped_topk_rank(
         pri,
         ["source"],
         [F.asc("priority"), F.asc("doc_id")],
         "sample_rank",
+        PRIORITY_SAMPLE_K,
     )
-    return ranked.filter(F.col("sample_rank") <= PRIORITY_SAMPLE_K).select(
+    return ranked.select(
         "doc_id", "source", "weight", "priority", "sample_rank"
     )
 
@@ -857,7 +857,7 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ≤ 2·{KMV_K} rows BY CONSTRUCTION — bounded, not data-sized.
     """
     from retail_sales_project_bigdata_spark.operators.ranking import (
-        grouped_row_number,
+        grouped_topk_rank,
     )
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
@@ -886,9 +886,7 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-intersection join) — persist the distinct hash set once;
     # it is ~|distinct shingles per source| rows, spill-safe.
     dist = dist.persist()
-    sig = grouped_row_number(dist, ["source"], [F.asc("h")], "rk").filter(
-        F.col("rk") <= KMV_K
-    )
+    sig = grouped_topk_rank(dist, ["source"], [F.asc("h")], "rk", KMV_K)
     srcs = dist.select("source").distinct()
     pairs = (
         srcs.alias("a")

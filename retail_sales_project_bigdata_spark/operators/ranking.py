@@ -127,6 +127,47 @@ def _join_offsets(
     return joined.drop(*[f"_rr_o_{g}" for g in ["_rr_pid", *group_cols]])
 
 
+def grouped_topk_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    out: str,
+    k: int,
+) -> DataFrame:
+    """1-based per-group row number kept only up to rank ``k`` (a LITERAL
+    bound) — the top-k-per-group shape, one hash exchange total.
+
+    :func:`grouped_row_number` must rank EVERY row, so low-cardinality
+    group keys force the two-phase range formulation (range-bound
+    sampling pass + persist + offsets join).  When only ranks ``<= k``
+    survive, none of that is needed: a plain partitioned window whose
+    rank filter carries a literal bound compiles to Spark's
+    ``WindowGroupLimit`` (SPARK-37099, 3.5+) with a PARTIAL phase below
+    the exchange — each map task keeps at most ``k`` rows per group
+    before any shuffle, so the per-group final sort sees at most
+    ``k × num_map_partitions`` rows, bounded by the plan shape rather
+    than the stratum size.  A billion-row stratum therefore does NOT
+    land on one task; only its k-per-map-partition survivors do.
+    (Optimization round r9, guide §2.4: one exchange instead of the
+    two-phase path's range + hash exchanges and its persist.)
+
+    Requirements: ``k`` below ``spark.sql.optimizer.windowGroupLimitThreshold``
+    (default 1000) for the rewrite to fire, and ``order_cols`` a total
+    order within each group — same contract as grouped_row_number, so
+    the surviving ranks are IDENTICAL to the two-phase path's.  The
+    rank filter runs on the raw ``row_number()`` output (the rewrite
+    pattern-matches Filter directly over Window); the long cast matches
+    grouped_row_number's output dtype.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_tk_rn", F.row_number().over(w))
+        .filter(F.col("_tk_rn") <= int(k))
+        .withColumn(out, F.col("_tk_rn").cast("long"))
+        .drop("_tk_rn")
+    )
+
+
 def grouped_row_number(
     df: DataFrame,
     group_cols: list[str],

@@ -1125,14 +1125,21 @@ def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical posture to Mann-Kendall — the pair join is over the
     per-nation WEEKLY aggregate, so the quadratic lives in the
-    calendar-bounded time dimension, not the data volume; the per-nation
-    median ranks via :func:`ranking.grouped_row_number` (range exchange
-    + local ranks), never a one-task-per-nation window.
+    calendar-bounded time dimension, not the data volume.  EVERYTHING
+    after the weekly aggregate is calendar-bounded (|nations| ×
+    |weeks|², independent of fact-table size), which licenses two
+    simplifications the fact-sized rankers cannot take (optimization
+    round r9, guide §2.4/§3.1): the pair join BROADCASTS its right side
+    (the weekly aggregate itself — a few thousand rows at any data
+    scale), and the per-nation median rank uses a plain partitioned
+    window (each nation's pair frame is ≤ weeks²/2 rows BY CALENDAR, so
+    the one-task-per-group sort is bounded work, not a skew hazard).
+    The former two-phase grouped ranking (range-bound sampling pass +
+    persist + offsets join) was machinery sized for data-proportional
+    strata; here it cost three extra exchanges.  n_pairs is n·(n−1)/2
+    of the per-nation week count — arithmetic, not a second pass over
+    the pair frame.
     """
-    from retail_sales_project_bigdata_spark.operators.ranking import (
-        grouped_row_number,
-    )
-
     nation = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
@@ -1158,7 +1165,7 @@ def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", F.col("week_no").alias("w_j"), F.col("rev").alias("x_j")
     )
     pairs = (
-        a.join(b, "n_name")
+        a.join(F.broadcast(b), "n_name")
         .filter(F.col("w_i") < F.col("w_j"))
         .select(
             "n_name",
@@ -1170,17 +1177,23 @@ def theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
-    ranked = grouped_row_number(
-        pairs,
-        ["n_name"],
-        [F.asc("slope"), F.asc("w_i"), F.asc("w_j")],
+    ranked = pairs.withColumn(
         "rk",
-    )
-    counts = pairs.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+        F.row_number().over(
+            Window.partitionBy("n_name").orderBy(
+                F.asc("slope"), F.asc("w_i"), F.asc("w_j")
+            )
+        ),
     )
     n_weeks = weekly.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_weeks")
+    )
+    # n choose 2 of the week count — weekly is grouped by (nation, week),
+    # so the pair frame has EXACTLY n·(n−1)/2 rows per nation; integer
+    # div is exact (the product of consecutive ints is even).
+    counts = n_weeks.select(
+        "n_name",
+        F.expr("n_weeks * (n_weeks - 1) div 2").alias("n_pairs"),
     )
     mid = ranked.join(F.broadcast(counts), "n_name").filter(
         (F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))

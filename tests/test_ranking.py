@@ -106,22 +106,34 @@ def test_grouped_helpers_match_spark_windows(spark):
 
 
 def test_stratum_queries_have_no_per_stratum_window(spark):
-    """The low-cardinality-stratum queries must rank/prefix-sum through
-    the two-phase path (window partitioned by the range-partition id),
-    never by the bare stratum key."""
+    """The low-cardinality-stratum queries must never sort a whole
+    stratum on one task.  Two compliant shapes exist: the two-phase
+    path (window partitioned by the range-partition id) for full
+    rankings, and — since optimization round r9 — the WindowGroupLimit
+    shape for LITERAL top-k rank filters (map-side partial limit keeps
+    ≤ k rows per group per map task ahead of the exchange, so the
+    per-group final sort is bounded by k × #map-partitions, not the
+    stratum size).  stratified_sample / priority_sample_by_source rank
+    to a fixed k and use the latter; the full rankers keep the former."""
     from retail_sales_project_bigdata_spark.operators.datasetops import (
         dataset_mixture,
         pack_sequences,
+        priority_sample_by_source,
         stratified_sample,
         token_budget_sample,
     )
     from retail_sales_project_bigdata_spark.plans import physical_plan
     from tests.conftest import SF_SMALL
 
-    for q in (stratified_sample, dataset_mixture, pack_sequences,
-              token_budget_sample):
+    for q in (dataset_mixture, pack_sequences, token_budget_sample):
         plan = physical_plan(q(spark, SF_SMALL))
         assert "_rr_pid" in plan, q.__name__ + " lost the two-phase path"
+    for q in (stratified_sample, priority_sample_by_source):
+        plan = physical_plan(q(spark, SF_SMALL))
+        assert "WindowGroupLimit" in plan, (
+            q.__name__ + " lost the WindowGroupLimit rewrite — a literal"
+            " top-k rank filter must compile to a map-side partial limit"
+        )
 
 
 def test_range_pid_frame_is_cache_bounded(spark):
