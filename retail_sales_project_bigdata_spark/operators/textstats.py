@@ -558,13 +558,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination and targeted corpus probes (Okapi BM25, k1={BM25_K1},
     b={BM25_B}).
 
-    Shape: one explode→(doc, term) aggregate for term frequencies; df and
-    corpus stats are tiny broadcast aggregates; the query set joins as a
-    broadcast so only matching postings survive the scan.  The per-query
-    top-k is a rank window partitioned by q_id — few queries, but Spark
-    plans it as WindowGroupLimit (partial top-k per map task BEFORE the
-    shuffle, asserted in tests), so the q_id stratum never concentrates
-    the corpus on one task.
+    Shape (optimization round r9, guide §2.3 — shuffle fewer bytes):
+    the query-term filter runs MAP-SIDE on the exploded postings BEFORE
+    any aggregation, so the only (doc, term) aggregate ever shuffled is
+    the handful of postings whose term appears in a query — the full
+    corpus-wide term-frequency matrix is never materialized (the
+    previous shape aggregated it once per consumer subtree: tf, df and
+    the doc-length pass).  Corpus stats (n_docs, avgdl) come straight
+    off the document scan — ``size(toks)`` needs no explode.  The
+    per-query top-k is a rank window partitioned by q_id — few queries,
+    but Spark plans it as WindowGroupLimit (partial top-k per map task
+    BEFORE the shuffle, asserted in tests), so the q_id stratum never
+    concentrates the corpus on one task.
 
     Rows-only for the driver: ``ln`` differs across engines in the last
     ulp; a property test recomputes the scores in pure Python instead.
@@ -572,22 +577,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.lower(F.col("text")), "[ ]+").alias("toks")
     )
-    tf = (
-        docs.select(
-            "doc_id",
-            F.size("toks").cast("double").alias("dl"),
-            F.explode("toks").alias("term"),
-        )
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    doclens = tf.select("doc_id", "dl").distinct()
-    corpus = doclens.agg(
+    # Same doc universe as the former explode→distinct pass: a null
+    # toks array emits no postings, so such docs never counted.
+    toked = docs.filter(F.col("toks").isNotNull())
+    corpus = toked.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    df_counts = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
     )
     q_terms = spark.createDataFrame(
         [
@@ -596,6 +591,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for term in q.split()
         ],
         "q_id string, term string",
+    )
+    # Map-side prune: keep only postings for query terms, THEN aggregate
+    # — the shuffled frame is |matching postings|, not |corpus terms|.
+    postings = toked.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).join(
+        F.broadcast(q_terms.select("term").distinct()), "term", "semi"
+    )
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    # df of a query term == #docs carrying it == #rows of tf per term
+    # (tf is keyed by (doc, term)); tf is query-term-pruned, so this
+    # aggregate is tiny.
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -606,8 +619,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(df_counts.join(F.broadcast(q_terms), "term")
-                          .select("term", "df").distinct()), "term")
+        .join(F.broadcast(df_counts), "term")
         .crossJoin(F.broadcast(corpus))
         .groupBy("q_id", "doc_id")
         .agg(F.sum(idf * tf_norm).alias("score"))
