@@ -159,6 +159,23 @@ def grouped_topk_rank(
     pattern-matches Filter directly over Window); the long cast matches
     grouped_row_number's output dtype.
     """
+    # Enforce the documented contract instead of trusting it (ADVICE r9):
+    # a k at or above the threshold would NOT fire the WindowGroupLimit
+    # rewrite and silently degrade to a whole-stratum single-task window
+    # sort — exactly the scale hazard this module exists to prevent.
+    # Fail loudly so the caller reaches for grouped_row_number instead.
+    threshold = int(
+        df.sparkSession.conf.get(
+            "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+        )
+    )
+    if int(k) >= threshold:
+        raise ValueError(
+            f"grouped_topk_rank: k={k} >= windowGroupLimitThreshold="
+            f"{threshold}; the WindowGroupLimit rewrite would not fire "
+            "and the window would sort whole strata on single tasks — "
+            "use grouped_row_number for data-proportional limits"
+        )
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
         df.withColumn("_tk_rn", F.row_number().over(w))

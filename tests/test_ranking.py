@@ -104,6 +104,38 @@ def test_grouped_helpers_match_spark_windows(spark):
     got = {r.id: (r.rn, r.cs, r.before) for r in got_df.collect()}
     assert got == expect
 
+    # grouped_topk_rank == the rn <= k prefix of the full ranking,
+    # element-exact (ADVICE r9: the WGL path was shape-tested but not in
+    # the equality check).
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_topk_rank,
+    )
+
+    for k in (1, 7, 50):
+        topk = {
+            r.id: r.rk
+            for r in grouped_topk_rank(df, ["g"], order, "rk", k).collect()
+        }
+        expect_topk = {
+            i: v[0] for i, v in expect.items() if v[0] <= k
+        }
+        assert topk == expect_topk, f"k={k}"
+
+
+def test_grouped_topk_rank_rejects_non_literal_scale_k(spark):
+    """k at/above windowGroupLimitThreshold must fail loudly: the
+    WindowGroupLimit rewrite would not fire and the window would sort
+    whole strata on single tasks (ADVICE r9)."""
+    import pytest
+
+    from retail_sales_project_bigdata_spark.operators.ranking import (
+        grouped_topk_rank,
+    )
+
+    df = spark.range(10).withColumn("g", F.lit("a"))
+    with pytest.raises(ValueError, match="windowGroupLimitThreshold"):
+        grouped_topk_rank(df, ["g"], [F.asc("id")], "rk", 1000)
+
 
 def test_stratum_queries_have_no_per_stratum_window(spark):
     """The low-cardinality-stratum queries must never sort a whole
@@ -128,7 +160,12 @@ def test_stratum_queries_have_no_per_stratum_window(spark):
     for q in (dataset_mixture, pack_sequences, token_budget_sample):
         plan = physical_plan(q(spark, SF_SMALL))
         assert "_rr_pid" in plan, q.__name__ + " lost the two-phase path"
-    for q in (stratified_sample, priority_sample_by_source):
+    from retail_sales_project_bigdata_spark.operators.datasetops import (
+        source_overlap_kmv,
+    )
+
+    for q in (stratified_sample, priority_sample_by_source,
+              source_overlap_kmv):
         plan = physical_plan(q(spark, SF_SMALL))
         assert "WindowGroupLimit" in plan, (
             q.__name__ + " lost the WindowGroupLimit rewrite — a literal"
