@@ -264,7 +264,18 @@ def _sq_dist_argmin_expr(vec_sql: str, cents: list[list[float]]) -> F.Column:
     """Argmin over squared distances from ``vec_sql`` to each centroid,
     as ONE codegen-able expression (0-based; first-match array_position
     is the deterministic tie-break).  The centroid literals compile into
-    the plan, i.e. broadcast with it — a map-only pass at any scale."""
+    the plan, i.e. broadcast with it — a map-only pass at any scale.
+
+    The k distance folds are bound ONCE via a single-element
+    ``transform`` lambda (SQL has no ``let``; a lambda variable is the
+    idiom) instead of spelling ``array(dists)`` twice inside
+    ``array_position(..., array_min(...))`` — the r9 form carried 2k
+    aggregate folds per row in the plan (optimization round r10, guide
+    §1.2 per-task work: halves the expression tree, plan text and
+    codegen size; runtime subexpression elimination hid most of the
+    duplicate cost locally, but the first execution — codegen compile —
+    measured 0.78 → 0.27 s on the IVF corpus scan, and interpreted
+    fallbacks pay the duplication in full)."""
     dists = ", ".join(
         f"aggregate(zip_with({vec_sql}, {_arr_lit(c)},"
         " (x, y) -> (x - y) * (x - y)), cast(0 as double),"
@@ -272,8 +283,8 @@ def _sq_dist_argmin_expr(vec_sql: str, cents: list[list[float]]) -> F.Column:
         for c in cents
     )
     return F.expr(
-        f"cast(array_position(array({dists}),"
-        f" array_min(array({dists}))) - 1 as int)"
+        f"element_at(transform(array(array({dists})), d ->"
+        " cast(array_position(d, array_min(d)) - 1 as int)), 1)"
     )
 
 
@@ -283,6 +294,9 @@ def _pq_code_expr(
     """Per-subspace PQ codes of ``vec_sql`` — an array of
     ``len(codebooks)`` argmins, each over that subquantizer's centroids
     against the matching subvector slice."""
+    # Same single-binding idiom as _sq_dist_argmin_expr: the r9 form
+    # repeated each subspace's 16 distance folds twice (256 folds per
+    # row for the 8-subspace PQ encode); the lambda binding halves it.
     parts = []
     for j, book in enumerate(codebooks):
         start = j * sub_dim + 1  # slice() is 1-indexed
@@ -294,8 +308,8 @@ def _pq_code_expr(
             for c in book
         )
         parts.append(
-            f"cast(array_position(array({dists}),"
-            f" array_min(array({dists}))) - 1 as int)"
+            f"element_at(transform(array(array({dists})), d ->"
+            " cast(array_position(d, array_min(d)) - 1 as int)), 1)"
         )
     return F.expr("array(" + ", ".join(parts) + ")")
 
