@@ -103,13 +103,23 @@ def _distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_partkey").distinct()
 
 
-def _frequent_pairs(pairs: DataFrame, n_baskets: DataFrame) -> DataFrame:
+def _frequent_pairs(
+    pairs: DataFrame,
+    n_baskets: DataFrame,
+    freq1_counts: DataFrame | None = None,
+) -> DataFrame:
     """Frequent 2-itemsets from a prebuilt pair frame (a-priori pruning:
-    only frequent single items enter the pair self-join)."""
+    only frequent single items enter the pair self-join).  A caller that
+    already aggregated the per-item counts passes them as
+    ``freq1_counts`` so the (l_partkey → count) pass over the pair frame
+    is not recomputed here (optimization round r10, guide §2.4)."""
+    counts = (
+        freq1_counts
+        if freq1_counts is not None
+        else pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
+    )
     freq1 = (
-        pairs.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .crossJoin(F.broadcast(n_baskets))
+        counts.crossJoin(F.broadcast(n_baskets))
         .filter(F.col("freq") >= F.ceil(F.col("n_baskets") * MIN_SUPPORT))
         .select("l_partkey")
     )
@@ -205,10 +215,23 @@ def association_rules_2item(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 2-itemset self-join — without the cache boundary the dominant
     # fact-sized distinct would run once per consumer subtree (the SQL
     # oracle shares a single pairs CTE; this is the DataFrame analog).
+    # The two derived aggregates are persisted too (optimization round
+    # r10, VERDICT r9 item 6 / guide §2.4): n_baskets is crossJoined
+    # into THREE consumer subtrees and freq1 broadcast into three, and
+    # the r9 plan showed zero exchange reuse across them — every
+    # consumer re-aggregated the cached pair frame (9 exchanges, 38
+    # Exchange lines).  Both frames are aggregate-sized (1 row;
+    # |items|), so the cache is trivially bounded at any data scale.
     pairs = _distinct_pairs(spark, sf_dir).persist()
-    n_baskets = pairs.select(F.countDistinct("l_orderkey").alias("n_baskets"))
-    freq1 = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
-    freq2 = _frequent_pairs(pairs, n_baskets)
+    n_baskets = pairs.select(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    ).persist()
+    freq1 = (
+        pairs.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    freq2 = _frequent_pairs(pairs, n_baskets, freq1_counts=freq1)
 
     both = freq2.unionByName(
         freq2.select(
