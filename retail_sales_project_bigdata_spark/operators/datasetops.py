@@ -93,7 +93,10 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("d1").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        # eager=False (optimization round r10, guide §5): the first
+        # round's convergence count materializes this and each round's
+        # checkpoint — one job per round instead of two.
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(MAX_CC_ITERS):
@@ -112,7 +115,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("old_label"), F.coalesce("nbr_min", "old_label")
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("doc_id", "label")

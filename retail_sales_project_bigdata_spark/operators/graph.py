@@ -634,7 +634,11 @@ def kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed point are no-ops, so the two sides agree whenever the run
     completes.  Returns (node, core_degree) for surviving nodes.
     """
-    e = _support_edges(spark, sf_dir).localCheckpoint()
+    # eager=False here and per round (optimization round r10, guide §5):
+    # every checkpoint is immediately followed by the convergence count,
+    # so the count's job does the materialization — one job per round
+    # instead of two (checkpoint job + block-scan count job).
+    e = _support_edges(spark, sf_dir).localCheckpoint(eager=False)
     n = e.count()
     converged = n == 0
     for _ in range(KCORE_MAX_ROUNDS):
@@ -650,7 +654,7 @@ def kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         e = e2
@@ -859,7 +863,10 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # eager=False: the first star round's convergence check is the
+        # materializing action (same one-job-per-round rationale as
+        # kcore_members above).
+        .localCheckpoint(eager=False)
     )
 
     def large_star(cur: DataFrame) -> DataFrame:
@@ -895,7 +902,7 @@ def connected_components_star(
 
     for _ in range(MAX_STAR_ROUNDS):
         prev = e
-        e = small_star(large_star(e)).localCheckpoint()
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         if _edge_sets_equal(prev, e):
             break
     else:
