@@ -231,7 +231,11 @@ def association_rules_2item(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .persist()
     )
-    freq2 = _frequent_pairs(pairs, n_baskets, freq1_counts=freq1)
+    # freq2 feeds BOTH branches of the direction-mirroring union below;
+    # without a cache boundary each branch re-runs the pair explode +
+    # (item_a, item_b) aggregate — the dominant data work — once (the
+    # r10 plan showed two Generate subtrees).  Support-pruned → tiny.
+    freq2 = _frequent_pairs(pairs, n_baskets, freq1_counts=freq1).persist()
 
     both = freq2.unionByName(
         freq2.select(

@@ -167,6 +167,11 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = item_n.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
     nb = item_n.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
+    # sim feeds BOTH branches of the direction-mirroring union below;
+    # without a cache boundary each branch re-runs the co-pair explode +
+    # aggregate and both count joins (optimization round r10, guide
+    # §2.4 — same fix as association_rules_2item).  Support-pruned by
+    # II_MIN_CO → bounded at any scale.
     sim = co.join(na, "pa").join(nb, "pb").select(
         "pa",
         "pb",
@@ -175,7 +180,7 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("co").cast("double")
             / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
         ).alias("cos_raw"),
-    )
+    ).persist()
     both = sim.select(
         F.col("pa").alias("item"),
         F.col("pb").alias("neighbor"),

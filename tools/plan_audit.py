@@ -155,11 +155,84 @@ HEADLINE = [
 ]
 
 
+def _dedup_cached_subtrees(plan: str) -> str:
+    """Collapse repeated InMemoryRelation DEFINITION bodies to one copy.
+
+    The tree string reprints a cached relation's full child plan at
+    every one of its scan sites, so a naive text count multiplies the
+    cached subtree's exchanges by its consumer count — which both
+    overstates what executes (the definition runs once; consumers read
+    blocks) and biases the budget gate AGAINST cache-boundary
+    optimizations (optimization round r10: persisting a fan-out
+    aggregate LOWERED executed exchanges but RAISED the text count).
+    Blocks are keyed by their indentation-normalized text, so identical
+    definitions count once while genuinely different caches all count.
+    """
+    def depth(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
+    def norm_key(block: list[str]) -> str:
+        return "\n".join(re.sub(r"^[\s:+-]*", "", x) for x in block)
+
+    seen: set[str] = set()
+
+    def walk(lines: list[str]) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(lines):
+            ln = lines[i]
+            if "InMemoryRelation" in ln and depth(ln) >= 0:
+                d = depth(ln)
+                j = i + 1
+                while j < len(lines) and depth(lines[j]) > d:
+                    j += 1
+                key = norm_key(lines[i:j])
+                if key not in seen:
+                    seen.add(key)
+                    out.append(ln)
+                    # recurse: a definition's own nested cached scans
+                    # reprint THEIR definitions too — each distinct
+                    # relation's body must count exactly once.
+                    out.extend(walk(lines[i + 1 : j]))
+                i = j
+                continue
+            out.append(ln)
+            i += 1
+        return out
+
+    return "\n".join(walk(plan.splitlines()))
+
+
+def _count_shuffle_exchanges(plan: str) -> int:
+    """Shuffle exchanges that would EXECUTE, not textual occurrences.
+
+    Every physical node prints a unique ``plan_id``; a cached relation's
+    definition reprinting at several scan sites shows the SAME ids, while
+    a genuinely duplicated (un-reused, un-cached) subtree has fresh ids
+    per copy.  Counting distinct ids therefore matches executed shuffles
+    exactly — the raw text count multiplied cached subtrees by their
+    consumer count, which biased the budget gate AGAINST cache-boundary
+    optimizations (optimization round r10: persisting a fan-out
+    aggregate LOWERED executed exchanges but RAISED the text count; the
+    rfm_scores budget carried 28 where 10 execute).  ``ReusedExchange``
+    references never match the pattern, so runtime reuse is free as
+    before.  Plans without plan_ids fall back to the text count."""
+    ids = re.findall(
+        r"Exchange hashpartitioning.*?\[plan_id=(\d+)\]", plan
+    )
+    if ids:
+        return len(set(ids))
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
 def summarize(plan: str) -> dict[str, object]:
+    shuffles = _count_shuffle_exchanges(plan)
+    plan = _dedup_cached_subtrees(plan)
     return {
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
-        "shuffle_exchanges": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "shuffle_exchanges": shuffles,
         "pushed_filters": len(
             [ln for ln in plan.splitlines() if "PushedFilters: [" in ln and "PushedFilters: []" not in ln]
         ),
